@@ -1,0 +1,291 @@
+"""On-device log-mel feature extraction (JAX, MXU-friendly).
+
+Replaces the reference's three external native frontends (SURVEY.md §2.2):
+NeMo's mel preprocessor (nemo-asr), kaldi-native-fbank (k2-asr via
+sherpa-onnx, pkg/k2-asr/src/huggingface.py:79-80: 16 kHz / 80-dim), and
+ESPnet's STFT frontend (espnet-asr).
+
+TPU-first design notes:
+- The DFT is expressed as two real matmuls against precomputed cos/sin bases
+  instead of an FFT: for n_fft ≤ 512 this keeps the whole frontend on the MXU
+  and lets XLA fuse window/power/mel/log into the surrounding program. The
+  mel projection folds INTO the DFT bases offline (cos_basis @ melᵀ) whenever
+  mag_power == 2 is not required first — here power is needed, so mel stays a
+  separate [n_bins, n_mels] matmul.
+- Everything is static-shape: the frame count is a function of the (padded)
+  waveform length; per-utterance valid lengths flow alongside as an int32
+  vector and drive masked normalization.
+- fp32 throughout: the frontend is <1% of total FLOPs, and fp32 here protects
+  the 0.08 s timestamp grid that decode-side heuristics depend on
+  (pkg/nemo-asr/src/decode.py:48).
+"""
+
+import functools
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .mel import mel_filterbank
+
+__all__ = [
+    "FrontendConfig",
+    "nemo_frontend_config",
+    "kaldi_frontend_config",
+    "espnet_frontend_config",
+    "log_mel_spectrogram",
+    "num_frames",
+]
+
+
+@dataclass(frozen=True)
+class FrontendConfig:
+    sample_rate: int = 16000
+    n_fft: int = 512
+    win_length: int = 400
+    hop_length: int = 160
+    n_mels: int = 80
+    # preemphasis: "global" (x[t]-k·x[t-1] over the utterance, NeMo) or
+    # "frame" (within each frame, Kaldi) or None
+    preemph: Optional[float] = 0.97
+    preemph_mode: str = "global"
+    window: str = "hann"  # hann | hann_periodic | povey | hamming | none
+    # framing: "center" (reflect-pad n_fft//2 both sides, torch.stft style) or
+    # "kaldi" (snip_edges=False: centers at t·hop + hop/2, reflect at edges)
+    framing: str = "center"
+    remove_dc: bool = False
+    mag_power: float = 2.0
+    mel_scale: str = "slaney"
+    mel_norm: Optional[str] = "slaney"
+    mel_triangle_domain: str = "hz"
+    fmin: float = 0.0
+    fmax: Optional[float] = None
+    log_zero_guard: float = 2.0**-24
+    log_zero_guard_type: str = "add"  # add | clamp
+    normalize: Optional[str] = "per_feature"  # per_feature | per_utterance | None
+    normalize_eps: float = 1e-5
+
+
+def nemo_frontend_config(**overrides) -> FrontendConfig:
+    """NeMo AudioToMelSpectrogramPreprocessor semantics (FastConformer):
+    global preemph 0.97, symmetric hann, centered reflect-pad STFT, power 2,
+    slaney/slaney mel, log(x + 2^-24), per-feature normalization."""
+    return FrontendConfig(**overrides)
+
+
+def kaldi_frontend_config(**overrides) -> FrontendConfig:
+    """kaldi-native-fbank semantics as configured by sherpa for the k2 models:
+    per-frame DC removal + preemph, povey window, snip_edges=False framing,
+    HTK mel triangles computed in mel space, no norm, log with float-eps clamp,
+    no feature normalization."""
+    cfg = dict(
+        preemph=0.97,
+        preemph_mode="frame",
+        window="povey",
+        framing="kaldi",
+        remove_dc=True,
+        mel_scale="htk",
+        mel_norm=None,
+        mel_triangle_domain="mel",
+        fmin=20.0,
+        log_zero_guard=float(np.finfo(np.float32).eps),
+        log_zero_guard_type="clamp",
+        normalize=None,
+    )
+    cfg.update(overrides)
+    return FrontendConfig(**cfg)
+
+
+def espnet_frontend_config(**overrides) -> FrontendConfig:
+    """ESPnet default frontend: no preemph, periodic hann, centered STFT,
+    librosa mel (slaney/slaney), log with 1e-10 clamp; normalization is done
+    by a separate GlobalMVN layer, not here."""
+    cfg = dict(
+        preemph=None,
+        window="hann_periodic",
+        log_zero_guard=1e-10,
+        log_zero_guard_type="clamp",
+        normalize=None,
+    )
+    cfg.update(overrides)
+    return FrontendConfig(**cfg)
+
+
+def _make_window(cfg: FrontendConfig) -> np.ndarray:
+    n = cfg.win_length
+    if cfg.window == "none":
+        return np.ones(n, np.float64)
+    if cfg.window == "hann":
+        return 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n) / (n - 1))
+    if cfg.window == "hann_periodic":
+        return 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n) / n)
+    if cfg.window == "hamming":
+        return 0.54 - 0.46 * np.cos(2 * np.pi * np.arange(n) / (n - 1))
+    if cfg.window == "povey":
+        hann = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n) / (n - 1))
+        return hann**0.85
+    raise ValueError(f"unknown window: {cfg.window}")
+
+
+@functools.lru_cache(maxsize=16)
+def _constants(cfg: FrontendConfig):
+    """Precompute window, DFT bases, and mel matrix for a config (host)."""
+    window = _make_window(cfg)
+    n_bins = cfg.n_fft // 2 + 1
+    # Real DFT bases over the zero-padded frame: [win_length, n_bins].
+    # Frames are windowed then zero-padded to n_fft (same as torch.stft with
+    # win_length < n_fft, which center-pads the window; we left-align padding
+    # inside the frame slot consistently with how the frame is extracted).
+    t = np.arange(cfg.n_fft)
+    k = np.arange(n_bins)
+    ang = 2.0 * np.pi * np.outer(t, k) / cfg.n_fft
+    cos_b = np.cos(ang)
+    sin_b = -np.sin(ang)
+    # torch.stft centers a short window inside the n_fft frame:
+    pad_left = (cfg.n_fft - cfg.win_length) // 2
+    wcos = np.zeros((cfg.win_length, n_bins))
+    wsin = np.zeros((cfg.win_length, n_bins))
+    wcos[:, :] = cos_b[pad_left : pad_left + cfg.win_length] * window[:, None]
+    wsin[:, :] = sin_b[pad_left : pad_left + cfg.win_length] * window[:, None]
+    mel = mel_filterbank(
+        cfg.n_mels,
+        cfg.n_fft,
+        cfg.sample_rate,
+        fmin=cfg.fmin,
+        fmax=cfg.fmax,
+        scale=cfg.mel_scale,
+        norm=cfg.mel_norm,
+        triangle_domain=cfg.mel_triangle_domain,
+    )
+    return (
+        jnp.asarray(wcos, jnp.float32),
+        jnp.asarray(wsin, jnp.float32),
+        jnp.asarray(mel.T, jnp.float32),  # [n_bins, n_mels]
+    )
+
+
+def num_frames(cfg: FrontendConfig, n_samples: int):
+    """Frame count for a waveform of n_samples (python int or traced int)."""
+    if cfg.framing == "center":
+        return n_samples // cfg.hop_length + 1
+    if cfg.framing == "kaldi":
+        return (n_samples + cfg.hop_length // 2) // cfg.hop_length
+    raise ValueError(cfg.framing)
+
+
+def _frame_signal(x, cfg: FrontendConfig):
+    """[B, N] -> [B, T, win_length] with the config's padding convention."""
+    hop, win = cfg.hop_length, cfg.win_length
+    n = x.shape[-1]
+    if cfg.framing == "center":
+        t_out = n // hop + 1
+        pad = cfg.n_fft // 2
+        # torch.stft(center=True) reflect-pads n_fft//2; the window is then
+        # centered in the n_fft slot, so the first sample touched by the
+        # window is pad_left into the padded signal.
+        x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+        first = (cfg.n_fft - win) // 2
+    elif cfg.framing == "kaldi":
+        t_out = (n + hop // 2) // hop
+        # frame t covers [t*hop + hop/2 - win/2, ... + win); reflect-pad enough
+        # on both sides. Kaldi reflects around the array edge.
+        left = max(0, (win - hop) // 2 + 1)
+        right = win + hop
+        x = jnp.pad(x, ((0, 0), (left, right)), mode="reflect")
+        first = left + hop // 2 - win // 2
+    else:
+        raise ValueError(cfg.framing)
+
+    starts = first + jnp.arange(t_out) * hop
+    idx = starts[:, None] + jnp.arange(win)[None, :]
+    return x[:, idx], t_out
+
+
+def log_mel_spectrogram(waveform, lengths, cfg: FrontendConfig):
+    """Compute log-mel features.
+
+    Args:
+      waveform: [B, N] float32 (16 kHz mono, already resampled)
+      lengths: [B] int32 valid sample counts
+      cfg: FrontendConfig
+
+    Returns:
+      (features [B, T, n_mels] float32, out_lengths [B] int32). Frames beyond
+      out_lengths are zeroed.
+    """
+    waveform = waveform.astype(jnp.float32)
+    wcos, wsin, mel = _constants(cfg)
+
+    if cfg.preemph is not None and cfg.preemph_mode == "global":
+        waveform = jnp.concatenate(
+            [waveform[:, :1], waveform[:, 1:] - cfg.preemph * waveform[:, :-1]],
+            axis=1,
+        )
+
+    frames, t_out = _frame_signal(waveform, cfg)  # [B, T, win]
+
+    if cfg.remove_dc:
+        frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
+    if cfg.preemph is not None and cfg.preemph_mode == "frame":
+        frames = jnp.concatenate(
+            [
+                frames[..., :1] * (1.0 - cfg.preemph),
+                frames[..., 1:] - cfg.preemph * frames[..., :-1],
+            ],
+            axis=-1,
+        )
+
+    # Window is folded into the DFT bases; two MXU matmuls give Re/Im.
+    # precision=HIGHEST: the spectrum spans ~8 orders of magnitude and feeds a
+    # log — TPU bf16 default matmul precision visibly corrupts quiet bins.
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.einsum(
+        "btw,wk->btk", frames, wcos,
+        precision=hi, preferred_element_type=jnp.float32,
+    )
+    im = jnp.einsum(
+        "btw,wk->btk", frames, wsin,
+        precision=hi, preferred_element_type=jnp.float32,
+    )
+    power = re * re + im * im
+    if cfg.mag_power != 2.0:
+        power = jnp.power(jnp.sqrt(jnp.maximum(power, 1e-20)), cfg.mag_power)
+
+    feats = jnp.einsum(
+        "btk,km->btm", power, mel,
+        precision=hi, preferred_element_type=jnp.float32,
+    )
+
+    if cfg.log_zero_guard_type == "add":
+        feats = jnp.log(feats + cfg.log_zero_guard)
+    else:
+        feats = jnp.log(jnp.maximum(feats, cfg.log_zero_guard))
+
+    out_lengths = jnp.where(lengths > 0, num_frames(cfg, lengths), 0).astype(
+        jnp.int32
+    )
+    mask = jnp.arange(t_out)[None, :] < out_lengths[:, None]  # [B, T]
+
+    if cfg.normalize == "per_feature":
+        m = mask[..., None]
+        cnt = jnp.maximum(out_lengths[:, None].astype(jnp.float32), 2.0)
+        mean = jnp.sum(jnp.where(m, feats, 0.0), axis=1) / cnt  # [B, n_mels]
+        var = jnp.sum(
+            jnp.where(m, (feats - mean[:, None, :]) ** 2, 0.0), axis=1
+        ) / (cnt - 1.0)
+        feats = (feats - mean[:, None, :]) / (jnp.sqrt(var)[:, None, :] + cfg.normalize_eps)
+    elif cfg.normalize == "per_utterance":
+        m = mask[..., None]
+        cnt = jnp.maximum(
+            out_lengths.astype(jnp.float32) * cfg.n_mels, 2.0
+        )[:, None, None]
+        mean = jnp.sum(jnp.where(m, feats, 0.0), axis=(1, 2), keepdims=True) / cnt
+        var = jnp.sum(jnp.where(m, (feats - mean) ** 2, 0.0), axis=(1, 2), keepdims=True) / (
+            cnt - 1.0
+        )
+        feats = (feats - mean) / (jnp.sqrt(var) + cfg.normalize_eps)
+
+    feats = jnp.where(mask[..., None], feats, 0.0)
+    return feats, out_lengths

@@ -1,0 +1,164 @@
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from reazonspeech_tpu.frontend.features import (
+    FrontendConfig,
+    kaldi_frontend_config,
+    log_mel_spectrogram,
+    nemo_frontend_config,
+    num_frames,
+)
+from reazonspeech_tpu.frontend.mel import hz_to_mel, mel_filterbank, mel_to_hz
+from reazonspeech_tpu.frontend.resample import resample
+
+
+def chirp(sr, seconds, f0=100.0, f1=3800.0, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(sr * seconds)) / sr
+    f = f0 + (f1 - f0) * t / t[-1]
+    return (np.sin(2 * np.pi * np.cumsum(f) / sr) * 0.5).astype(np.float32) + (
+        rng.standard_normal(len(t)).astype(np.float32) * 0.01
+    )
+
+
+# ---------------------------------------------------------------------------
+# mel filterbank
+# ---------------------------------------------------------------------------
+
+def test_mel_scale_roundtrip():
+    f = np.array([0.0, 300.0, 1000.0, 4000.0, 8000.0])
+    for scale in ("slaney", "htk"):
+        np.testing.assert_allclose(mel_to_hz(hz_to_mel(f, scale), scale), f, atol=1e-6)
+
+
+def test_mel_filterbank_shapes_and_coverage():
+    fb = mel_filterbank(80, 512, 16000)
+    assert fb.shape == (80, 257)
+    # every filter has positive mass, and interior bins are covered
+    assert (fb.sum(axis=1) > 0).all()
+    coverage = fb.sum(axis=0)
+    assert (coverage[5:-5] > 0).all()
+
+
+def test_mel_filterbank_kaldi_style():
+    fb = mel_filterbank(
+        80, 512, 16000, fmin=20.0, scale="htk", norm=None, triangle_domain="mel"
+    )
+    assert fb.shape == (80, 257)
+    # un-normalized triangles peak near 1
+    assert 0.5 < fb.max() <= 1.0 + 1e-6
+
+
+# ---------------------------------------------------------------------------
+# STFT framing parity vs torch.stft (the semantics NeMo/ESPnet rely on)
+# ---------------------------------------------------------------------------
+
+def torch_logmel_reference(x, cfg):
+    """Straight reimplementation of the NeMo preprocessor using torch.stft."""
+    import torch
+
+    xt = torch.from_numpy(np.asarray(x))
+    if cfg.preemph is not None:
+        xt = torch.cat((xt[:1], xt[1:] - cfg.preemph * xt[:-1]))
+    window = torch.hann_window(cfg.win_length, periodic=False, dtype=torch.float64)
+    spec = torch.stft(
+        xt.double(),
+        n_fft=cfg.n_fft,
+        hop_length=cfg.hop_length,
+        win_length=cfg.win_length,
+        window=window,
+        center=True,
+        return_complex=True,
+    )
+    power = spec.abs().pow(2.0).numpy()  # [n_bins, T]
+    fb = mel_filterbank(cfg.n_mels, cfg.n_fft, cfg.sample_rate, dtype=np.float64)
+    feats = np.log(fb @ power + cfg.log_zero_guard)  # [n_mels, T]
+    mean = feats.mean(axis=1, keepdims=True)
+    std = feats.std(axis=1, ddof=1, keepdims=True)
+    return ((feats - mean) / (std + cfg.normalize_eps)).T  # [T, n_mels]
+
+
+def test_nemo_frontend_matches_torch_reference():
+    cfg = nemo_frontend_config()
+    x = chirp(16000, 1.0)
+    got, lens = log_mel_spectrogram(jnp.asarray(x)[None], jnp.array([len(x)]), cfg)
+    want = torch_logmel_reference(x, cfg)
+    assert got.shape[1] == want.shape[0] == int(lens[0]) == len(x) // 160 + 1
+    np.testing.assert_allclose(np.asarray(got[0]), want, atol=2e-3, rtol=1e-3)
+
+
+def test_frontend_padding_invariance():
+    """Interior features of the valid region must not change when the batch
+    is zero-padded. Only the last ~n_fft/2 samples' frames may differ (their
+    centered-STFT context changes from reflected tail to zeros — the external
+    reference frontends share this property), so normalization is disabled
+    and edge frames are excluded."""
+    cfg = nemo_frontend_config(normalize=None)
+    x = chirp(16000, 0.7)
+    alone, l1 = log_mel_spectrogram(jnp.asarray(x)[None], jnp.array([len(x)]), cfg)
+    padded = np.zeros(16000, np.float32)
+    padded[: len(x)] = x
+    batched, l2 = log_mel_spectrogram(
+        jnp.asarray(padded)[None], jnp.array([len(x)]), cfg
+    )
+    t = int(l1[0])
+    assert int(l2[0]) == t
+    edge = cfg.n_fft // 2 // cfg.hop_length + 1
+    np.testing.assert_allclose(
+        np.asarray(alone[0, : t - edge]),
+        np.asarray(batched[0, : t - edge]),
+        atol=1e-4,
+    )
+    # frames beyond the valid length are zeroed
+    assert np.all(np.asarray(batched[0, t:]) == 0)
+
+
+def test_kaldi_frontend_shapes():
+    cfg = kaldi_frontend_config()
+    x = chirp(16000, 0.5)
+    feats, lens = log_mel_spectrogram(jnp.asarray(x)[None], jnp.array([len(x)]), cfg)
+    # snip_edges=False frame count
+    expect_t = (len(x) + 80) // 160
+    assert int(lens[0]) == expect_t
+    assert feats.shape == (1, expect_t, 80)
+    assert np.isfinite(np.asarray(feats)).all()
+
+
+def test_num_frames_traced_and_static_agree():
+    cfg = nemo_frontend_config()
+    assert num_frames(cfg, 16000) == 101
+    assert int(num_frames(cfg, jnp.asarray(16000))) == 101
+
+
+# ---------------------------------------------------------------------------
+# resampler
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("orig_sr", [48000, 44100, 22050, 8000])
+def test_resample_matches_scipy(orig_sr):
+    from math import gcd
+
+    from scipy.signal import resample_poly
+
+    x = chirp(orig_sr, 0.5)
+    got = np.asarray(resample(jnp.asarray(x), orig_sr, 16000))
+    g = gcd(orig_sr, 16000)
+    want = resample_poly(x.astype(np.float64), 16000 // g, orig_sr // g)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+def test_resample_noop():
+    x = chirp(16000, 0.1)
+    out = resample(jnp.asarray(x), 16000, 16000)
+    np.testing.assert_array_equal(np.asarray(out), x)
+
+
+def test_resample_batched():
+    x = np.stack([chirp(48000, 0.2), chirp(48000, 0.2, f0=200)]).astype(np.float32)
+    out = np.asarray(resample(jnp.asarray(x), 48000, 16000))
+    assert out.shape[0] == 2
+    single = np.asarray(resample(jnp.asarray(x[1]), 48000, 16000))
+    np.testing.assert_allclose(out[1], single, atol=1e-6)
