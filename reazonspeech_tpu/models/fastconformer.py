@@ -1,0 +1,284 @@
+"""FastConformer encoder (TPU-native JAX).
+
+First-party replacement for the NeMo FastConformer encoder that the reference
+drives through ``EncDecRNNTBPEModel`` (pkg/nemo-asr/src/transcribe.py:26-28,
+48-53). Architecture: 2-D depthwise-striding conv subsampling (8×), then N
+Conformer blocks (½FFN → rel-pos MHSA → conv module → ½FFN → LN) at 0.08 s
+per output frame — the timestamp grid the reference's decode heuristics
+assume (pkg/nemo-asr/src/decode.py:5,48).
+
+TPU-first choices:
+- identical blocks are stacked and driven by ``lax.scan`` → one compiled
+  block body regardless of depth (compile time O(1) in num_layers);
+- params live in fp32, matmuls run in a configurable compute dtype (bf16 on
+  TPU MXU); layer norms/softmax accumulate in fp32;
+- static shapes throughout; per-utterance validity is an int32 length vector
+  and masks, so one compiled program serves a whole padded batch bucket;
+- relative-position attention keeps the (q+v)·posᵀ term as a dense matmul
+  over a 2T-1 sinusoidal table with a gather-free circulant shift.
+"""
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .layers import (
+    batch_norm_infer,
+    batch_norm_init,
+    conv1d,
+    conv1d_init,
+    conv2d,
+    conv2d_init,
+    dense,
+    dense_init,
+    depthwise_conv1d,
+    depthwise_conv1d_init,
+    glu,
+    layer_norm,
+    layer_norm_init,
+    swish,
+)
+
+__all__ = ["FastConformerConfig", "init_fastconformer", "fastconformer_encode"]
+
+
+@dataclass(frozen=True)
+class FastConformerConfig:
+    feat_in: int = 80
+    num_layers: int = 24
+    d_model: int = 1024
+    num_heads: int = 8
+    ff_expansion: int = 4
+    conv_kernel: int = 9
+    subsampling_factor: int = 8
+    subsampling_channels: int = 256
+    conv_norm: str = "batch_norm"  # batch_norm (inference stats) | layer_norm
+    xscaling: bool = True
+    compute_dtype: str = "bfloat16"
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.compute_dtype)
+
+    @property
+    def head_dim(self):
+        return self.d_model // self.num_heads
+
+    @staticmethod
+    def xlarge(**overrides) -> "FastConformerConfig":
+        """~600M-encoder configuration matching the published
+        reazonspeech-nemo-v2 (619M total with decoder/joint)."""
+        return FastConformerConfig(**overrides)
+
+    @staticmethod
+    def tiny(**overrides) -> "FastConformerConfig":
+        cfg = dict(num_layers=2, d_model=64, num_heads=4, subsampling_channels=32)
+        cfg.update(overrides)
+        return FastConformerConfig(**cfg)
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def _init_block(key, cfg: FastConformerConfig):
+    d, dff = cfg.d_model, cfg.d_model * cfg.ff_expansion
+    keys = iter(jax.random.split(key, 16))
+    p = {
+        "ffn1_ln": layer_norm_init(d),
+        "ffn1_in": dense_init(next(keys), d, dff),
+        "ffn1_out": dense_init(next(keys), dff, d),
+        "attn_ln": layer_norm_init(d),
+        "attn_q": dense_init(next(keys), d, d),
+        "attn_k": dense_init(next(keys), d, d),
+        "attn_v": dense_init(next(keys), d, d),
+        "attn_pos": dense_init(next(keys), d, d, bias=False),
+        "attn_out": dense_init(next(keys), d, d),
+        "attn_bias_u": jnp.zeros((cfg.num_heads, cfg.head_dim)),
+        "attn_bias_v": jnp.zeros((cfg.num_heads, cfg.head_dim)),
+        "conv_ln": layer_norm_init(d),
+        "conv_in": conv1d_init(next(keys), d, 2 * d, 1),
+        "conv_dw": depthwise_conv1d_init(next(keys), d, cfg.conv_kernel),
+        "conv_out": conv1d_init(next(keys), d, d, 1),
+        "ffn2_ln": layer_norm_init(d),
+        "ffn2_in": dense_init(next(keys), d, dff),
+        "ffn2_out": dense_init(next(keys), dff, d),
+        "final_ln": layer_norm_init(d),
+    }
+    if cfg.conv_norm == "batch_norm":
+        p["conv_bn"] = batch_norm_init(d)
+    else:
+        p["conv_bn"] = layer_norm_init(d)
+    return p
+
+
+def _sub_out_dim(n, stages):
+    for _ in range(stages):
+        n = (n - 1) // 2 + 1
+    return n
+
+
+def init_fastconformer(key, cfg: FastConformerConfig):
+    stages = int(np.log2(cfg.subsampling_factor))
+    c = cfg.subsampling_channels
+    keys = iter(jax.random.split(key, 8 + cfg.num_layers))
+
+    sub = {"conv0": conv2d_init(next(keys), 1, c, 3)}
+    for i in range(1, stages):
+        sub[f"dw{i}"] = conv2d_init(next(keys), c, c, 3, groups=c)
+        sub[f"pw{i}"] = conv2d_init(next(keys), c, c, 1)
+    f_out = _sub_out_dim(cfg.feat_in, stages)
+    sub["proj"] = dense_init(next(keys), c * f_out, cfg.d_model)
+
+    blocks = [_init_block(next(keys), cfg) for _ in range(cfg.num_layers)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+
+    return {"subsampling": sub, "blocks": stacked}
+
+
+# ---------------------------------------------------------------------------
+# apply
+# ---------------------------------------------------------------------------
+
+
+def _subsample(p, feats, lengths, cfg: FastConformerConfig):
+    """[B, T, F] -> [B, T/8, d_model]; dw-striding conv stack."""
+    stages = int(np.log2(cfg.subsampling_factor))
+    dt = cfg.dtype
+    x = feats[..., None].astype(dt)  # [B, T, F, 1]
+    pad = [(1, 1), (1, 1)]
+    x = jax.nn.relu(conv2d(p["conv0"], x, stride=2, padding=pad, dtype=dt))
+    c = cfg.subsampling_channels
+    for i in range(1, stages):
+        x = conv2d(p[f"dw{i}"], x, stride=2, padding=pad, groups=c, dtype=dt)
+        x = jax.nn.relu(conv2d(p[f"pw{i}"], x, stride=1, padding="VALID", dtype=dt))
+    b, t, f, ch = x.shape
+    x = x.reshape(b, t, f * ch)
+    x = dense(p["proj"], x, dtype=dt)
+    for _ in range(stages):
+        lengths = (lengths - 1) // 2 + 1
+    return x, lengths
+
+
+def _sinusoid_rel_pos(t, d_model):
+    """Relative sinusoidal table for offsets [t-1 ... -(t-1)]: [2t-1, d]."""
+    pos = np.arange(t - 1, -t, -1, dtype=np.float64)
+    inv = np.exp(-np.arange(0, d_model, 2, dtype=np.float64) * (np.log(10000.0) / d_model))
+    ang = pos[:, None] * inv[None, :]
+    pe = np.zeros((2 * t - 1, d_model), dtype=np.float32)
+    pe[:, 0::2] = np.sin(ang)
+    pe[:, 1::2] = np.cos(ang)
+    return jnp.asarray(pe)
+
+
+def _rel_shift(x):
+    """[B, H, T, 2T-1] -> [B, H, T, T]: row t keeps entries for keys 0..T-1,
+    i.e. out[..., t, j] = x[..., t, (T-1) + (t - j) ... wait — standard
+    Transformer-XL shift: out[..., t, j] = x[..., t, T-1 - t + j]."""
+    b, h, t, l = x.shape
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 0)))  # [B,H,T,2T]
+    x = x.reshape(b, h, 2 * t, t)
+    x = x[:, :, 1:].reshape(b, h, t, 2 * t - 1)
+    return x[..., :t]
+
+
+def _mhsa_relpos(p, x, pos_emb, mask, cfg: FastConformerConfig):
+    """Relative-position multi-head attention (Transformer-XL form).
+
+    x: [B, T, D] (already layer-normed), pos_emb: [2T-1, D],
+    mask: [B, T] validity. Returns [B, T, D].
+    """
+    b, t, d = x.shape
+    h, dh = cfg.num_heads, cfg.head_dim
+    dt = cfg.dtype
+
+    q = dense(p["attn_q"], x, dtype=dt).reshape(b, t, h, dh)
+    k = dense(p["attn_k"], x, dtype=dt).reshape(b, t, h, dh)
+    v = dense(p["attn_v"], x, dtype=dt).reshape(b, t, h, dh)
+    pos = dense(p["attn_pos"], pos_emb, dtype=dt).reshape(-1, h, dh)  # [2T-1,H,dh]
+
+    qu = q + p["attn_bias_u"].astype(dt)
+    qv = q + p["attn_bias_v"].astype(dt)
+
+    # content score [B,H,T,T]; fp32 accumulation
+    ac = jnp.einsum("bthd,bshd->bhts", qu, k, preferred_element_type=jnp.float32)
+    # position score [B,H,T,2T-1] -> shifted [B,H,T,T]
+    bd = jnp.einsum("bthd,lhd->bhtl", qv, pos, preferred_element_type=jnp.float32)
+    bd = _rel_shift(bd)
+
+    scores = (ac + bd) / np.sqrt(dh)
+    neg = jnp.finfo(jnp.float32).min
+    scores = jnp.where(mask[:, None, None, :], scores, neg)
+    probs = jax.nn.softmax(scores, axis=-1).astype(dt)
+
+    out = jnp.einsum("bhts,bshd->bthd", probs, v, preferred_element_type=jnp.float32)
+    out = out.astype(dt).reshape(b, t, d)
+    return dense(p["attn_out"], out, dtype=dt)
+
+
+def _conv_module(p, x, mask, cfg: FastConformerConfig):
+    """Conformer conv module: pointwise(2d)+GLU -> depthwise(k) -> norm ->
+    swish -> pointwise. Padded frames are zeroed before the depthwise conv so
+    padding never leaks into valid frames."""
+    dt = cfg.dtype
+    x = conv1d(p["conv_in"], x, dtype=dt)
+    x = glu(x, axis=-1)
+    x = jnp.where(mask[..., None], x, 0)
+    x = depthwise_conv1d(p["conv_dw"], x, padding="SAME", dtype=dt)
+    if cfg.conv_norm == "batch_norm":
+        x = batch_norm_infer(p["conv_bn"], x).astype(dt)
+    else:
+        x = layer_norm(p["conv_bn"], x)
+    x = swish(x)
+    return conv1d(p["conv_out"], x, dtype=dt)
+
+
+def _block(p, x, pos_emb, mask, cfg: FastConformerConfig):
+    dt = cfg.dtype
+    x = x + 0.5 * _ffn(p, "ffn1", x, cfg)
+    x = x + _mhsa_relpos(p, layer_norm(p["attn_ln"], x).astype(dt), pos_emb, mask, cfg)
+    x = x + _conv_module(p, layer_norm(p["conv_ln"], x).astype(dt), mask, cfg)
+    x = x + 0.5 * _ffn(p, "ffn2", x, cfg)
+    return layer_norm(p["final_ln"], x)
+
+
+def _ffn(p, name, x, cfg: FastConformerConfig):
+    dt = cfg.dtype
+    y = layer_norm(p[f"{name}_ln"], x).astype(dt)
+    y = swish(dense(p[f"{name}_in"], y, dtype=dt))
+    return dense(p[f"{name}_out"], y, dtype=dt)
+
+
+def fastconformer_encode(params, feats, feat_lengths, cfg: FastConformerConfig):
+    """Encode log-mel features.
+
+    Args:
+      params: tree from init_fastconformer
+      feats: [B, T, feat_in] float
+      feat_lengths: [B] int32
+      cfg: FastConformerConfig
+
+    Returns:
+      (encoded [B, T', d_model] fp32, encoded_lengths [B] int32)
+      where T' = T / subsampling_factor (0.08 s per frame at 10 ms hop).
+    """
+    x, lengths = _subsample(params["subsampling"], feats, feat_lengths, cfg)
+    b, t, d = x.shape
+    if cfg.xscaling:
+        x = x * np.sqrt(cfg.d_model).astype(np.float32)
+
+    pos_emb = _sinusoid_rel_pos(t, cfg.d_model)
+    mask = jnp.arange(t)[None, :] < lengths[:, None]  # [B, T']
+    x = jnp.where(mask[..., None], x, 0).astype(jnp.float32)
+
+    def body(carry, layer_params):
+        y = _block(layer_params, carry, pos_emb, mask, cfg)
+        y = jnp.where(mask[..., None], y, 0).astype(jnp.float32)
+        return y, None
+
+    x, _ = jax.lax.scan(body, x, params["blocks"])
+    return x, lengths

@@ -1,0 +1,175 @@
+"""Model container + jitted end-to-end pipeline for the nemo-v2 flavor.
+
+The whole hot path — log-mel frontend → FastConformer encoder → label-looping
+greedy RNN-T — is ONE jitted program per (batch, samples) bucket: the
+waveform is the only host→device transfer and the (token, frame) emission
+buffers the only device→host transfer, replacing the reference's
+CPU↔GPU round trips through NeMo (SURVEY.md §3.1).
+"""
+
+import os
+import warnings
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core.tokenizer import CharTokenizer, SentencePieceTokenizer
+from ...decoding.rnnt_greedy import GreedyDecodeConfig, rnnt_greedy_decode
+from ...frontend.features import FrontendConfig, log_mel_spectrogram, nemo_frontend_config
+from ...models.fastconformer import (
+    FastConformerConfig,
+    fastconformer_encode,
+    init_fastconformer,
+)
+from ...models.rnnt import RNNTConfig, init_joint, init_predictor
+
+__all__ = ["NemoTPUModel", "load_model", "asr_forward", "DEFAULT_CHECKPOINT_ENV"]
+
+DEFAULT_CHECKPOINT_ENV = "REAZONSPEECH_TPU_NEMO_CHECKPOINT"
+
+# Bucket padded waveforms to multiples of this many samples so the number of
+# distinct compiled programs stays bounded (XLA static shapes).
+BUCKET_SAMPLES = 4 * 16000
+
+
+@partial(
+    jax.jit,
+    static_argnames=("fe_cfg", "enc_cfg", "rnnt_cfg", "decode_cfg"),
+)
+def asr_forward(
+    params,
+    waveform,
+    lengths,
+    fe_cfg: FrontendConfig,
+    enc_cfg: FastConformerConfig,
+    rnnt_cfg: RNNTConfig,
+    decode_cfg: GreedyDecodeConfig,
+):
+    """waveform [B, N] float32, lengths [B] int32 ->
+    (tokens [B, U], frames [B, U], counts [B], enc_lengths [B])."""
+    feats, feat_lens = log_mel_spectrogram(waveform, lengths, fe_cfg)
+    enc, enc_lens = fastconformer_encode(params["encoder"], feats, feat_lens, enc_cfg)
+    tokens, frames, counts = rnnt_greedy_decode(
+        params["predictor"], params["joint"], enc, enc_lens, rnnt_cfg, decode_cfg
+    )
+    return tokens, frames, counts, enc_lens
+
+
+def default_ja_tokenizer(vocab_size: int) -> CharTokenizer:
+    """Deterministic Japanese character vocabulary used when no converted
+    checkpoint/tokenizer is available (random-init flows, tests, benches)."""
+    chars = ["<unk>"]
+    chars += ["▁", "。", "、", "?", "!", ","]
+    chars += [chr(c) for c in range(0x3041, 0x3097)]  # hiragana
+    chars += [chr(c) for c in range(0x30A1, 0x30FB)]  # katakana
+    chars += [chr(c) for c in range(0x4E00, 0x4E00 + max(0, vocab_size))]  # kanji
+    chars = chars[:vocab_size]
+    tok = CharTokenizer(chars)
+    tok.types[0] = 2  # <unk>
+    return tok
+
+
+@dataclass
+class NemoTPUModel:
+    params: dict
+    fe_cfg: FrontendConfig
+    enc_cfg: FastConformerConfig
+    rnnt_cfg: RNNTConfig
+    decode_cfg: GreedyDecodeConfig
+    tokenizer: object
+
+    def decode_batch(self, waveforms: np.ndarray, lengths: np.ndarray):
+        """Run the jitted pipeline on a padded [B, N] batch; returns host
+        numpy (tokens, frames, counts, enc_lengths)."""
+        out = asr_forward(
+            self.params,
+            jnp.asarray(waveforms, jnp.float32),
+            jnp.asarray(lengths, jnp.int32),
+            self.fe_cfg,
+            self.enc_cfg,
+            self.rnnt_cfg,
+            self.decode_cfg,
+        )
+        return tuple(np.asarray(x) for x in out)
+
+    def decode_single(self, waveform: np.ndarray):
+        """Decode one utterance, bucket-padded. Returns (token_ids, frames)
+        lists for the valid emissions."""
+        n = len(waveform)
+        padded_n = max(BUCKET_SAMPLES, -(-n // BUCKET_SAMPLES) * BUCKET_SAMPLES)
+        buf = np.zeros((1, padded_n), np.float32)
+        buf[0, :n] = waveform
+        tokens, frames, counts, _ = self.decode_batch(buf, np.array([n]))
+        c = int(counts[0])
+        return tokens[0, :c].tolist(), frames[0, :c].tolist()
+
+
+def init_params(seed: int, enc_cfg: FastConformerConfig, rnnt_cfg: RNNTConfig):
+    key = jax.random.PRNGKey(seed)
+    k_enc, k_pred, k_joint = jax.random.split(key, 3)
+    return {
+        "encoder": init_fastconformer(k_enc, enc_cfg),
+        "predictor": init_predictor(k_pred, rnnt_cfg),
+        "joint": init_joint(k_joint, rnnt_cfg),
+    }
+
+
+def load_model(
+    device=None,
+    *,
+    checkpoint: Optional[str] = None,
+    enc_cfg: Optional[FastConformerConfig] = None,
+    rnnt_cfg: Optional[RNNTConfig] = None,
+    decode_cfg: Optional[GreedyDecodeConfig] = None,
+    tokenizer=None,
+    seed: int = 0,
+) -> NemoTPUModel:
+    """Load the ReazonSpeech nemo-v2 flavor model.
+
+    API parity with the reference loader (pkg/nemo-asr/src/transcribe.py:9-28);
+    ``device`` is accepted for compatibility but placement is JAX's (the
+    default TPU backend). Weights come from ``checkpoint`` (an Orbax/npz tree
+    produced by reazonspeech_tpu.convert) or $REAZONSPEECH_TPU_NEMO_CHECKPOINT;
+    with neither present, a RANDOM-initialized model is returned (useful for
+    plumbing and benchmarks, useless for real transcription) with a warning.
+    """
+    del device
+    if enc_cfg is None:
+        size = os.environ.get("REAZONSPEECH_TPU_MODEL_SIZE", "xlarge")
+        enc_cfg = (
+            FastConformerConfig.tiny() if size == "tiny" else FastConformerConfig.xlarge()
+        )
+        if size == "tiny" and rnnt_cfg is None:
+            rnnt_cfg = RNNTConfig.tiny(enc_dim=enc_cfg.d_model)
+    rnnt_cfg = rnnt_cfg or RNNTConfig(enc_dim=enc_cfg.d_model)
+    decode_cfg = decode_cfg or GreedyDecodeConfig()
+
+    checkpoint = checkpoint or os.environ.get(DEFAULT_CHECKPOINT_ENV)
+    if checkpoint:
+        from ...convert.store import load_param_tree
+
+        params, meta = load_param_tree(checkpoint)
+        if tokenizer is None and meta.get("tokenizer_model"):
+            tokenizer = SentencePieceTokenizer.from_model_file(meta["tokenizer_model"])
+    else:
+        warnings.warn(
+            "No converted checkpoint found (set $%s or pass checkpoint=); "
+            "returning a randomly initialized model." % DEFAULT_CHECKPOINT_ENV
+        )
+        params = init_params(seed, enc_cfg, rnnt_cfg)
+
+    if tokenizer is None:
+        tokenizer = default_ja_tokenizer(rnnt_cfg.vocab_size)
+
+    return NemoTPUModel(
+        params=params,
+        fe_cfg=nemo_frontend_config(n_mels=enc_cfg.feat_in),
+        enc_cfg=enc_cfg,
+        rnnt_cfg=rnnt_cfg,
+        decode_cfg=decode_cfg,
+        tokenizer=tokenizer,
+    )

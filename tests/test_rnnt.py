@@ -1,0 +1,164 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from reazonspeech_tpu.decoding.rnnt_greedy import GreedyDecodeConfig, rnnt_greedy_decode
+from reazonspeech_tpu.models.rnnt import (
+    RNNTConfig,
+    init_joint,
+    init_predictor,
+    joint_full,
+    joint_step,
+    predictor_sequence,
+    predictor_step,
+    predictor_zero_state,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = RNNTConfig.tiny(compute_dtype="float32")
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    return cfg, init_predictor(k1, cfg), init_joint(k2, cfg)
+
+
+def test_predictor_step_and_sequence_agree(tiny):
+    cfg, pred, _ = tiny
+    b, u = 2, 5
+    tokens = jnp.asarray(
+        np.random.default_rng(0).integers(0, cfg.vocab_size, (b, u)), jnp.int32
+    )
+    gs = predictor_sequence(pred, tokens, cfg)  # [B, U+1, H]
+    assert gs.shape == (b, u + 1, cfg.pred_hidden)
+
+    # replicate with manual stepping
+    state = predictor_zero_state(b, cfg)
+    outs = []
+    g, state = predictor_step(pred, jnp.full((b,), cfg.blank_id, jnp.int32), state, cfg)
+    outs.append(g)
+    for i in range(u):
+        g, state = predictor_step(pred, tokens[:, i], state, cfg)
+        outs.append(g)
+    manual = jnp.stack(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(manual), atol=1e-5)
+
+
+def test_blank_embeds_to_zero(tiny):
+    cfg, pred, _ = tiny
+    state = predictor_zero_state(1, cfg)
+    g_blank, _ = predictor_step(pred, jnp.array([cfg.blank_id]), state, cfg)
+    # stepping with blank == stepping with zero input; differs from a real token
+    g_tok, _ = predictor_step(pred, jnp.array([0]), state, cfg)
+    assert not np.allclose(np.asarray(g_blank), np.asarray(g_tok))
+
+
+def test_joint_full_matches_step(tiny):
+    cfg, pred, joint = tiny
+    b, t, u1 = 2, 3, 4
+    rng = np.random.default_rng(0)
+    enc = jnp.asarray(rng.standard_normal((b, t, cfg.enc_dim)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((b, u1, cfg.pred_hidden)), jnp.float32)
+    full = joint_full(joint, enc, g, cfg)
+    assert full.shape == (b, t, u1, cfg.num_classes)
+    one = joint_step(joint, enc[:, 1], g[:, 2], cfg)
+    np.testing.assert_allclose(np.asarray(full[:, 1, 2]), np.asarray(one), atol=1e-5)
+
+
+def rigged_joint(cfg, emissions):
+    """Build joint params whose argmax follows a scripted (frame -> token)
+    plan via the enc projection: enc one-hot frames select logits rows."""
+    t = len(emissions)
+    w_enc = np.zeros((cfg.enc_dim, cfg.joint_hidden), np.float32)
+    # identity-ish passthrough: joint_hidden >= num_classes for the rig
+    assert cfg.joint_hidden >= cfg.num_classes
+    w_out = np.zeros((cfg.joint_hidden, cfg.num_classes), np.float32)
+    for i in range(cfg.num_classes):
+        w_out[i, i] = 1.0
+    return {
+        "enc": {"w": jnp.asarray(w_enc), "b": jnp.zeros(cfg.joint_hidden)},
+        "pred": {"w": jnp.zeros((cfg.pred_hidden, cfg.joint_hidden)), "b": jnp.zeros(cfg.joint_hidden)},
+        "out": {"w": jnp.asarray(w_out), "b": jnp.zeros(cfg.num_classes)},
+    }
+
+
+def test_greedy_decode_scripted():
+    """Rig the joint so its logits depend only on the encoder frame, with a
+    known emission plan; the decode must recover exactly those (token, frame)
+    pairs."""
+    cfg = RNNTConfig.tiny(compute_dtype="float32", joint_hidden=80, enc_dim=80)
+    pred = init_predictor(jax.random.PRNGKey(0), cfg)
+    joint = {
+        "enc": {"w": jnp.eye(cfg.enc_dim, cfg.joint_hidden), "b": jnp.zeros(cfg.joint_hidden)},
+        "pred": {
+            "w": jnp.zeros((cfg.pred_hidden, cfg.joint_hidden)),
+            "b": jnp.zeros(cfg.joint_hidden),
+        },
+        "out": {"w": jnp.eye(cfg.joint_hidden, cfg.num_classes), "b": jnp.zeros(cfg.num_classes)},
+    }
+    # plan: frame 0 -> token 5, frame 1 -> blank, frame 2 -> token 7, rest blank
+    t = 6
+    enc = np.zeros((1, t, cfg.enc_dim), np.float32)
+    plan = {0: 5, 2: 7, 4: 11}
+    for f in range(t):
+        tok = plan.get(f, cfg.blank_id)
+        enc[0, f, tok] = 5.0
+    # NOTE: with enc-only logits the same token would repeat forever at its
+    # frame; the max_symbols_per_step guard must force frame advance.
+    tokens, frames, counts = rnnt_greedy_decode(
+        pred,
+        joint,
+        jnp.asarray(enc),
+        jnp.array([t]),
+        cfg,
+        GreedyDecodeConfig(max_symbols_per_step=1),
+    )
+    c = int(counts[0])
+    got = list(zip(tokens[0, :c].tolist(), frames[0, :c].tolist()))
+    assert got == [(5, 0), (7, 2), (11, 4)]
+
+
+def test_greedy_decode_respects_lengths():
+    cfg = RNNTConfig.tiny(compute_dtype="float32", joint_hidden=80, enc_dim=80)
+    pred = init_predictor(jax.random.PRNGKey(0), cfg)
+    joint = {
+        "enc": {"w": jnp.eye(cfg.enc_dim, cfg.joint_hidden), "b": jnp.zeros(cfg.joint_hidden)},
+        "pred": {
+            "w": jnp.zeros((cfg.pred_hidden, cfg.joint_hidden)),
+            "b": jnp.zeros(cfg.joint_hidden),
+        },
+        "out": {"w": jnp.eye(cfg.joint_hidden, cfg.num_classes), "b": jnp.zeros(cfg.num_classes)},
+    }
+    t = 8
+    enc = np.zeros((2, t, cfg.enc_dim), np.float32)
+    enc[:, :, 3] = 5.0  # token 3 at every frame for both elements
+    tokens, frames, counts = rnnt_greedy_decode(
+        pred,
+        joint,
+        jnp.asarray(enc),
+        jnp.array([8, 3]),
+        cfg,
+        GreedyDecodeConfig(max_symbols_per_step=1),
+    )
+    assert int(counts[0]) == 8
+    assert int(counts[1]) == 3  # emissions stop at the valid length
+    assert frames[1, :3].tolist() == [0, 1, 2]
+
+
+def test_greedy_decode_random_model_finite():
+    cfg = RNNTConfig.tiny(compute_dtype="float32")
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    pred, joint = init_predictor(k1, cfg), init_joint(k2, cfg)
+    enc = jnp.asarray(
+        np.random.default_rng(0).standard_normal((3, 20, cfg.enc_dim)), jnp.float32
+    )
+    tokens, frames, counts = rnnt_greedy_decode(
+        pred, joint, enc, jnp.array([20, 10, 1]), cfg
+    )
+    assert tokens.shape == frames.shape == (3, 20)
+    for i, c in enumerate(np.asarray(counts)):
+        assert 0 <= c <= 20
+        # frames monotonically nondecreasing within valid emissions
+        fr = frames[i, :c].tolist()
+        assert fr == sorted(fr)
