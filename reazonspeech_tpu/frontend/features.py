@@ -159,10 +159,12 @@ def _constants(cfg: FrontendConfig):
         norm=cfg.mel_norm,
         triangle_domain=cfg.mel_triangle_domain,
     )
+    # NOTE: return numpy, not jnp — this function is lru_cached and jnp
+    # constants created inside a jit trace must never outlive the trace.
     return (
-        jnp.asarray(wcos, jnp.float32),
-        jnp.asarray(wsin, jnp.float32),
-        jnp.asarray(mel.T, jnp.float32),  # [n_bins, n_mels]
+        np.asarray(wcos, np.float32),
+        np.asarray(wsin, np.float32),
+        np.asarray(mel.T, np.float32),  # [n_bins, n_mels]
     )
 
 

@@ -1,0 +1,83 @@
+"""Full RNN-T training step (waveform → loss → param update), pjit-ready.
+
+The reference ships no trainer (SURVEY.md §4); this makes the TPU framework a
+complete product: the same frontend/encoder code paths used at inference are
+differentiated end-to-end. The step is written to be jitted over a
+('data','model') mesh — batch sharded over data, encoder matmuls tensor-
+sharded over model (parallel.mesh rules) — with XLA inserting the gradient
+psums from sharding annotations alone.
+"""
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..frontend.features import FrontendConfig, log_mel_spectrogram
+from ..models.fastconformer import FastConformerConfig, fastconformer_encode
+from ..models.rnnt import RNNTConfig, joint_full, predictor_sequence
+from .losses import rnnt_loss
+
+__all__ = ["TrainState", "make_train_step", "compute_loss"]
+
+
+@dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def compute_loss(
+    params,
+    batch,
+    fe_cfg: FrontendConfig,
+    enc_cfg: FastConformerConfig,
+    rnnt_cfg: RNNTConfig,
+):
+    """batch: dict(waveform [B,N] f32, lengths [B] i32, labels [B,U] i32,
+    label_lengths [B] i32) -> scalar mean NLL."""
+    feats, flens = log_mel_spectrogram(batch["waveform"], batch["lengths"], fe_cfg)
+    enc, elens = fastconformer_encode(params["encoder"], feats, flens, enc_cfg)
+    pred = predictor_sequence(params["predictor"], batch["labels"], rnnt_cfg)
+    logits = joint_full(params["joint"], enc, pred, rnnt_cfg)
+    nll = rnnt_loss(
+        logits, elens, batch["labels"], batch["label_lengths"], rnnt_cfg.blank_id
+    )
+    return jnp.mean(nll)
+
+
+def make_train_step(fe_cfg, enc_cfg, rnnt_cfg, optimizer=None):
+    """Returns (init_state, train_step). ``train_step(state, batch)`` is a
+    pure jittable function -> (new_state, metrics)."""
+    if optimizer is None:
+        optimizer = optax.adamw(1e-4, weight_decay=0.01)
+
+    def init_state(params):
+        return TrainState(
+            params=params,
+            opt_state=optimizer.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    def train_step(state: TrainState, batch):
+        loss, grads = jax.value_and_grad(compute_loss)(
+            state.params, batch, fe_cfg, enc_cfg, rnnt_cfg
+        )
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        gnorm = optax.global_norm(grads)
+        return (
+            TrainState(params=new_params, opt_state=new_opt, step=state.step + 1),
+            {"loss": loss, "grad_norm": gnorm},
+        )
+
+    return init_state, train_step
+
+
+jax.tree_util.register_dataclass(
+    TrainState, data_fields=["params", "opt_state", "step"], meta_fields=[]
+)
