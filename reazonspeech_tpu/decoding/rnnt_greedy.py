@@ -106,10 +106,13 @@ def rnnt_greedy_decode(
         new_last = jnp.where(emit, tok, last_tok)
         step_out, step_state = predictor_step(pred_params, new_last, pred_state, rnnt_cfg)
         pred_out = jnp.where(emit[:, None], step_out, pred_out)
-        pred_state = (
-            jnp.where(emit[None, :, None], step_state[0], pred_state[0]),
-            jnp.where(emit[None, :, None], step_state[1], pred_state[1]),
-        )
+        if rnnt_cfg.predictor_kind == "stateless":
+            pred_state = jnp.where(emit[:, None], step_state, pred_state)
+        else:
+            pred_state = (
+                jnp.where(emit[None, :, None], step_state[0], pred_state[0]),
+                jnp.where(emit[None, :, None], step_state[1], pred_state[1]),
+            )
         last_tok = new_last
 
         return (tokens, frames, counts, time_idx, sym_at_frame, last_tok, pred_out, pred_state)

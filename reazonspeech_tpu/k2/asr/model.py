@@ -1,0 +1,134 @@
+"""k2-flavor model container: Zipformer + stateless transducer, jitted.
+
+Replaces the sherpa-onnx C++ OfflineRecognizer (pkg/k2-asr/src/huggingface.py:73-83)
+with a single jitted program per bucket: kaldi-convention fbank → Zipformer2
+encoder → label-looping greedy decode with the k2 stateless (2-token context)
+prediction network, blank-first token convention.
+"""
+
+import os
+import warnings
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core.tokenizer import VocabTokenizer
+from ...decoding.rnnt_greedy import GreedyDecodeConfig, rnnt_greedy_decode
+from ...frontend.features import FrontendConfig, kaldi_frontend_config, log_mel_spectrogram
+from ...models.rnnt import RNNTConfig, init_joint, init_predictor
+from ...models.zipformer import ZipformerConfig, init_zipformer, zipformer_encode
+
+__all__ = ["K2TPUModel", "load_model_container", "SECONDS_PER_FRAME"]
+
+DEFAULT_CHECKPOINT_ENV = "REAZONSPEECH_TPU_K2_CHECKPOINT"
+BUCKET_SAMPLES = 4 * 16000
+
+# Zipformer output frame rate: 10 ms fbank hop × 2 (embed) × 2 (output
+# downsample) = 25 frames/sec, the grid sherpa timestamps live on.
+SECONDS_PER_FRAME = 0.04
+
+
+@partial(jax.jit, static_argnames=("fe_cfg", "enc_cfg", "rnnt_cfg", "decode_cfg"))
+def k2_forward(params, waveform, lengths, fe_cfg, enc_cfg, rnnt_cfg, decode_cfg):
+    feats, flens = log_mel_spectrogram(waveform, lengths, fe_cfg)
+    enc, elens = zipformer_encode(params["encoder"], feats, flens, enc_cfg)
+    tokens, frames, counts = rnnt_greedy_decode(
+        params["predictor"], params["joint"], enc, elens, rnnt_cfg, decode_cfg
+    )
+    return tokens, frames, counts, elens
+
+
+@dataclass
+class K2TPUModel:
+    params: dict
+    fe_cfg: FrontendConfig
+    enc_cfg: ZipformerConfig
+    rnnt_cfg: RNNTConfig
+    decode_cfg: GreedyDecodeConfig
+    tokenizer: object
+
+    def decode_single(self, waveform: np.ndarray):
+        n = len(waveform)
+        padded_n = max(BUCKET_SAMPLES, -(-n // BUCKET_SAMPLES) * BUCKET_SAMPLES)
+        buf = np.zeros((1, padded_n), np.float32)
+        buf[0, :n] = waveform
+        tokens, frames, counts, _ = k2_forward(
+            self.params,
+            jnp.asarray(buf),
+            jnp.asarray(np.array([n], np.int32)),
+            self.fe_cfg,
+            self.enc_cfg,
+            self.rnnt_cfg,
+            self.decode_cfg,
+        )
+        c = int(counts[0])
+        return (
+            np.asarray(tokens[0, :c]).tolist(),
+            np.asarray(frames[0, :c]).tolist(),
+        )
+
+
+def default_k2_token_list():
+    """k2 tokens.txt convention: <blk> first, then pieces."""
+    pieces = ["<blk>", "<sos/eos>", "<unk>"]
+    pieces += [chr(c) for c in range(0x3041, 0x3097)]
+    pieces += [chr(c) for c in range(0x30A1, 0x30FB)]
+    pieces += [chr(c) for c in range(0x4E00, 0x4E00 + 2000)]
+    return pieces
+
+
+def load_model_container(
+    checkpoint: Optional[str] = None,
+    enc_cfg: Optional[ZipformerConfig] = None,
+    rnnt_cfg: Optional[RNNTConfig] = None,
+    token_list=None,
+    seed: int = 0,
+) -> K2TPUModel:
+    if enc_cfg is None:
+        size = os.environ.get("REAZONSPEECH_TPU_MODEL_SIZE", "")
+        enc_cfg = ZipformerConfig.tiny() if size == "tiny" else ZipformerConfig.large()
+
+    token_list = token_list or default_k2_token_list()
+    if rnnt_cfg is None:
+        rnnt_cfg = RNNTConfig(
+            vocab_size=len(token_list),
+            enc_dim=enc_cfg.out_dim,
+            pred_hidden=512,
+            joint_hidden=512,
+            joint_activation="tanh",
+            predictor_kind="stateless",
+            context_size=2,
+        )
+
+    checkpoint = checkpoint or os.environ.get(DEFAULT_CHECKPOINT_ENV)
+    if checkpoint:
+        from ...convert.store import load_param_tree
+
+        params, meta = load_param_tree(checkpoint)
+        if meta.get("token_list"):
+            token_list = meta["token_list"]
+    else:
+        warnings.warn(
+            "No converted checkpoint found (set $%s or pass checkpoint=); "
+            "returning a randomly initialized model." % DEFAULT_CHECKPOINT_ENV
+        )
+        key = jax.random.PRNGKey(seed)
+        k1, k2, k3 = jax.random.split(key, 3)
+        params = {
+            "encoder": init_zipformer(k1, enc_cfg),
+            "predictor": init_predictor(k2, rnnt_cfg),
+            "joint": init_joint(k3, rnnt_cfg),
+        }
+
+    return K2TPUModel(
+        params=params,
+        fe_cfg=kaldi_frontend_config(n_mels=enc_cfg.feat_in),
+        enc_cfg=enc_cfg,
+        rnnt_cfg=rnnt_cfg,
+        decode_cfg=GreedyDecodeConfig(),
+        tokenizer=VocabTokenizer(token_list),
+    )

@@ -45,14 +45,25 @@ class RNNTConfig:
     joint_hidden: int = 640
     joint_activation: str = "relu"  # relu | tanh | sigmoid
     compute_dtype: str = "bfloat16"
+    # "lstm": NeMo-style recurrent prediction network, blank == vocab_size
+    #   (an extra class appended after the vocabulary);
+    # "stateless": k2/icefall-style finite-context predictor (embedding of the
+    #   last `context_size` tokens -> linear -> relu), blank == 0 and INCLUDED
+    #   in vocab_size (k2 tokens.txt lists <blk> first).
+    predictor_kind: str = "lstm"
+    context_size: int = 2
+
+    @property
+    def blank_first(self) -> bool:
+        return self.predictor_kind == "stateless"
 
     @property
     def blank_id(self) -> int:
-        return self.vocab_size
+        return 0 if self.blank_first else self.vocab_size
 
     @property
     def num_classes(self) -> int:
-        return self.vocab_size + 1
+        return self.vocab_size if self.blank_first else self.vocab_size + 1
 
     @property
     def dtype(self):
@@ -83,6 +94,14 @@ def _lstm_layer_init(key, in_dim, hidden):
 
 
 def init_predictor(key, cfg: RNNTConfig):
+    if cfg.predictor_kind == "stateless":
+        k1, k2 = jax.random.split(key)
+        return {
+            "embed": embedding_init(k1, cfg.vocab_size, cfg.pred_hidden),
+            "ctx_proj": dense_init(
+                k2, cfg.context_size * cfg.pred_hidden, cfg.pred_hidden
+            ),
+        }
     keys = jax.random.split(key, cfg.pred_rnn_layers + 1)
     layers = []
     in_dim = cfg.pred_hidden
@@ -110,6 +129,9 @@ def init_joint(key, cfg: RNNTConfig):
 
 
 def predictor_zero_state(batch, cfg: RNNTConfig):
+    if cfg.predictor_kind == "stateless":
+        # context of the last (context_size - 1) tokens, blank-padded
+        return jnp.full((batch, cfg.context_size - 1), cfg.blank_id, jnp.int32)
     shape = (cfg.pred_rnn_layers, batch, cfg.pred_hidden)
     return (jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
 
@@ -127,8 +149,12 @@ def _lstm_cell(p, x, h, c):
 
 
 def _embed_tokens(p, tokens, cfg: RNNTConfig):
-    """blank_id (== vocab_size, also the SOS context) embeds to zeros."""
+    """Blank-last (LSTM/NeMo) convention: blank_id == vocab_size is not in
+    the table and embeds to zeros (the SOS context). Blank-first (stateless/
+    k2): every id including blank has a real embedding row."""
     table = p["embed"]["table"]
+    if cfg.blank_first:
+        return table[tokens]
     safe = jnp.minimum(tokens, cfg.vocab_size - 1)
     emb = table[safe]
     return jnp.where((tokens >= cfg.vocab_size)[..., None], 0.0, emb)
@@ -145,6 +171,12 @@ def predictor_step(params, tokens, state, cfg: RNNTConfig):
       (g [B, H] fp32, new_state)
     """
     dt = cfg.dtype
+    if cfg.predictor_kind == "stateless":
+        context = jnp.concatenate([state, tokens[:, None]], axis=1)  # [B, ctx]
+        emb = _embed_tokens(params, context, cfg).astype(dt)  # [B, ctx, H]
+        b = emb.shape[0]
+        g = jax.nn.relu(dense(params["ctx_proj"], emb.reshape(b, -1), dtype=dt))
+        return g.astype(jnp.float32), context[:, 1:]
     x = _embed_tokens(params, tokens, cfg).astype(dt)
     h, c = state
     hs, cs = [], []

@@ -1,0 +1,81 @@
+"""End-to-end tests of the k2-flavor public API on a tiny random model."""
+
+import numpy as np
+import pytest
+
+from reazonspeech_tpu.k2.asr import (
+    Subword,
+    TranscribeConfig,
+    audio_from_numpy,
+    load_model,
+    transcribe,
+)
+from reazonspeech_tpu.k2.asr.model import SECONDS_PER_FRAME, load_model_container
+from reazonspeech_tpu.models.zipformer import ZipformerConfig
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    with pytest.warns(UserWarning, match="randomly initialized"):
+        return load_model_container(enc_cfg=ZipformerConfig.tiny(compute_dtype="float32"))
+
+
+def test_load_model_validates_language():
+    with pytest.raises(ValueError, match="Unknown language: 'de'"):
+        load_model(language="de")
+    with pytest.raises(ValueError, match="Unknown precision"):
+        load_model(precision="fp16")
+
+
+def test_transcribe_end_to_end(tiny_model):
+    rng = np.random.default_rng(0)
+    wav = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    ret = transcribe(tiny_model, audio_from_numpy(wav, 16000))
+    assert isinstance(ret.text, str)
+    for sw in ret.subwords:
+        assert isinstance(sw, Subword)
+        assert sw.seconds >= 0
+        # timestamps on the 0.04 s grid within the padded duration (1s + 1.8s pad)
+        assert sw.seconds <= 2.8
+        assert abs(sw.seconds / SECONDS_PER_FRAME - round(sw.seconds / SECONDS_PER_FRAME)) < 1e-6
+    assert not hasattr(ret, "segments")
+
+
+def test_transcribe_warns_on_long_audio(tiny_model):
+    wav = np.zeros(31 * 16000, np.float32)
+    with pytest.warns(UserWarning, match="long audio input"):
+        transcribe(tiny_model, audio_from_numpy(wav, 16000))
+
+
+def test_stateless_predictor_blank_first():
+    assert tiny_rnnt().blank_id == 0
+    assert tiny_rnnt().num_classes == tiny_rnnt().vocab_size
+
+
+def tiny_rnnt():
+    from reazonspeech_tpu.models.rnnt import RNNTConfig
+
+    return RNNTConfig(vocab_size=10, predictor_kind="stateless")
+
+
+def test_stateless_predictor_step():
+    import jax
+    import jax.numpy as jnp
+
+    from reazonspeech_tpu.models.rnnt import (
+        init_predictor,
+        predictor_step,
+        predictor_zero_state,
+    )
+
+    cfg = tiny_rnnt()
+    p = init_predictor(jax.random.PRNGKey(0), cfg)
+    state = predictor_zero_state(2, cfg)
+    assert state.shape == (2, cfg.context_size - 1)
+    g, s1 = predictor_step(p, jnp.array([3, 4]), state, cfg)
+    assert g.shape == (2, cfg.pred_hidden)
+    assert s1.tolist() == [[3], [4]]
+    # context influences output: same token, different history
+    g2a, _ = predictor_step(p, jnp.array([5, 5]), s1, cfg)
+    g2b, _ = predictor_step(p, jnp.array([5, 5]), predictor_zero_state(2, cfg), cfg)
+    assert not np.allclose(np.asarray(g2a), np.asarray(g2b))
