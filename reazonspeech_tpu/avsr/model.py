@@ -1,0 +1,497 @@
+"""AVHuBERT encoder + seq2seq decoder (JAX), with greedy/beam generation.
+
+Architecture parity with the reference models (pkg/avsr/src/avhubert/
+modeling_avhubert.py:40-391, decoder.py:47-1102):
+
+- AudioFeatureExtractor: one Linear 104→hidden;
+- VideoFeatureExtractor: ResNet3D trunk + Linear 512→hidden;
+- missing modality substituted with zeros; fusion by feature concat or add;
+- layer_norm → post-extract projection → HuBERT-style transformer encoder
+  (conv positional embedding, pre-LN "StableLayerNorm" blocks);
+- decoder: token embedding (×√d), sinusoidal positions, pre-LN blocks with
+  causal self-attention + cross-attention, tied lm_head;
+- generation: greedy and beam search as single lax.while_loop programs with
+  fixed-shape KV caches (replacing HF GenerationMixin's Python loop and
+  EncoderDecoderCache, reference decoder.py:151-278).
+"""
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.layers import (
+    dense,
+    dense_init,
+    depthwise_conv1d,
+    depthwise_conv1d_init,
+    embedding_init,
+    layer_norm,
+    layer_norm_init,
+)
+from .configuration_avhubert import AVHubertConfig
+from .resnet3d import RESNET_OUT_DIM, init_resnet3d, resnet3d_apply
+
+__all__ = ["AVHubertModel", "AVHubertForConditionalGeneration"]
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def _attn_init(key, d, heads, kv_dim=None):
+    kv_dim = kv_dim or d
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "q": dense_init(k1, d, d),
+        "k": dense_init(k2, kv_dim, d),
+        "v": dense_init(k3, kv_dim, d),
+        "out": dense_init(k4, d, d),
+    }
+
+
+def _enc_layer_init(key, cfg: AVHubertConfig):
+    d, ffn = cfg.hidden_size, cfg.intermediate_size
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "attn_ln": layer_norm_init(d),
+        "attn": _attn_init(k1, d, cfg.num_attention_heads),
+        "ffn_ln": layer_norm_init(d),
+        "ffn_in": dense_init(k2, d, ffn),
+        "ffn_out": dense_init(k3, ffn, d),
+    }
+
+
+def _dec_layer_init(key, cfg: AVHubertConfig):
+    d, ffn = cfg.decoder_hidden_size, cfg.decoder_ffn_dim
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "self_ln": layer_norm_init(d),
+        "self_attn": _attn_init(k1, d, cfg.decoder_attention_heads),
+        "cross_ln": layer_norm_init(d),
+        "cross_attn": _attn_init(k2, d, cfg.decoder_attention_heads, cfg.hidden_size),
+        "ffn_ln": layer_norm_init(d),
+        "ffn_in": dense_init(k3, d, ffn),
+        "ffn_out": dense_init(k4, ffn, d),
+    }
+
+
+def init_avhubert(key, cfg: AVHubertConfig):
+    keys = iter(jax.random.split(key, 12 + cfg.num_hidden_layers + cfg.decoder_layers))
+    d = cfg.hidden_size
+
+    p = {
+        "audio_proj": dense_init(next(keys), cfg.audio_feat_dim, d),
+        "video_resnet": init_resnet3d(next(keys), cfg.resnet_relu_type),
+        "video_proj": dense_init(next(keys), RESNET_OUT_DIM, d),
+        "fuse_ln": layer_norm_init(cfg.fused_dim),
+        "conv_pos": depthwise_conv1d_init(next(keys), d, cfg.num_conv_pos_embeddings),
+        "enc_final_ln": layer_norm_init(d),
+    }
+    if cfg.fused_dim != d:
+        p["post_proj"] = dense_init(next(keys), cfg.fused_dim, d)
+
+    enc_layers = [_enc_layer_init(next(keys), cfg) for _ in range(cfg.num_hidden_layers)]
+    p["enc_layers"] = jax.tree.map(lambda *xs: jnp.stack(xs), *enc_layers)
+
+    dd = cfg.decoder_hidden_size
+    p["embed_tokens"] = embedding_init(next(keys), cfg.vocab_size, dd, scale=0.02)
+    dec_layers = [_dec_layer_init(next(keys), cfg) for _ in range(cfg.decoder_layers)]
+    p["dec_layers"] = jax.tree.map(lambda *xs: jnp.stack(xs), *dec_layers)
+    p["dec_final_ln"] = layer_norm_init(dd)
+    if not cfg.tie_word_embeddings:
+        p["lm_head"] = dense_init(next(keys), dd, cfg.vocab_size, bias=False)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# attention
+# ---------------------------------------------------------------------------
+
+
+def _mha(p, q_in, kv_in, heads, mask=None, dtype=jnp.float32):
+    """q_in: [B, Tq, D], kv_in: [B, Tk, Dkv], mask: broadcastable [B, Tq, Tk]."""
+    b, tq, d = q_in.shape
+    dh = d // heads
+    q = dense(p["q"], q_in, dtype=dtype).reshape(b, tq, heads, dh)
+    k = dense(p["k"], kv_in, dtype=dtype).reshape(b, -1, heads, dh)
+    v = dense(p["v"], kv_in, dtype=dtype).reshape(b, -1, heads, dh)
+    scores = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) / np.sqrt(dh)
+    if mask is not None:
+        scores = jnp.where(mask[:, None], scores, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32)
+    return dense(p["out"], out.astype(dtype).reshape(b, tq, d), dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+
+def _sinusoid_pos(t, d):
+    pos = np.arange(t, dtype=np.float64)
+    half = d // 2
+    inv = np.exp(np.arange(half, dtype=np.float64) * (-np.log(10000.0) / max(half - 1, 1)))
+    ang = pos[:, None] * inv[None, :]
+    pe = np.zeros((t, d), np.float32)
+    pe[:, 0:half] = np.sin(ang)
+    pe[:, half : 2 * half] = np.cos(ang)
+    return jnp.asarray(pe)
+
+
+def encode(params, cfg: AVHubertConfig, audio=None, video=None, lengths=None,
+           dtype=jnp.float32):
+    """Fuse modalities and run the transformer encoder.
+
+    Args:
+      audio: [B, T, audio_feat_dim] or None
+      video: [B, T, H, W] grayscale or None (missing modality -> zeros,
+        reference modeling_avhubert.py:170-180)
+      lengths: [B] valid frame counts (defaults to full)
+
+    Returns:
+      (hidden [B, T, hidden], mask [B, T])
+    """
+    if audio is None and video is None:
+        raise ValueError("at least one of audio/video is required")
+
+    feats = []
+    if audio is not None:
+        a = dense(params["audio_proj"], audio.astype(dtype), dtype=dtype)
+    if video is not None:
+        vfeat = resnet3d_apply(params["video_resnet"], video, dtype=dtype)
+        v = dense(params["video_proj"], vfeat.astype(dtype), dtype=dtype)
+    if audio is None:
+        a = jnp.zeros_like(v)
+    if video is None:
+        v = jnp.zeros_like(a)
+
+    if cfg.modality_fuse == "concat":
+        x = jnp.concatenate([a, v], axis=-1)
+    else:
+        x = a + v
+
+    x = layer_norm(params["fuse_ln"], x)
+    if "post_proj" in params:
+        x = dense(params["post_proj"], x.astype(dtype), dtype=dtype)
+
+    b, t, d = x.shape
+    if lengths is None:
+        lengths = jnp.full((b,), t, jnp.int32)
+    mask = jnp.arange(t)[None, :] < lengths[:, None]
+    x = jnp.where(mask[..., None], x, 0)
+
+    # HuBERT conv positional embedding (grouped conv ~ depthwise here; the
+    # converter folds group structure into the depthwise weights)
+    pos = depthwise_conv1d(params["conv_pos"], x.astype(dtype), padding="SAME", dtype=dtype)
+    x = x + jax.nn.gelu(pos)
+
+    heads = cfg.num_attention_heads
+    attn_mask = mask[:, None, :]  # [B, 1(Tq), Tk]
+
+    def body(carry, lp):
+        h = carry
+        y = layer_norm(lp["attn_ln"], h).astype(dtype)
+        h = h + _mha(lp["attn"], y, y, heads, attn_mask, dtype)
+        y = layer_norm(lp["ffn_ln"], h).astype(dtype)
+        y = dense(lp["ffn_out"], jax.nn.gelu(dense(lp["ffn_in"], y, dtype=dtype)), dtype=dtype)
+        h = h + y
+        return jnp.where(mask[..., None], h, 0).astype(jnp.float32), None
+
+    x, _ = jax.lax.scan(body, x.astype(jnp.float32), params["enc_layers"])
+    x = layer_norm(params["enc_final_ln"], x)
+    return x, mask
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+def _dec_layer(lp, h, enc, enc_mask, self_mask, heads, dtype):
+    y = layer_norm(lp["self_ln"], h).astype(dtype)
+    h = h + _mha(lp["self_attn"], y, y, heads, self_mask, dtype)
+    y = layer_norm(lp["cross_ln"], h).astype(dtype)
+    h = h + _mha(lp["cross_attn"], y, enc, heads, enc_mask, dtype)
+    y = layer_norm(lp["ffn_ln"], h).astype(dtype)
+    y = dense(lp["ffn_out"], jax.nn.gelu(dense(lp["ffn_in"], y, dtype=dtype)), dtype=dtype)
+    return h + y
+
+
+def decode_logits(params, cfg: AVHubertConfig, tokens, enc, enc_mask,
+                  dtype=jnp.float32):
+    """Teacher-forced decoder: tokens [B, U] -> logits [B, U, vocab]."""
+    b, u = tokens.shape
+    dd = cfg.decoder_hidden_size
+    emb = params["embed_tokens"]["table"][tokens] * np.sqrt(dd)
+    x = emb + _sinusoid_pos(u, dd)[None]
+
+    causal = jnp.tril(jnp.ones((u, u), bool))[None]  # [1, U, U]
+    cross_mask = enc_mask[:, None, :]
+
+    heads = cfg.decoder_attention_heads
+    h = x.astype(jnp.float32)
+    layers = params["dec_layers"]
+
+    def body(carry, lp):
+        return (
+            _dec_layer(lp, carry, enc, cross_mask, causal, heads, dtype).astype(
+                jnp.float32
+            ),
+            None,
+        )
+
+    h, _ = jax.lax.scan(body, h, layers)
+    h = layer_norm(params["dec_final_ln"], h)
+    return _lm_head(params, cfg, h, dtype)
+
+
+def _lm_head(params, cfg, h, dtype):
+    if cfg.tie_word_embeddings:
+        w = params["embed_tokens"]["table"].T
+        return (h.astype(dtype) @ w.astype(dtype)).astype(jnp.float32)
+    return dense(params["lm_head"], h, dtype=dtype).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# generation (greedy + beam) as fixed-shape while_loops
+# ---------------------------------------------------------------------------
+
+
+def _decode_step(params, cfg, tok, pos, caches, enc, enc_mask, dtype):
+    """One decoder step with KV caches.
+
+    tok: [B] current token; pos: scalar step index; caches: per-layer
+    (k, v) arrays [L, B, max_len, D]. Returns (logits [B, vocab], caches).
+    """
+    dd = cfg.decoder_hidden_size
+    heads = cfg.decoder_attention_heads
+    dh = dd // heads
+    b = tok.shape[0]
+    max_len = caches[0].shape[2]
+
+    x = params["embed_tokens"]["table"][tok] * np.sqrt(dd)
+    x = x + _sinusoid_pos(max_len, dd)[pos]
+    h = x.astype(jnp.float32)[:, None, :]  # [B, 1, D]
+
+    kc, vc = caches
+    new_kc, new_vc = [], []
+    valid = jnp.arange(max_len)[None, None, :] <= pos  # [1, 1, max_len]
+    cross_mask = enc_mask[:, None, :]
+
+    n_layers = kc.shape[0]
+    for li in range(n_layers):
+        lp = jax.tree.map(lambda x: x[li], params["dec_layers"])
+        y = layer_norm(lp["self_ln"], h).astype(dtype)
+        k_new = dense(lp["self_attn"]["k"], y, dtype=dtype)[:, 0]  # [B, D]
+        v_new = dense(lp["self_attn"]["v"], y, dtype=dtype)[:, 0]
+        k_cache = jax.lax.dynamic_update_index_in_dim(kc[li], k_new, pos, axis=1)
+        v_cache = jax.lax.dynamic_update_index_in_dim(vc[li], v_new, pos, axis=1)
+        new_kc.append(k_cache)
+        new_vc.append(v_cache)
+
+        q = dense(lp["self_attn"]["q"], y, dtype=dtype).reshape(b, 1, heads, dh)
+        kk = k_cache.reshape(b, max_len, heads, dh)
+        vv = v_cache.reshape(b, max_len, heads, dh)
+        scores = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, kk.astype(dtype), preferred_element_type=jnp.float32
+        ) / np.sqrt(dh)
+        scores = jnp.where(valid[:, None], scores, jnp.finfo(jnp.float32).min)
+        probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+        attn = jnp.einsum(
+            "bhqk,bkhd->bqhd", probs, vv.astype(dtype),
+            preferred_element_type=jnp.float32,
+        )
+        h = h + dense(
+            lp["self_attn"]["out"], attn.astype(dtype).reshape(b, 1, dd), dtype=dtype
+        )
+
+        y = layer_norm(lp["cross_ln"], h).astype(dtype)
+        h = h + _mha(lp["cross_attn"], y, enc, heads, cross_mask, dtype)
+        y = layer_norm(lp["ffn_ln"], h).astype(dtype)
+        y = dense(lp["ffn_out"], jax.nn.gelu(dense(lp["ffn_in"], y, dtype=dtype)), dtype=dtype)
+        h = h + y
+
+    h = layer_norm(params["dec_final_ln"], h)
+    logits = _lm_head(params, cfg, h, dtype)[:, 0]
+    return logits, (jnp.stack(new_kc), jnp.stack(new_vc))
+
+
+def greedy_generate(params, cfg: AVHubertConfig, enc, enc_mask, max_length=128,
+                    dtype=jnp.float32):
+    """[B] greedy decode. Returns tokens [B, max_length] (eos-padded)."""
+    b = enc.shape[0]
+    dd = cfg.decoder_hidden_size
+    n_layers = cfg.decoder_layers
+
+    kc = jnp.zeros((n_layers, b, max_length, dd), dtype)
+    vc = jnp.zeros((n_layers, b, max_length, dd), dtype)
+    tokens = jnp.full((b, max_length), cfg.eos_token_id, jnp.int32)
+    cur = jnp.full((b,), cfg.bos_token_id, jnp.int32)
+    done = jnp.zeros((b,), bool)
+
+    def cond(state):
+        pos, _, _, done, _ = state
+        return (pos < max_length) & ~jnp.all(done)
+
+    def body(state):
+        pos, cur, caches, done, tokens = state
+        logits, caches = _decode_step(
+            params, cfg, cur, pos, caches, enc, enc_mask, dtype
+        )
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, cfg.eos_token_id, nxt)
+        tokens = jax.lax.dynamic_update_index_in_dim(tokens, nxt, pos, axis=1)
+        done = done | (nxt == cfg.eos_token_id)
+        return (pos + 1, nxt, caches, done, tokens)
+
+    _, _, _, _, tokens = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), cur, (kc, vc), done, tokens)
+    )
+    return tokens
+
+
+def beam_generate(params, cfg: AVHubertConfig, enc, enc_mask, num_beams=5,
+                  max_length=128, length_penalty=1.0, dtype=jnp.float32):
+    """Beam search; returns best tokens [B, max_length] (eos-padded)."""
+    b, t_enc, d_enc = enc.shape
+    k = num_beams
+    vocab = cfg.vocab_size
+    dd = cfg.decoder_hidden_size
+    n_layers = cfg.decoder_layers
+
+    # expand encoder states to beams: [B*k, ...]
+    enc_x = jnp.repeat(enc, k, axis=0)
+    mask_x = jnp.repeat(enc_mask, k, axis=0)
+
+    kc = jnp.zeros((n_layers, b * k, max_length, dd), dtype)
+    vc = jnp.zeros((n_layers, b * k, max_length, dd), dtype)
+    tokens = jnp.full((b, k, max_length), cfg.eos_token_id, jnp.int32)
+    scores = jnp.tile(
+        jnp.array([0.0] + [-1e9] * (k - 1), jnp.float32), (b, 1)
+    )  # only beam 0 live at start
+    cur = jnp.full((b * k,), cfg.bos_token_id, jnp.int32)
+    done = jnp.zeros((b, k), bool)
+
+    def cond(state):
+        pos = state[0]
+        done = state[4]
+        return (pos < max_length) & ~jnp.all(done)
+
+    def body(state):
+        pos, cur, caches, scores, done, tokens = state
+        logits, caches = _decode_step(
+            params, cfg, cur, pos, caches, enc_x, mask_x, dtype
+        )
+        logp = jax.nn.log_softmax(logits, axis=-1).reshape(b, k, vocab)
+        # finished beams only extend with EOS at no cost
+        eos_only = jnp.full((vocab,), -1e9).at[cfg.eos_token_id].set(0.0)
+        logp = jnp.where(done[..., None], eos_only[None, None], logp)
+
+        cand = scores[..., None] + logp  # [B, k, V]
+        flat = cand.reshape(b, k * vocab)
+        top_scores, top_idx = jax.lax.top_k(flat, k)  # [B, k]
+        beam_idx = top_idx // vocab  # source beam
+        tok_idx = (top_idx % vocab).astype(jnp.int32)
+
+        # reorder beam state
+        gather = beam_idx + jnp.arange(b)[:, None] * k  # flat [B, k]
+        gflat = gather.reshape(-1)
+        caches = (caches[0][:, gflat], caches[1][:, gflat])
+        tokens = jnp.take_along_axis(tokens, beam_idx[..., None], axis=1)
+        tokens = jax.lax.dynamic_update_index_in_dim(tokens, tok_idx, pos, axis=2)
+        done = jnp.take_along_axis(done, beam_idx, axis=1) | (
+            tok_idx == cfg.eos_token_id
+        )
+        return (pos + 1, tok_idx.reshape(-1), caches, top_scores, done, tokens)
+
+    pos, _, _, scores, done, tokens = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), cur, (kc, vc), scores, done, tokens)
+    )
+
+    # length-penalized best beam
+    lengths = jnp.argmax(
+        (tokens == cfg.eos_token_id)
+        | (jnp.arange(max_length)[None, None] == max_length - 1),
+        axis=-1,
+    ) + 1
+    norm = scores / jnp.power(lengths.astype(jnp.float32), length_penalty)
+    best = jnp.argmax(norm, axis=1)
+    return jnp.take_along_axis(tokens, best[:, None, None], axis=1)[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# user-facing wrappers
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class AVHubertModel:
+    """Encoder-only model (feature fusion + transformer)."""
+
+    config: AVHubertConfig
+    params: dict
+
+    @classmethod
+    def init(cls, key, config: AVHubertConfig):
+        return cls(config=config, params=init_avhubert(key, config))
+
+    def __call__(self, audio=None, video=None, lengths=None):
+        audio = jnp.asarray(audio) if audio is not None else None
+        video = jnp.asarray(video) if video is not None else None
+        hidden, mask = encode(self.params, self.config, audio, video, lengths)
+        return hidden, mask
+
+
+@dataclass
+class AVHubertForConditionalGeneration:
+    """Seq2seq model with generate()."""
+
+    config: AVHubertConfig
+    params: dict
+
+    @classmethod
+    def init(cls, key, config: AVHubertConfig):
+        if config.vocab_size is None:
+            raise ValueError(
+                "AVHubertForConditionalGeneration requires config.vocab_size"
+            )
+        return cls(config=config, params=init_avhubert(key, config))
+
+    def encoder(self, audio=None, video=None, lengths=None):
+        return encode(self.params, self.config, audio, video, lengths)
+
+    def forward_logits(self, decoder_input_ids, audio=None, video=None, lengths=None):
+        enc, mask = self.encoder(audio, video, lengths)
+        return decode_logits(
+            self.params, self.config, jnp.asarray(decoder_input_ids), enc, mask
+        )
+
+    def loss(self, decoder_input_ids, labels, audio=None, video=None, lengths=None):
+        """Cross-entropy with label smoothing (reference
+        modeling_avhubert.py:314-316)."""
+        logits = self.forward_logits(decoder_input_ids, audio, video, lengths)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        eps = self.config.label_smoothing
+        v = logits.shape[-1]
+        lbl = jnp.asarray(labels)
+        nll = -jnp.take_along_axis(logp, lbl[..., None], axis=-1)[..., 0]
+        smooth = -logp.mean(axis=-1)
+        loss = (1 - eps) * nll + eps * smooth
+        pad_mask = lbl != self.config.pad_token_id
+        return (loss * pad_mask).sum() / jnp.maximum(pad_mask.sum(), 1)
+
+    def generate(self, audio=None, video=None, lengths=None, num_beams=5,
+                 max_length=128):
+        enc, mask = self.encoder(audio, video, lengths)
+        if num_beams <= 1:
+            return greedy_generate(self.params, self.config, enc, mask, max_length)
+        return beam_generate(
+            self.params, self.config, enc, mask, num_beams, max_length
+        )

@@ -1,0 +1,180 @@
+"""AVSR family tests on a tiny config: features, encoder, decoder, generate."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from reazonspeech_tpu.avsr import (
+    AVHubertConfig,
+    AVHubertFeatureExtractor,
+    AVHubertForConditionalGeneration,
+    AVHubertModel,
+    AVHubertProcessor,
+)
+from reazonspeech_tpu.avsr.feature_extraction import logfbank, stack_features
+from reazonspeech_tpu.avsr.model import decode_logits, greedy_generate
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = AVHubertConfig.tiny(audio_feat_dim=104)
+    model = AVHubertForConditionalGeneration.init(jax.random.PRNGKey(0), cfg)
+    return cfg, model
+
+
+def test_logfbank_shapes():
+    wav = np.random.default_rng(0).standard_normal(16000).astype(np.float32) * 0.1
+    fb = logfbank(wav)
+    # 100 Hz frames: ceil((16000-400)/160)+1 = 99
+    assert fb.shape == (99, 26)
+    assert np.isfinite(fb).all()
+
+
+def test_stack_features():
+    f = np.arange(10 * 26, dtype=np.float32).reshape(10, 26)
+    s = stack_features(f, 4)
+    assert s.shape == (3, 104)
+    np.testing.assert_array_equal(s[0, :26], f[0])
+    np.testing.assert_array_equal(s[0, 78:], f[3])
+
+
+def test_extractor_audio_only():
+    fe = AVHubertFeatureExtractor()
+    wavs = [np.zeros(16000, np.float32), np.zeros(8000, np.float32)]
+    out = fe(audios=wavs)
+    assert out["audio_feats"].shape[0] == 2
+    assert out["audio_feats"].shape[2] == 104
+    assert out["video_frames"] is None
+    assert out["padding_mask"].shape == out["audio_feats"].shape[:2]
+    assert out["lengths"][0] > out["lengths"][1]
+
+
+def test_extractor_av_alignment():
+    fe = AVHubertFeatureExtractor()
+    rng = np.random.default_rng(0)
+    wavs = [rng.standard_normal(16000).astype(np.float32)]
+    videos = [rng.integers(0, 255, (12, 96, 96)).astype(np.float32)]
+    out = fe(audios=wavs, videos=videos)
+    # video resampled to audio step count
+    assert out["video_frames"].shape[1] == out["audio_feats"].shape[1]
+    assert out["video_frames"].shape[2:] == (88, 88)
+
+
+def test_encoder_modality_combinations(tiny):
+    cfg, model = tiny
+    rng = np.random.default_rng(0)
+    b, t = 2, 7
+    audio = rng.standard_normal((b, t, cfg.audio_feat_dim)).astype(np.float32)
+    video = rng.standard_normal((b, t, 88, 88)).astype(np.float32)
+    enc_model = AVHubertModel(config=cfg, params=model.params)
+
+    ha, _ = enc_model(audio=audio)
+    hv, _ = enc_model(video=video)
+    hav, mask = enc_model(audio=audio, video=video)
+    assert ha.shape == hv.shape == hav.shape == (b, t, cfg.hidden_size)
+    assert np.isfinite(np.asarray(hav)).all()
+    # modalities actually change the output
+    assert not np.allclose(np.asarray(ha), np.asarray(hav), atol=1e-4)
+
+    with pytest.raises(ValueError):
+        enc_model()
+
+
+def test_decoder_teacher_forcing(tiny):
+    cfg, model = tiny
+    rng = np.random.default_rng(1)
+    audio = rng.standard_normal((2, 6, cfg.audio_feat_dim)).astype(np.float32)
+    dec_in = rng.integers(0, cfg.vocab_size, (2, 5)).astype(np.int32)
+    logits = model.forward_logits(dec_in, audio=audio)
+    assert logits.shape == (2, 5, cfg.vocab_size)
+    loss = model.loss(dec_in, dec_in, audio=audio)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+
+
+def test_causality(tiny):
+    """Changing a later decoder token must not affect earlier logits."""
+    cfg, model = tiny
+    rng = np.random.default_rng(2)
+    audio = rng.standard_normal((1, 6, cfg.audio_feat_dim)).astype(np.float32)
+    ids1 = np.array([[1, 2, 3, 4]], np.int32)
+    ids2 = np.array([[1, 2, 9, 9]], np.int32)
+    l1 = np.asarray(model.forward_logits(ids1, audio=audio))
+    l2 = np.asarray(model.forward_logits(ids2, audio=audio))
+    np.testing.assert_allclose(l1[0, :2], l2[0, :2], atol=1e-4)
+    assert not np.allclose(l1[0, 2:], l2[0, 2:], atol=1e-4)
+
+
+def test_greedy_matches_teacher_forcing_step(tiny):
+    """Greedy generate's first token must equal argmax of the teacher-forced
+    logits at BOS (validates the KV-cache step path against decode_logits)."""
+    cfg, model = tiny
+    rng = np.random.default_rng(3)
+    audio = rng.standard_normal((2, 6, cfg.audio_feat_dim)).astype(np.float32)
+    enc, mask = model.encoder(audio=audio)
+    out = greedy_generate(model.params, cfg, enc, mask, max_length=8)
+    bos = np.full((2, 1), cfg.bos_token_id, np.int32)
+    tf_logits = decode_logits(model.params, cfg, jnp.asarray(bos), enc, mask)
+    first = np.asarray(jnp.argmax(tf_logits[:, 0], axis=-1))
+    np.testing.assert_array_equal(np.asarray(out[:, 0]), first)
+
+
+def test_generate_greedy_and_beam(tiny):
+    cfg, model = tiny
+    rng = np.random.default_rng(4)
+    audio = rng.standard_normal((2, 6, cfg.audio_feat_dim)).astype(np.float32)
+    g = model.generate(audio=audio, num_beams=1, max_length=10)
+    b = model.generate(audio=audio, num_beams=3, max_length=10)
+    assert g.shape == (2, 10)
+    assert b.shape == (2, 10)
+    assert (np.asarray(g) >= 0).all() and (np.asarray(g) < cfg.vocab_size).all()
+    assert (np.asarray(b) >= 0).all() and (np.asarray(b) < cfg.vocab_size).all()
+
+
+def test_processor_targets(tiny):
+    cfg, _ = tiny
+    from reazonspeech_tpu.core.tokenizer import CharTokenizer
+
+    tok = CharTokenizer(["<s>", "</s>", "あ", "い", "う"])
+    tok.types[0] = 3
+    tok.types[1] = 3
+
+    class TokAdapter:
+        pad_token_id = 0
+
+        def encode(self, text, add_special_tokens=False):
+            ids = []
+            i = 0
+            while i < len(text):
+                if text.startswith("<s>", i):
+                    ids.append(0)
+                    i += 3
+                elif text.startswith("</s>", i):
+                    ids.append(1)
+                    i += 4
+                else:
+                    ids.append(tok.piece_to_id[text[i]])
+                    i += 1
+            return ids
+
+        def decode(self, ids, skip_special_tokens=True):
+            return tok.ids_to_text(list(ids))
+
+    proc = AVHubertProcessor(tokenizer=TokAdapter())
+    out = proc(audios=[np.zeros(8000, np.float32)], text="あいう")
+    # <s> あ い う </s> -> inputs drop last, labels drop first
+    np.testing.assert_array_equal(out["decoder_input_ids"][0], [0, 2, 3, 4])
+    np.testing.assert_array_equal(out["labels"][0], [2, 3, 4, 1])
+
+
+def test_resnet3d_shapes():
+    from reazonspeech_tpu.avsr.resnet3d import init_resnet3d, resnet3d_apply
+
+    p = init_resnet3d(jax.random.PRNGKey(0))
+    video = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 5, 88, 88)), jnp.float32
+    )
+    out = resnet3d_apply(p, video)
+    assert out.shape == (1, 5, 512)
+    assert np.isfinite(np.asarray(out)).all()
