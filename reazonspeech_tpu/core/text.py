@@ -39,9 +39,11 @@ def _load_native():
     global _native_edit_distance
     if _native_edit_distance is None:
         try:
-            from reazonspeech_tpu.native import edit_distance as native_ed
+            from reazonspeech_tpu import native
 
-            _native_edit_distance = native_ed
+            _native_edit_distance = (
+                native.edit_distance if native.available() else False
+            )
         except Exception:
             _native_edit_distance = False
     return _native_edit_distance
