@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...core.tokenizer import CharTokenizer, SentencePieceTokenizer
+from ...decoding.rnnt_beam import BeamDecodeConfig, rnnt_beam_decode
 from ...decoding.rnnt_greedy import GreedyDecodeConfig, rnnt_greedy_decode
 from ...frontend.features import FrontendConfig, log_mel_spectrogram, nemo_frontend_config
 from ...models.fastconformer import (
@@ -53,9 +54,14 @@ def asr_forward(
     (tokens [B, U], frames [B, U], counts [B], enc_lengths [B])."""
     feats, feat_lens = log_mel_spectrogram(waveform, lengths, fe_cfg)
     enc, enc_lens = fastconformer_encode(params["encoder"], feats, feat_lens, enc_cfg)
-    tokens, frames, counts = rnnt_greedy_decode(
-        params["predictor"], params["joint"], enc, enc_lens, rnnt_cfg, decode_cfg
-    )
+    if isinstance(decode_cfg, BeamDecodeConfig):
+        tokens, frames, counts, _ = rnnt_beam_decode(
+            params["predictor"], params["joint"], enc, enc_lens, rnnt_cfg, decode_cfg
+        )
+    else:
+        tokens, frames, counts = rnnt_greedy_decode(
+            params["predictor"], params["joint"], enc, enc_lens, rnnt_cfg, decode_cfg
+        )
     return tokens, frames, counts, enc_lens
 
 
@@ -125,6 +131,8 @@ def load_model(
     enc_cfg: Optional[FastConformerConfig] = None,
     rnnt_cfg: Optional[RNNTConfig] = None,
     decode_cfg: Optional[GreedyDecodeConfig] = None,
+    decoding: str = "greedy",
+    beam_size: int = 4,
     tokenizer=None,
     seed: int = 0,
 ) -> NemoTPUModel:
@@ -132,10 +140,12 @@ def load_model(
 
     API parity with the reference loader (pkg/nemo-asr/src/transcribe.py:9-28);
     ``device`` is accepted for compatibility but placement is JAX's (the
-    default TPU backend). Weights come from ``checkpoint`` (an Orbax/npz tree
-    produced by reazonspeech_tpu.convert) or $REAZONSPEECH_TPU_NEMO_CHECKPOINT;
-    with neither present, a RANDOM-initialized model is returned (useful for
-    plumbing and benchmarks, useless for real transcription) with a warning.
+    default TPU backend). ``decoding`` selects "greedy" (label-looping) or
+    "beam" (ALSD-style, ``beam_size``). Weights come from ``checkpoint`` (a
+    param tree produced by reazonspeech_tpu.convert) or
+    $REAZONSPEECH_TPU_NEMO_CHECKPOINT; with neither present, a
+    RANDOM-initialized model is returned (useful for plumbing and benchmarks,
+    useless for real transcription) with a warning.
     """
     del device
     if enc_cfg is None:
@@ -146,7 +156,12 @@ def load_model(
         if size == "tiny" and rnnt_cfg is None:
             rnnt_cfg = RNNTConfig.tiny(enc_dim=enc_cfg.d_model)
     rnnt_cfg = rnnt_cfg or RNNTConfig(enc_dim=enc_cfg.d_model)
-    decode_cfg = decode_cfg or GreedyDecodeConfig()
+    if decode_cfg is None:
+        decode_cfg = (
+            BeamDecodeConfig(beam_size=beam_size)
+            if decoding == "beam"
+            else GreedyDecodeConfig()
+        )
 
     checkpoint = checkpoint or os.environ.get(DEFAULT_CHECKPOINT_ENV)
     if checkpoint:
