@@ -177,8 +177,9 @@ def num_frames(cfg: FrontendConfig, n_samples: int):
     raise ValueError(cfg.framing)
 
 
-def _frame_signal(x, cfg: FrontendConfig):
-    """[B, N] -> [B, T, win_length] with the config's padding convention."""
+def _pad_for_framing(x, cfg: FrontendConfig):
+    """Apply the config's padding convention. Returns (padded, first, t_out):
+    frame t covers padded[first + t·hop : first + t·hop + win]."""
     hop, win = cfg.hop_length, cfg.win_length
     n = x.shape[-1]
     if cfg.framing == "center":
@@ -199,10 +200,49 @@ def _frame_signal(x, cfg: FrontendConfig):
         first = left + hop // 2 - win // 2
     else:
         raise ValueError(cfg.framing)
+    return x, first, t_out
 
-    starts = first + jnp.arange(t_out) * hop
-    idx = starts[:, None] + jnp.arange(win)[None, :]
-    return x[:, idx], t_out
+
+def _frame_signal(x, cfg: FrontendConfig):
+    """[B, N] -> [B, T, win_length]: framing as an XLA patches op (a strided
+    im2col the TPU backend lowers natively — a plain gather here costs two
+    orders of magnitude more)."""
+    hop, win = cfg.hop_length, cfg.win_length
+    x, first, t_out = _pad_for_framing(x, cfg)
+    usable = first + (t_out - 1) * hop + win
+    x = x[:, first:usable]
+    patches = jax.lax.conv_general_dilated_patches(
+        x[:, None, :],  # [B, C=1, L]
+        filter_shape=(win,),
+        window_strides=(hop,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )  # [B, win, T]
+    return jnp.transpose(patches, (0, 2, 1)), t_out
+
+
+def _dft_conv(x, cfg: FrontendConfig, wcos, wsin):
+    """Fused framing+window+DFT as ONE strided convolution (MXU-native):
+    kernel [win, 1, 2·n_bins] = windowed cos‖sin bases, stride = hop.
+    Valid when no per-frame preprocessing (DC removal / per-frame preemph)
+    is configured. Returns power spectrum [B, T, n_bins] fp32."""
+    hop, win = cfg.hop_length, cfg.win_length
+    x, first, t_out = _pad_for_framing(x, cfg)
+    usable = first + (t_out - 1) * hop + win
+    x = x[:, first:usable]
+    kernel = jnp.concatenate(
+        [jnp.asarray(wcos), jnp.asarray(wsin)], axis=1
+    )[:, None, :]  # [win, 1, 2K]
+    out = jax.lax.conv_general_dilated(
+        x[:, :, None],  # [B, L, C=1]
+        kernel,
+        window_strides=(hop,),
+        padding="VALID",
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [B, T, 2K]
+    re, im = jnp.split(out, 2, axis=-1)
+    return re * re + im * im, t_out
 
 
 def log_mel_spectrogram(waveform, lengths, cfg: FrontendConfig):
@@ -226,32 +266,37 @@ def log_mel_spectrogram(waveform, lengths, cfg: FrontendConfig):
             axis=1,
         )
 
-    frames, t_out = _frame_signal(waveform, cfg)  # [B, T, win]
-
-    if cfg.remove_dc:
-        frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
-    if cfg.preemph is not None and cfg.preemph_mode == "frame":
-        frames = jnp.concatenate(
-            [
-                frames[..., :1] * (1.0 - cfg.preemph),
-                frames[..., 1:] - cfg.preemph * frames[..., :-1],
-            ],
-            axis=-1,
-        )
-
-    # Window is folded into the DFT bases; two MXU matmuls give Re/Im.
-    # precision=HIGHEST: the spectrum spans ~8 orders of magnitude and feeds a
-    # log — TPU bf16 default matmul precision visibly corrupts quiet bins.
+    # precision=HIGHEST throughout: the spectrum spans ~8 orders of magnitude
+    # and feeds a log — TPU bf16 default matmul precision visibly corrupts
+    # quiet bins.
     hi = jax.lax.Precision.HIGHEST
-    re = jnp.einsum(
-        "btw,wk->btk", frames, wcos,
-        precision=hi, preferred_element_type=jnp.float32,
+    per_frame_ops = cfg.remove_dc or (
+        cfg.preemph is not None and cfg.preemph_mode == "frame"
     )
-    im = jnp.einsum(
-        "btw,wk->btk", frames, wsin,
-        precision=hi, preferred_element_type=jnp.float32,
-    )
-    power = re * re + im * im
+    if not per_frame_ops:
+        # fast path: framing+window+DFT as one strided MXU convolution
+        power, t_out = _dft_conv(waveform, cfg, wcos, wsin)
+    else:
+        frames, t_out = _frame_signal(waveform, cfg)  # [B, T, win]
+        if cfg.remove_dc:
+            frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
+        if cfg.preemph is not None and cfg.preemph_mode == "frame":
+            frames = jnp.concatenate(
+                [
+                    frames[..., :1] * (1.0 - cfg.preemph),
+                    frames[..., 1:] - cfg.preemph * frames[..., :-1],
+                ],
+                axis=-1,
+            )
+        re = jnp.einsum(
+            "btw,wk->btk", frames, wcos,
+            precision=hi, preferred_element_type=jnp.float32,
+        )
+        im = jnp.einsum(
+            "btw,wk->btk", frames, wsin,
+            precision=hi, preferred_element_type=jnp.float32,
+        )
+        power = re * re + im * im
     if cfg.mag_power != 2.0:
         power = jnp.power(jnp.sqrt(jnp.maximum(power, 1e-20)), cfg.mag_power)
 
