@@ -61,6 +61,9 @@ class FastConformerConfig:
     conv_norm: str = "batch_norm"  # batch_norm (inference stats) | layer_norm
     xscaling: bool = True
     compute_dtype: str = "bfloat16"
+    # attention implementation: "xla" (einsum + pad/reshape shift) or
+    # "pallas" (VMEM-resident fused kernel, ops/relpos_attention.py)
+    attn_impl: str = "xla"
 
     @property
     def dtype(self):
@@ -225,6 +228,21 @@ def _mhsa_relpos(p, x, pos_emb, mask, cfg: FastConformerConfig):
 
     qu = q + p["attn_bias_u"].astype(dt)
     qv = q + p["attn_bias_v"].astype(dt)
+
+    if cfg.attn_impl == "pallas":
+        from ..ops.relpos_attention import relpos_attention
+
+        lengths = jnp.sum(mask.astype(jnp.int32), axis=-1)
+        out = relpos_attention(
+            jnp.transpose(qu, (0, 2, 1, 3)).astype(jnp.float32),
+            jnp.transpose(qv, (0, 2, 1, 3)).astype(jnp.float32),
+            jnp.transpose(k, (0, 2, 1, 3)).astype(jnp.float32),
+            jnp.transpose(v, (0, 2, 1, 3)).astype(jnp.float32),
+            pos.astype(jnp.float32),
+            lengths,
+        )  # [B, H, T, dh]
+        out = jnp.transpose(out, (0, 2, 1, 3)).astype(dt).reshape(b, t, d)
+        return dense(p["attn_out"], out, dtype=dt)
 
     # content score [B,H,T,T]; fp32 accumulation
     ac = jnp.einsum("bthd,bshd->bhts", qu, k, preferred_element_type=jnp.float32)

@@ -150,8 +150,13 @@ def load_model(
     del device
     if enc_cfg is None:
         size = os.environ.get("REAZONSPEECH_TPU_MODEL_SIZE", "xlarge")
+        # the Pallas attention kernel (23% encoder speedup) needs a real TPU
+        # backend; CPU/emulated runs use the XLA path
+        attn = "pallas" if jax.devices()[0].platform in ("tpu", "axon") else "xla"
         enc_cfg = (
-            FastConformerConfig.tiny() if size == "tiny" else FastConformerConfig.xlarge()
+            FastConformerConfig.tiny()
+            if size == "tiny"
+            else FastConformerConfig.xlarge(attn_impl=attn)
         )
         if size == "tiny" and rnnt_cfg is None:
             rnnt_cfg = RNNTConfig.tiny(enc_dim=enc_cfg.d_model)

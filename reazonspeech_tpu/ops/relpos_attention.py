@@ -1,0 +1,122 @@
+"""Pallas TPU kernel: relative-position multi-head attention (forward).
+
+The Conformer encoders' hot op. The XLA path materializes two [B, H, T, T]
+fp32 score tensors (content + shifted position) plus softmax probabilities in
+HBM per layer — at the 619M config that is the encoder's dominant memory
+traffic. This kernel computes, per (batch·head, query-block):
+
+    scores = (q_u·kᵀ + shift(q_v·posᵀ)) / √dh  →  masked softmax  →  ·v
+
+entirely in VMEM: the [BQ, T] score tile never touches HBM. The relative-
+position shift (row r of the block needs table index T-1-(t0+r)+s for key s)
+is applied with a binary decomposition of per-row left-shifts — log2(2T)
+full-tile rolls with row-mask selects, all vector ops.
+
+Numerics match the XLA reference (fp32 accumulation, fp32 softmax); parity
+gated in tests/test_pallas_attention.py.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["relpos_attention"]
+
+
+def _kernel(lens_ref, qu_ref, qv_ref, k_ref, v_ref, pos_ref, out_ref, *, t, bq, dh, w):
+    i = pl.program_id(1)  # query block index
+    t0 = i * bq
+
+    qu = qu_ref[0]  # [BQ, dh]
+    qv = qv_ref[0]
+    k = k_ref[0]  # [T, dh]
+    v = v_ref[0]
+    pos = pos_ref[0]  # [W, dh], W = 2T-1 (+query padding)
+
+    ac = jnp.dot(qu, k.T, preferred_element_type=jnp.float32)  # [BQ, T]
+    bd_all = jnp.dot(qv, pos.T, preferred_element_type=jnp.float32)  # [BQ, W]
+
+    # per-row left shift: row r wants bd_all[r, (T-1-t0-r) + s]
+    row = jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
+    shift = jnp.maximum(t - 1 - t0 - row, 0)  # [BQ, 1]
+    x = bd_all
+    n_bits = max(int(np.ceil(np.log2(max(t, 2)))), 1)
+    for b in range(n_bits):
+        amount = 1 << b
+        # left-roll by `amount` == right-roll by (w - amount); pltpu.roll
+        # requires a non-negative shift
+        rolled = pltpu.roll(x, w - amount, 1)
+        take = (shift & amount) != 0  # [BQ, 1]
+        x = jnp.where(take, rolled, x)
+    bd = x[:, :t]  # [BQ, T]
+
+    scores = (ac + bd) * (1.0 / np.sqrt(dh))
+
+    valid_len = lens_ref[pl.program_id(0)]
+    col = jax.lax.broadcasted_iota(jnp.int32, (bq, t), 1)
+    scores = jnp.where(col < valid_len, scores, jnp.float32(-1e30))
+
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    probs = e / jnp.sum(e, axis=-1, keepdims=True)
+
+    out_ref[0] = jnp.dot(
+        probs.astype(v.dtype), v, preferred_element_type=jnp.float32
+    ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+def relpos_attention(qu, qv, k, v, pos, lengths, block_q=256, interpret=False):
+    """Relative-position attention forward.
+
+    Args:
+      qu: [B, H, T, dh] query + content bias (q + u)
+      qv: [B, H, T, dh] query + position bias (q + v)
+      k, v: [B, H, T, dh]
+      pos: [2T-1, H, dh] projected relative-position table, offsets ordered
+        [T-1 ... -(T-1)]
+      lengths: [B] int32 valid key counts
+
+    Returns: [B, H, T, dh] fp32.
+    """
+    b, h, t, dh = qu.shape
+    bq = min(block_q, t)
+    t_pad = -(-t // bq) * bq
+    if t_pad != t:
+        padq = ((0, 0), (0, 0), (0, t_pad - t), (0, 0))
+        qu = jnp.pad(qu, padq)
+        qv = jnp.pad(qv, padq)
+
+    bh = b * h
+    qu = qu.reshape(bh, t_pad, dh)
+    qv = qv.reshape(bh, t_pad, dh)
+    k = k.reshape(bh, t, dh)
+    v = v.reshape(bh, t, dh)
+    pos_h = jnp.transpose(pos, (1, 0, 2))  # [H, 2T-1, dh]
+    w = pos_h.shape[1]
+    lengths_rep = jnp.repeat(lengths.astype(jnp.int32), h)  # [B*H]
+
+    grid = (bh, t_pad // bq)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, t=t, bq=bq, dh=dh, w=w),
+        out_shape=jax.ShapeDtypeStruct((bh, t_pad, dh), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, bq, dh), lambda g, i, lens: (g, i, 0)),
+                pl.BlockSpec((1, bq, dh), lambda g, i, lens: (g, i, 0)),
+                pl.BlockSpec((1, t, dh), lambda g, i, lens: (g, 0, 0)),
+                pl.BlockSpec((1, t, dh), lambda g, i, lens: (g, 0, 0)),
+                pl.BlockSpec((1, w, dh), lambda g, i, lens, _h=h: (g % _h, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, bq, dh), lambda g, i, lens: (g, i, 0)),
+        ),
+        interpret=interpret,
+    )(lengths_rep, qu, qv, k, v, pos_h)
+    return out.reshape(b, h, t_pad, dh)[:, :, :t]

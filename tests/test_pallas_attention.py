@@ -1,0 +1,64 @@
+"""Parity gate: the Pallas rel-pos attention kernel (interpret mode on CPU)
+against the XLA reference path in fastconformer."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from reazonspeech_tpu.ops.relpos_attention import relpos_attention
+
+
+def xla_reference(qu, qv, k, v, pos, lengths):
+    """The einsum + pad/reshape-shift implementation (fastconformer path)."""
+    from reazonspeech_tpu.models.fastconformer import _rel_shift
+
+    b, h, t, dh = qu.shape
+    ac = jnp.einsum("bhtd,bhsd->bhts", qu, k, preferred_element_type=jnp.float32)
+    posh = jnp.transpose(pos, (1, 0, 2))  # [H, 2T-1, dh]
+    bd = jnp.einsum("bhtd,hld->bhtl", qv, posh, preferred_element_type=jnp.float32)
+    bd = _rel_shift(bd)
+    scores = (ac + bd) / np.sqrt(dh)
+    mask = jnp.arange(t)[None, :] < lengths[:, None]
+    scores = jnp.where(mask[:, None, None, :], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhts,bhsd->bhtd", probs, v, preferred_element_type=jnp.float32)
+
+
+def make_inputs(b, h, t, dh, seed=0):
+    rng = np.random.default_rng(seed)
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32)
+    return (
+        mk(b, h, t, dh),
+        mk(b, h, t, dh),
+        mk(b, h, t, dh),
+        mk(b, h, t, dh),
+        mk(2 * t - 1, h, dh),
+    )
+
+
+@pytest.mark.parametrize("t,block_q", [(16, 16), (24, 8), (33, 16)])
+def test_pallas_matches_xla(t, block_q):
+    b, h, dh = 2, 3, 8
+    qu, qv, k, v, pos = make_inputs(b, h, t, dh)
+    lengths = jnp.array([t, max(t - 5, 1)])
+    want = np.asarray(xla_reference(qu, qv, k, v, pos, lengths))
+    got = np.asarray(
+        relpos_attention(qu, qv, k, v, pos, lengths, block_q=block_q, interpret=True)
+    )
+    # rows beyond each element's valid length attend to garbage; compare valid
+    for i, L in enumerate([t, max(t - 5, 1)]):
+        np.testing.assert_allclose(got[i], want[i], atol=2e-5, rtol=1e-5)
+
+
+def test_pallas_masking():
+    b, h, t, dh = 1, 2, 16, 8
+    qu, qv, k, v, pos = make_inputs(b, h, t, dh, seed=1)
+    # changing keys beyond the valid length must not change the output
+    lengths = jnp.array([10])
+    out1 = np.asarray(relpos_attention(qu, qv, k, v, pos, lengths, block_q=16, interpret=True))
+    k2 = k.at[:, :, 10:].set(99.0)
+    v2 = v.at[:, :, 10:].set(-99.0)
+    out2 = np.asarray(relpos_attention(qu, qv, k2, v2, pos, lengths, block_q=16, interpret=True))
+    np.testing.assert_allclose(out1, out2, atol=1e-6)
