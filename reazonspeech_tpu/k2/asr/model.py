@@ -51,6 +51,10 @@ class K2TPUModel:
     decode_cfg: GreedyDecodeConfig
     tokenizer: object
 
+    @property
+    def token_list(self):
+        return self.tokenizer.pieces
+
     def decode_single(self, waveform: np.ndarray):
         n = len(waveform)
         padded_n = max(BUCKET_SAMPLES, -(-n // BUCKET_SAMPLES) * BUCKET_SAMPLES)
@@ -106,9 +110,12 @@ def load_model_container(
 
     checkpoint = checkpoint or os.environ.get(DEFAULT_CHECKPOINT_ENV)
     if checkpoint:
+        from ...convert.quantize import dequantize_tree, is_quantized
         from ...convert.store import load_param_tree
 
         params, meta = load_param_tree(checkpoint)
+        if is_quantized(params):  # int8 precision variants
+            params = dequantize_tree(params)
         if meta.get("token_list"):
             token_list = meta["token_list"]
     else:
