@@ -129,7 +129,10 @@ def load_model_container(
                 num_layers=2, d_model=64, num_heads=4, subsampling_channels=32
             )
         else:
-            enc_cfg = espnet_encoder_config()
+            attn = (
+                "pallas" if jax.devices()[0].platform in ("tpu", "axon") else "xla"
+            )
+            enc_cfg = espnet_encoder_config(attn_impl=attn)
 
     token_list = token_list or default_token_list()
     num_tokens = len(token_list)
