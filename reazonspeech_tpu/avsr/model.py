@@ -464,6 +464,31 @@ class AVHubertForConditionalGeneration:
             )
         return cls(config=config, params=init_avhubert(key, config))
 
+    @classmethod
+    def from_pretrained(cls, path, config: AVHubertConfig = None):
+        """Load from a native param tree (.npz/.json pair written by
+        convert.store) or an HF checkpoint directory (config.json +
+        safetensors/bin, converted on the fly)."""
+        import os
+
+        if os.path.isdir(path):
+            from ..convert.hf_avhubert import convert_avhubert_checkpoint
+            import tempfile
+
+            with tempfile.TemporaryDirectory() as td:
+                params, cfg = convert_avhubert_checkpoint(
+                    path, os.path.join(td, "tree"), cfg=config
+                )
+            return cls(config=cfg, params=params)
+
+        from ..convert.store import load_param_tree
+
+        params, meta = load_param_tree(path)
+        if config is None:
+            cfg_dict = meta.get("cfg", {})
+            config = AVHubertConfig(**cfg_dict) if cfg_dict else AVHubertConfig()
+        return cls(config=config, params=params)
+
     def encoder(self, audio=None, video=None, lengths=None):
         return encode(self.params, self.config, audio, video, lengths)
 

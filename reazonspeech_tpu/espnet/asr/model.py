@@ -33,13 +33,20 @@ BUCKET_SAMPLES = 2 * 16000  # chunks are ≤ 20 s; 2 s buckets bound recompiles
 def encode_ctc_decode(
     params, waveform, lengths, fe_cfg, enc_cfg, rnnt_cfg, decode_cfg
 ):
-    """One fused pass: frontend → encoder → (CTC log-probs, greedy emissions)."""
+    """One fused pass: frontend → encoder → (CTC log-probs, emissions)."""
+    from ...decoding.rnnt_beam import BeamDecodeConfig, rnnt_beam_decode
+
     feats, flens = log_mel_spectrogram(waveform, lengths, fe_cfg)
     enc, elens = fastconformer_encode(params["encoder"], feats, flens, enc_cfg)
     lpz_log = jax.nn.log_softmax(ctc_logits(params["ctc"], enc), axis=-1)
-    tokens, frames, counts = rnnt_greedy_decode(
-        params["predictor"], params["joint"], enc, elens, rnnt_cfg, decode_cfg
-    )
+    if isinstance(decode_cfg, BeamDecodeConfig):
+        tokens, frames, counts, _ = rnnt_beam_decode(
+            params["predictor"], params["joint"], enc, elens, rnnt_cfg, decode_cfg
+        )
+    else:
+        tokens, frames, counts = rnnt_greedy_decode(
+            params["predictor"], params["joint"], enc, elens, rnnt_cfg, decode_cfg
+        )
     return lpz_log, tokens, frames, counts, elens
 
 
@@ -120,6 +127,8 @@ def load_model_container(
     enc_cfg: Optional[FastConformerConfig] = None,
     rnnt_cfg: Optional[RNNTConfig] = None,
     token_list=None,
+    decoding: str = "greedy",
+    beam_size: int = 4,
     seed: int = 0,
 ) -> EspnetTPUModel:
     if enc_cfg is None:
@@ -169,11 +178,18 @@ def load_model_container(
     tok.types[0] = 3  # <blank> control
     tok.types[-1] = 3  # <sos/eos> control
 
+    if decoding == "beam":
+        from ...decoding.rnnt_beam import BeamDecodeConfig
+
+        decode_cfg = BeamDecodeConfig(beam_size=beam_size)
+    else:
+        decode_cfg = GreedyDecodeConfig()
+
     return EspnetTPUModel(
         params=params,
         fe_cfg=espnet_frontend_config(n_mels=enc_cfg.feat_in),
         enc_cfg=enc_cfg,
         rnnt_cfg=rnnt_cfg,
-        decode_cfg=GreedyDecodeConfig(),
+        decode_cfg=decode_cfg,
         tokenizer=tok,
     )
