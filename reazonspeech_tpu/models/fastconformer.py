@@ -229,7 +229,10 @@ def _mhsa_relpos(p, x, pos_emb, mask, cfg: FastConformerConfig):
     qu = q + p["attn_bias_u"].astype(dt)
     qv = q + p["attn_bias_v"].astype(dt)
 
-    if cfg.attn_impl == "pallas":
+    # The Pallas kernel holds k/v, the pos table, and a [BQ, 2T-1] position-
+    # score tile in VMEM; beyond ~1k frames (~80 s of audio) that overflows,
+    # so long-form utterances take the XLA path.
+    if cfg.attn_impl == "pallas" and t <= 1024:
         from ..ops.relpos_attention import relpos_attention
 
         lengths = jnp.sum(mask.astype(jnp.int32), axis=-1)
