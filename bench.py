@@ -40,7 +40,9 @@ def main():
     chunk_seconds = 30.0
     iters = 4
 
-    enc_cfg = FastConformerConfig.xlarge(attn_impl="pallas")
+    enc_cfg = FastConformerConfig.xlarge(
+        attn_impl="pallas", residual_dtype="bfloat16"
+    )
     rnnt_cfg = RNNTConfig(enc_dim=enc_cfg.d_model)
     fe_cfg = nemo_frontend_config()
     decode_cfg = GreedyDecodeConfig()

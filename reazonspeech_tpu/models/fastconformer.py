@@ -64,6 +64,9 @@ class FastConformerConfig:
     # attention implementation: "xla" (einsum + pad/reshape shift) or
     # "pallas" (VMEM-resident fused kernel, ops/relpos_attention.py)
     attn_impl: str = "xla"
+    # dtype of the residual stream BETWEEN blocks; bf16 halves the
+    # elementwise/HBM traffic of the norm/residual chain at some numeric risk
+    residual_dtype: str = "float32"
 
     @property
     def dtype(self):
@@ -316,12 +319,13 @@ def fastconformer_encode(params, feats, feat_lengths, cfg: FastConformerConfig):
 
     pos_emb = _sinusoid_rel_pos(t, cfg.d_model)
     mask = jnp.arange(t)[None, :] < lengths[:, None]  # [B, T']
-    x = jnp.where(mask[..., None], x, 0).astype(jnp.float32)
+    res_dt = jnp.dtype(cfg.residual_dtype)
+    x = jnp.where(mask[..., None], x, 0).astype(res_dt)
 
     def body(carry, layer_params):
         y = _block(layer_params, carry, pos_emb, mask, cfg)
-        y = jnp.where(mask[..., None], y, 0).astype(jnp.float32)
+        y = jnp.where(mask[..., None], y, 0).astype(res_dt)
         return y, None
 
     x, _ = jax.lax.scan(body, x, params["blocks"])
-    return x, lengths
+    return x.astype(jnp.float32), lengths

@@ -150,13 +150,16 @@ def load_model(
     del device
     if enc_cfg is None:
         size = os.environ.get("REAZONSPEECH_TPU_MODEL_SIZE", "xlarge")
-        # the Pallas attention kernel (23% encoder speedup) needs a real TPU
-        # backend; CPU/emulated runs use the XLA path
-        attn = "pallas" if jax.devices()[0].platform in ("tpu", "axon") else "xla"
+        # TPU serving config: Pallas attention (-23% encoder) + bf16 residual
+        # stream (-26% more); CPU/emulated runs use the XLA/fp32 path
+        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
         enc_cfg = (
             FastConformerConfig.tiny()
             if size == "tiny"
-            else FastConformerConfig.xlarge(attn_impl=attn)
+            else FastConformerConfig.xlarge(
+                attn_impl="pallas" if on_tpu else "xla",
+                residual_dtype="bfloat16" if on_tpu else "float32",
+            )
         )
         if size == "tiny" and rnnt_cfg is None:
             rnnt_cfg = RNNTConfig.tiny(enc_dim=enc_cfg.d_model)
