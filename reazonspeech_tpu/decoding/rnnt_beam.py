@@ -19,7 +19,8 @@ import jax.numpy as jnp
 
 from ..models.rnnt import (
     RNNTConfig,
-    joint_step,
+    joint_precompute_enc,
+    joint_step_from_enc_proj,
     predictor_step,
     predictor_zero_state,
 )
@@ -66,6 +67,7 @@ def rnnt_beam_decode(
        counts [B] int32, scores [B] fp32)
     """
     b, t, e = enc.shape
+    enc_proj = joint_precompute_enc(joint_params, enc, rnnt_cfg)  # [B, T, J]
     k = cfg.beam_size
     m = min(cfg.expand_labels, rnnt_cfg.num_classes - 1)
     blank = rnnt_cfg.blank_id
@@ -110,9 +112,9 @@ def rnnt_beam_decode(
 
         safe_t = jnp.minimum(time_idx, t - 1)  # [B, K]
         enc_frames = jnp.take_along_axis(
-            enc[:, None], safe_t[..., None, None], axis=2
-        )[:, :, 0]  # [B, K, E]
-        logits = joint_step(
+            enc_proj[:, None], safe_t[..., None, None], axis=2
+        )[:, :, 0]  # [B, K, J]
+        logits = joint_step_from_enc_proj(
             joint_params, flat(enc_frames), flat(pred_out), rnnt_cfg
         ).reshape(b, k, -1)
         logp = jax.nn.log_softmax(logits, axis=-1)

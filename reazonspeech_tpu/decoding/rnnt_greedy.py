@@ -21,7 +21,8 @@ import jax.numpy as jnp
 
 from ..models.rnnt import (
     RNNTConfig,
-    joint_step,
+    joint_precompute_enc,
+    joint_step_from_enc_proj,
     predictor_step,
     predictor_zero_state,
 )
@@ -62,6 +63,8 @@ def rnnt_greedy_decode(
     b, t, _ = enc.shape
     blank = rnnt_cfg.blank_id
     u_max = decode_cfg.max_tokens or t
+    # encoder-side joint projection hoisted out of the loop: [B, T, J]
+    enc_proj = joint_precompute_enc(joint_params, enc, rnnt_cfg)
 
     tokens = jnp.full((b, u_max), blank, jnp.int32)
     frames = jnp.zeros((b, u_max), jnp.int32)
@@ -81,8 +84,8 @@ def rnnt_greedy_decode(
         tokens, frames, counts, time_idx, sym_at_frame, last_tok, pred_out, pred_state = state
 
         safe_t = jnp.minimum(time_idx, t - 1)
-        enc_frame = jnp.take_along_axis(enc, safe_t[:, None, None], axis=1)[:, 0]
-        logits = joint_step(joint_params, enc_frame, pred_out, rnnt_cfg)
+        enc_frame = jnp.take_along_axis(enc_proj, safe_t[:, None, None], axis=1)[:, 0]
+        logits = joint_step_from_enc_proj(joint_params, enc_frame, pred_out, rnnt_cfg)
         tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
         active = (time_idx < enc_lengths) & (counts < u_max)

@@ -237,6 +237,22 @@ def joint_step(params, enc_frame, pred_out, cfg: RNNTConfig):
     return dense(params["out"], z, dtype=dt).astype(jnp.float32)
 
 
+def joint_precompute_enc(params, enc, cfg: RNNTConfig):
+    """Hoist the encoder-side joint projection out of the decode loop:
+    [B, T, E] -> [B, T, J] computed once per utterance (the decode loop then
+    runs only the pred projection + output matmul per iteration)."""
+    return dense(params["enc"], enc, dtype=cfg.dtype).astype(jnp.float32)
+
+
+def joint_step_from_enc_proj(params, enc_proj_frame, pred_out, cfg: RNNTConfig):
+    """joint_step with the enc projection already applied
+    (enc_proj_frame [B, J])."""
+    dt = cfg.dtype
+    z = enc_proj_frame.astype(dt) + dense(params["pred"], pred_out, dtype=dt)
+    z = _joint_act(z, cfg)
+    return dense(params["out"], z, dtype=dt).astype(jnp.float32)
+
+
 def joint_full(params, enc, pred, cfg: RNNTConfig):
     """Full lattice joint for the training loss.
 
