@@ -37,20 +37,38 @@ def compute_loss(
     fe_cfg: FrontendConfig,
     enc_cfg: FastConformerConfig,
     rnnt_cfg: RNNTConfig,
+    ctc_weight: float = 0.0,
 ):
     """batch: dict(waveform [B,N] f32, lengths [B] i32, labels [B,U] i32,
-    label_lengths [B] i32) -> scalar mean NLL."""
+    label_lengths [B] i32) -> scalar mean NLL.
+
+    With ctc_weight > 0 (and a "ctc" head in params), trains the hybrid
+    CTC+transducer objective the espnet flavor's models use:
+    (1-w)·rnnt + w·ctc.
+    """
     feats, flens = log_mel_spectrogram(batch["waveform"], batch["lengths"], fe_cfg)
     enc, elens = fastconformer_encode(params["encoder"], feats, flens, enc_cfg)
     pred = predictor_sequence(params["predictor"], batch["labels"], rnnt_cfg)
     logits = joint_full(params["joint"], enc, pred, rnnt_cfg)
-    nll = rnnt_loss(
-        logits, elens, batch["labels"], batch["label_lengths"], rnnt_cfg.blank_id
+    nll = jnp.mean(
+        rnnt_loss(
+            logits, elens, batch["labels"], batch["label_lengths"], rnnt_cfg.blank_id
+        )
     )
-    return jnp.mean(nll)
+    if ctc_weight > 0.0:
+        from ..models.conformer import ctc_logits
+        from .losses import ctc_loss
+
+        c_logits = ctc_logits(params["ctc"], enc)
+        # espnet CTC convention: blank == 0
+        c_nll = jnp.mean(
+            ctc_loss(c_logits, elens, batch["labels"], batch["label_lengths"], 0)
+        )
+        nll = (1.0 - ctc_weight) * nll + ctc_weight * c_nll
+    return nll
 
 
-def make_train_step(fe_cfg, enc_cfg, rnnt_cfg, optimizer=None):
+def make_train_step(fe_cfg, enc_cfg, rnnt_cfg, optimizer=None, ctc_weight=0.0):
     """Returns (init_state, train_step). ``train_step(state, batch)`` is a
     pure jittable function -> (new_state, metrics)."""
     if optimizer is None:
@@ -65,7 +83,7 @@ def make_train_step(fe_cfg, enc_cfg, rnnt_cfg, optimizer=None):
 
     def train_step(state: TrainState, batch):
         loss, grads = jax.value_and_grad(compute_loss)(
-            state.params, batch, fe_cfg, enc_cfg, rnnt_cfg
+            state.params, batch, fe_cfg, enc_cfg, rnnt_cfg, ctc_weight
         )
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

@@ -124,3 +124,38 @@ def test_loss_decreases_overfit():
     for _ in range(5):
         state, m = step(state, batch)
     assert float(m["loss"]) < float(m0["loss"])
+
+
+def test_hybrid_ctc_rnnt_loss_decreases():
+    """espnet-style hybrid objective trains end-to-end."""
+    import optax
+
+    import jax
+    import jax.numpy as jnp
+
+    from reazonspeech_tpu.models.conformer import init_ctc_head
+
+    enc_cfg, rnnt_cfg = small_cfgs()
+    fe_cfg = nemo_frontend_config()
+    params = init_params(0, enc_cfg, rnnt_cfg)
+    params["ctc"] = init_ctc_head(
+        jax.random.PRNGKey(9), enc_cfg.d_model, rnnt_cfg.vocab_size
+    )
+    rng = np.random.default_rng(0)
+    b, n = 2, 8000
+    batch = {
+        "waveform": jnp.asarray(rng.standard_normal((b, n)), jnp.float32) * 0.1,
+        "lengths": jnp.full((b,), n, jnp.int32),
+        "labels": jnp.asarray(rng.integers(1, rnnt_cfg.vocab_size, (b, 4)), jnp.int32),
+        "label_lengths": jnp.full((b,), 4, jnp.int32),
+    }
+    init_state, train_step = make_train_step(
+        fe_cfg, enc_cfg, rnnt_cfg, optimizer=optax.adam(3e-4), ctc_weight=0.3
+    )
+    state = init_state(params)
+    step = jax.jit(train_step)
+    state, m0 = step(state, batch)
+    for _ in range(4):
+        state, m = step(state, batch)
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["loss"]) < float(m0["loss"])
