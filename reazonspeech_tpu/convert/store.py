@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["save_param_tree", "load_param_tree"]
+__all__ = ["save_param_tree", "load_param_tree", "save_orbax", "load_orbax"]
 
 _SEP = "/"
 
@@ -72,3 +72,39 @@ def load_param_tree(path):
     flat = dict(np.load(npz))
     params = _unflatten(side["spec"], flat)
     return params, side.get("meta", {})
+
+
+# -- Orbax interop -----------------------------------------------------------
+# The npz store above is the zero-dependency default; Orbax gives sharded,
+# async, multi-host checkpointing for training runs.
+
+
+def save_orbax(path, params, meta=None):
+    """Write params with Orbax (directory checkpoint); meta goes to the
+    JSON sidecar."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, params, force=True)
+    if meta is not None:
+        with open(path + ".meta.json", "w") as f:
+            json.dump(meta, f)
+
+
+def load_orbax(path, template=None):
+    """Read (params, meta) from an Orbax checkpoint; ``template`` (a tree of
+    like-shaped arrays, e.g. a random init) restores custom tree structure."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        if template is not None:
+            params = ckptr.restore(path, template)
+        else:
+            params = ckptr.restore(path)
+    meta = {}
+    if os.path.exists(path + ".meta.json"):
+        with open(path + ".meta.json") as f:
+            meta = json.load(f)
+    return params, meta

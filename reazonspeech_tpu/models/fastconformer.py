@@ -67,6 +67,9 @@ class FastConformerConfig:
     # dtype of the residual stream BETWEEN blocks; bf16 halves the
     # elementwise/HBM traffic of the norm/residual chain at some numeric risk
     residual_dtype: str = "float32"
+    # rematerialize each block's activations in the backward pass (training
+    # memory ∝ sqrt(depth) instead of depth)
+    remat: bool = False
 
     @property
     def dtype(self):
@@ -327,5 +330,7 @@ def fastconformer_encode(params, feats, feat_lengths, cfg: FastConformerConfig):
         y = jnp.where(mask[..., None], y, 0).astype(res_dt)
         return y, None
 
+    if cfg.remat:
+        body = jax.checkpoint(body)
     x, _ = jax.lax.scan(body, x, params["blocks"])
     return x.astype(jnp.float32), lengths
