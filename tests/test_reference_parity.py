@@ -52,3 +52,11 @@ def test_find_end_of_segment_matches_reference():
             for s in case["subwords"]
         ]
         assert find_end_of_segment(subs, case["start"]) == case["end"], case
+
+
+def test_espnet_find_end_of_segment_matches_reference():
+    from reazonspeech_tpu.espnet.asr.ctc import find_end_of_segment as espnet_fes
+
+    for case in FIXTURES["espnet_find_end_cases"]:
+        got = espnet_fes(case["text"], case["timings"], case["start"])
+        assert got == case["end"], case
