@@ -159,3 +159,31 @@ def test_hybrid_ctc_rnnt_loss_decreases():
         state, m = step(state, batch)
     assert np.isfinite(float(m["loss"]))
     assert float(m["loss"]) < float(m0["loss"])
+
+
+def test_batch_sharded_inference():
+    """asr_forward (the serving path) runs batch-sharded over the data axis
+    with identical results to single-device."""
+    from reazonspeech_tpu.decoding.rnnt_greedy import GreedyDecodeConfig
+    from reazonspeech_tpu.nemo.asr.model import asr_forward
+
+    enc_cfg, rnnt_cfg = small_cfgs()
+    fe_cfg = nemo_frontend_config()
+    dc = GreedyDecodeConfig()
+    params = init_params(0, enc_cfg, rnnt_cfg)
+    rng = np.random.default_rng(3)
+    b, n = 8, 16000
+    wav = jnp.asarray(rng.standard_normal((b, n)), jnp.float32) * 0.1
+    lens = jnp.full((b,), n, jnp.int32)
+
+    t1, f1, c1, e1 = asr_forward(params, wav, lens, fe_cfg, enc_cfg, rnnt_cfg, dc)
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    sp = jax.device_put(params, jax.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+    sw, sl = shard_batch((wav, lens), mesh)
+    t2, f2, c2, e2 = asr_forward(sp, sw, sl, fe_cfg, enc_cfg, rnnt_cfg, dc)
+
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    for i in range(b):
+        c = int(c1[i])
+        np.testing.assert_array_equal(np.asarray(t1[i, :c]), np.asarray(t2[i, :c]))
