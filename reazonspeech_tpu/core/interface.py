@@ -63,11 +63,21 @@ class TranscribeConfig:
 
     ``verbose``/``raw_hypothesis`` match the reference contract
     (pkg/nemo-asr/src/interface.py:33-36). The TPU build additionally
-    surfaces batching knobs that the reference hard-codes.
+    surfaces long-form chunking knobs the reference hard-codes (it sends the
+    whole waveform in one call regardless of length,
+    pkg/nemo-asr/src/transcribe.py:44-53):
+
+    - ``chunk_seconds``: above this duration, audio is split into overlapped
+      chunks decoded as ONE batch (peak-throughput path) and merged by
+      keeping each chunk's center region. None = reference behavior
+      (single full-length pass).
+    - ``chunk_overlap_seconds``: context shared between neighboring chunks.
     """
 
     verbose: bool = True
     raw_hypothesis: bool = False
+    chunk_seconds: float = None
+    chunk_overlap_seconds: float = 4.0
 
 
 @dataclass

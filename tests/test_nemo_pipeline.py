@@ -164,3 +164,32 @@ def test_cli_runs(tiny_model, tmp_path, monkeypatch, capsys):
     )
     assert cli.main() is None
     assert out.read_text().startswith("WEBVTT")
+
+
+def test_transcribe_chunked_long_form(tiny_model):
+    """chunk_seconds splits long audio into an overlapped batch; timestamps
+    stay on the global grid and monotone."""
+    rng = np.random.default_rng(5)
+    wav = (rng.standard_normal(50 * 16000) * 0.1).astype(np.float32)
+    audio = audio_from_numpy(wav, 16000)
+    cfg = TranscribeConfig(chunk_seconds=20.0, chunk_overlap_seconds=4.0)
+    ret = transcribe(tiny_model, audio, cfg)
+    assert isinstance(ret.text, str)
+    secs = [s.seconds for s in ret.subwords]
+    assert secs == sorted(secs)
+    for s in secs:
+        assert 0 <= s <= 50.5
+    # also compare against the unchunked path structurally
+    ret_full = transcribe(tiny_model, audio)
+    assert isinstance(ret_full.text, str)
+
+
+def test_transcribe_chunked_matches_unchunked_on_short(tiny_model):
+    """Audio below the threshold must take the identical single-pass path."""
+    rng = np.random.default_rng(6)
+    wav = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    audio = audio_from_numpy(wav, 16000)
+    r1 = transcribe(tiny_model, audio)
+    r2 = transcribe(tiny_model, audio, TranscribeConfig(chunk_seconds=30.0))
+    assert r1.text == r2.text
+    assert [s.seconds for s in r1.subwords] == [s.seconds for s in r2.subwords]
