@@ -55,25 +55,27 @@ class K2TPUModel:
     def token_list(self):
         return self.tokenizer.pieces
 
-    def decode_single(self, waveform: np.ndarray):
-        n = len(waveform)
-        padded_n = max(BUCKET_SAMPLES, -(-n // BUCKET_SAMPLES) * BUCKET_SAMPLES)
-        buf = np.zeros((1, padded_n), np.float32)
-        buf[0, :n] = waveform
-        tokens, frames, counts, _ = k2_forward(
+    def decode_batch(self, waveforms: np.ndarray, lengths: np.ndarray):
+        """Run the jitted pipeline on a padded [B, N] batch."""
+        out = k2_forward(
             self.params,
-            jnp.asarray(buf),
-            jnp.asarray(np.array([n], np.int32)),
+            jnp.asarray(waveforms, jnp.float32),
+            jnp.asarray(lengths, jnp.int32),
             self.fe_cfg,
             self.enc_cfg,
             self.rnnt_cfg,
             self.decode_cfg,
         )
+        return tuple(np.asarray(x) for x in out)
+
+    def decode_single(self, waveform: np.ndarray):
+        n = len(waveform)
+        padded_n = max(BUCKET_SAMPLES, -(-n // BUCKET_SAMPLES) * BUCKET_SAMPLES)
+        buf = np.zeros((1, padded_n), np.float32)
+        buf[0, :n] = waveform
+        tokens, frames, counts, _ = self.decode_batch(buf, np.array([n]))
         c = int(counts[0])
-        return (
-            np.asarray(tokens[0, :c]).tolist(),
-            np.asarray(frames[0, :c]).tolist(),
-        )
+        return tokens[0, :c].tolist(), frames[0, :c].tolist()
 
 
 def default_k2_token_list():

@@ -44,7 +44,10 @@ def transcribe(model: K2TPUModel, audio, config=None) -> TranscribeResult:
         )
 
     token_ids, frames = model.decode_single(audio.waveform)
+    return _build_result(model, token_ids, frames)
 
+
+def _build_result(model, token_ids, frames) -> TranscribeResult:
     subwords = []
     for tid, frame in zip(token_ids, frames):
         subwords.append(
@@ -53,6 +56,41 @@ def transcribe(model: K2TPUModel, audio, config=None) -> TranscribeResult:
                 seconds=frame * SECONDS_PER_FRAME,
             )
         )
-
     text = model.tokenizer.ids_to_text(token_ids)
     return TranscribeResult(text, subwords)
+
+
+def transcribe_batch(model: K2TPUModel, audios, config=None):
+    """Transcribe a batch of utterances in one device program (throughput
+    path; the reference's sherpa backend is strictly one stream at a time).
+
+    Args:
+        model (K2TPUModel)
+        audios (list[AudioData])
+
+    Returns:
+        list[TranscribeResult]
+    """
+    import numpy as np
+
+    from .model import BUCKET_SAMPLES
+
+    if config is None:
+        config = TranscribeConfig()
+
+    waves = [pad_audio(norm_audio(a), PAD_SECONDS).waveform for a in audios]
+    lengths = np.asarray([len(w) for w in waves], np.int32)
+    n_max = int(lengths.max())
+    padded_n = max(BUCKET_SAMPLES, -(-n_max // BUCKET_SAMPLES) * BUCKET_SAMPLES)
+    buf = np.zeros((len(waves), padded_n), np.float32)
+    for i, w in enumerate(waves):
+        buf[i, : len(w)] = w
+
+    tokens, frames, counts, _ = model.decode_batch(buf, lengths)
+    results = []
+    for i in range(len(waves)):
+        c = int(counts[i])
+        results.append(
+            _build_result(model, tokens[i, :c].tolist(), frames[i, :c].tolist())
+        )
+    return results

@@ -79,3 +79,20 @@ def test_stateless_predictor_step():
     g2a, _ = predictor_step(p, jnp.array([5, 5]), s1, cfg)
     g2b, _ = predictor_step(p, jnp.array([5, 5]), predictor_zero_state(2, cfg), cfg)
     assert not np.allclose(np.asarray(g2a), np.asarray(g2b))
+
+
+def test_transcribe_batch_matches_single(tiny_model):
+    from reazonspeech_tpu.k2.asr.transcribe import transcribe_batch
+
+    rng = np.random.default_rng(7)
+    audios = [
+        audio_from_numpy((rng.standard_normal(16000) * 0.1).astype(np.float32), 16000),
+        audio_from_numpy((rng.standard_normal(9000) * 0.1).astype(np.float32), 16000),
+    ]
+    batch = transcribe_batch(tiny_model, audios)
+    single = transcribe(tiny_model, audios[1])
+    assert len(batch) == 2
+    assert batch[1].text == single.text
+    assert [s.seconds for s in batch[1].subwords] == [
+        s.seconds for s in single.subwords
+    ]
