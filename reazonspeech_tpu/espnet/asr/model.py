@@ -138,10 +138,11 @@ def load_model_container(
                 num_layers=2, d_model=64, num_heads=4, subsampling_channels=32
             )
         else:
-            attn = (
-                "pallas" if jax.devices()[0].platform in ("tpu", "axon") else "xla"
+            on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+            enc_cfg = espnet_encoder_config(
+                attn_impl="pallas" if on_tpu else "xla",
+                residual_dtype="bfloat16" if on_tpu else "float32",
             )
-            enc_cfg = espnet_encoder_config(attn_impl=attn)
 
     token_list = token_list or default_token_list()
     num_tokens = len(token_list)
