@@ -55,6 +55,9 @@ class ZipformerConfig:
     embed_channels: Tuple[int, ...] = (8, 32, 128)
     output_downsampling: int = 2
     compute_dtype: str = "bfloat16"
+    # dtype of the stream between layers/stacks (bf16 halves norm/bypass HBM
+    # traffic; BiasNorm statistics always accumulate in fp32)
+    residual_dtype: str = "float32"
 
     @property
     def dtype(self):
@@ -366,7 +369,8 @@ def zipformer_encode(params, feats, feat_lengths, cfg: ZipformerConfig):
       T_out ≈ T / (2 · output_downsampling) — 0.04 s per frame.
     """
     x, lengths = _embed(params["embed"], feats, feat_lengths, cfg)
-    x = x.astype(jnp.float32)
+    res_dt = jnp.dtype(cfg.residual_dtype)
+    x = x.astype(res_dt)
     t1 = x.shape[1]
 
     stack_outputs = []
@@ -384,13 +388,13 @@ def zipformer_encode(params, feats, feat_lengths, cfg: ZipformerConfig):
 
         def body(carry, layer_params, si=si, pos_emb=pos_emb, mask=mask):
             y = _layer(layer_params, carry, pos_emb, mask, si, cfg)
-            y = jnp.where(mask[..., None], y, 0).astype(jnp.float32)
+            y = jnp.where(mask[..., None], y, 0).astype(res_dt)
             return y, None
 
-        x, _ = jax.lax.scan(body, x.astype(jnp.float32), stack["layers"])
+        x, _ = jax.lax.scan(body, x.astype(res_dt), stack["layers"])
         if ds > 1:
             x = _upsample(x, t1, ds)
-            x = bypass_apply(stack["out_bypass"], stack_in, x)
+            x = bypass_apply(stack["out_bypass"], stack_in, x).astype(res_dt)
         valid = jnp.arange(t1)[None, :] < lengths[:, None]
         x = jnp.where(valid[..., None], x, 0)
         stack_outputs.append(x)
