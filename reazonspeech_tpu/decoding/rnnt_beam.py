@@ -179,7 +179,11 @@ def rnnt_beam_decode(
         counts = counts + emit.astype(jnp.int32)
 
         time_idx = time_idx + advance.astype(jnp.int32)
-        done = done | (time_idx >= enc_lengths[:, None]) | (counts >= u_max)
+        # NOTE: a full emission buffer only blocks further emissions
+        # (can_emit above); the hypothesis stays live and must still pay the
+        # blank cost of every remaining frame — marking it done here would
+        # inflate emission-heavy paths' scores.
+        done = done | (time_idx >= enc_lengths[:, None])
 
         # advance prediction network where a label was emitted
         stepped_tok = jnp.where(emit, new_tok, last_tok)

@@ -254,3 +254,31 @@ def test_save_as_zip_flac_falls_back(tmp_path):
         save_as_zip([utt], str(p))
     with zipfile.ZipFile(p) as z:
         assert "0000.wav" in z.namelist()
+
+
+def test_demuxer_fuzz_robustness(tmp_path):
+    """Random garbage inside valid sync framing must never crash the
+    demuxer (the reference skips malformed PES packets; PSI parsing is
+    length-guarded)."""
+    import random
+
+    random.seed(0)
+    rng = np.random.default_rng(0)
+    for trial in range(20):
+        n_pkts = rng.integers(3, 30)
+        pkts = []
+        for _ in range(n_pkts):
+            body = bytes(rng.integers(0, 256, 187, dtype=np.uint8).tolist())
+            pkts.append(bytes([0x47]) + body)
+        p = tmp_path / f"fuzz{trial}.m2ts"
+        p.write_bytes(b"".join(pkts))
+        caps = get_captions(str(p))  # must not raise
+        assert isinstance(caps, list)
+
+
+def test_demuxer_truncated_tail(tmp_path):
+    stream = build_stream([(1.0, "あ".encode("euc-jp"))])
+    p = tmp_path / "trunc.m2ts"
+    p.write_bytes(stream[: len(stream) - 100])  # cut mid-packet
+    caps = get_captions(str(p))
+    assert isinstance(caps, list)
