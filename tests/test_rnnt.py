@@ -162,3 +162,58 @@ def test_greedy_decode_random_model_finite():
         # frames monotonically nondecreasing within valid emissions
         fr = frames[i, :c].tolist()
         assert fr == sorted(fr)
+
+
+@pytest.mark.parametrize("kind", ["lstm", "stateless"])
+def test_greedy_matches_python_simulation(kind):
+    """The while_loop greedy decode must match a straightforward per-element
+    Python simulation of label-looping greedy search."""
+    if kind == "stateless":
+        cfg = RNNTConfig(
+            vocab_size=24, enc_dim=16, pred_hidden=12, joint_hidden=12,
+            compute_dtype="float32", predictor_kind="stateless",
+        )
+    else:
+        cfg = RNNTConfig(
+            vocab_size=24, enc_dim=16, pred_hidden=12, joint_hidden=12,
+            compute_dtype="float32",
+        )
+    k1, k2 = jax.random.split(jax.random.PRNGKey(11))
+    pred, joint = init_predictor(k1, cfg), init_joint(k2, cfg)
+    rng = np.random.default_rng(11)
+    b, t = 3, 9
+    enc = jnp.asarray(rng.standard_normal((b, t, cfg.enc_dim)), jnp.float32)
+    lens = [9, 5, 1]
+    max_symbols = 4
+
+    def simulate(i):
+        state = predictor_zero_state(1, cfg)
+        g, state = predictor_step(
+            pred, jnp.array([cfg.blank_id], jnp.int32), state, cfg
+        )
+        out = []
+        f = 0
+        syms = 0
+        while f < lens[i] and len(out) < t:
+            from reazonspeech_tpu.models.rnnt import joint_step
+
+            logits = joint_step(joint, enc[i : i + 1, f], g, cfg)
+            tok = int(jnp.argmax(logits, -1)[0])
+            if tok == cfg.blank_id or syms >= max_symbols:
+                f += 1
+                syms = 0
+            else:
+                out.append((tok, f))
+                syms += 1
+                g, state = predictor_step(pred, jnp.array([tok], jnp.int32), state, cfg)
+        return out
+
+    tokens, frames, counts = rnnt_greedy_decode(
+        pred, joint, enc, jnp.asarray(lens), cfg,
+        GreedyDecodeConfig(max_symbols_per_step=max_symbols),
+    )
+    for i in range(b):
+        want = simulate(i)
+        c = int(counts[i])
+        got = list(zip(tokens[i, :c].tolist(), frames[i, :c].tolist()))
+        assert got == want, (i, got, want)
