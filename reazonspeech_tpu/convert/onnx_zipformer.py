@@ -125,10 +125,8 @@ def convert_decoder_joiner(decoder_onnx, joiner_onnx, rnnt_cfg: RNNTConfig):
 
 def convert_zipformer_torch(pt_path, out_path, enc_cfg=None, rnnt_cfg=None):
     """Entry point for icefall .pt zipformer checkpoints (the encoder's
-    canonical source; published next to the ONNX exports). The detailed
-    name mapping requires a real checkpoint to pin icefall's module naming —
-    deliberately unimplemented until one is available offline."""
-    raise NotImplementedError(
-        "icefall zipformer .pt mapping pending a real checkpoint; the ONNX "
-        "decoder/joiner path (convert_decoder_joiner) is implemented"
-    )
+    canonical source; published next to the ONNX exports) — delegates to
+    convert.icefall_zipformer."""
+    from .icefall_zipformer import convert_icefall_checkpoint
+
+    return convert_icefall_checkpoint(pt_path, out_path, enc_cfg, rnnt_cfg)

@@ -141,8 +141,10 @@ def _init_layer(key, si: int, cfg: ZipformerConfig):
     hidden = d * 3 // 4
     keys = iter(jax.random.split(key, 24))
     p = {
-        # shared attention weights
-        "attn_qk": dense_init(next(keys), d, 2 * h * qd),
+        # shared attention weights: one in_proj emits per-head (q, k, p) —
+        # q/k of query_head_dim and a SEPARATE pos-query slice of
+        # pos_head_dim (icefall RelPositionMultiheadAttentionWeights layout)
+        "attn_qkp": dense_init(next(keys), d, h * (2 * qd + pd)),
         "attn_pos": dense_init(next(keys), cfg.pos_dim, h * pd, bias=False),
         # two value-attention modules sharing the weights
         "sa1_v": dense_init(next(keys), d, h * vd),
@@ -254,16 +256,13 @@ def _attn_weights(p, x, pos_emb, mask, si, cfg: ZipformerConfig):
     b, t, d = x.shape
     h, qd, pd = cfg.num_heads[si], cfg.query_head_dim, cfg.pos_head_dim
     dt = cfg.dtype
-    qk = dense(p["attn_qk"], x, dtype=dt)
-    q, k = jnp.split(qk, 2, axis=-1)
-    q = q.reshape(b, t, h, qd)
-    k = k.reshape(b, t, h, qd)
+    qkp = dense(p["attn_qkp"], x, dtype=dt).reshape(b, t, h, 2 * qd + pd)
+    q = qkp[..., :qd]
+    k = qkp[..., qd : 2 * qd]
+    qp = qkp[..., 2 * qd :]  # dedicated pos-query slice [B, T, H, pd]
     scores = jnp.einsum("bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32)
 
     pos = dense(p["attn_pos"], pos_emb, dtype=dt).reshape(2 * t - 1, h, pd)
-    # position scores use a separate low-dim slice of q (zipformer projects
-    # q again? — zipformer2 uses a dedicated pos_head_dim slice of the query)
-    qp = q[..., :pd]
     pos_scores = jnp.einsum(
         "bthd,lhd->bhtl", qp, pos, preferred_element_type=jnp.float32
     )

@@ -376,3 +376,126 @@ def test_onnx_reader_roundtrip(tmp_path):
     out = read_onnx_initializers(str(p))
     np.testing.assert_array_equal(out["encoder.w"], w)
     np.testing.assert_array_equal(out["encoder.w_quant"], i8)
+
+
+def synth_icefall_state_dict(enc_cfg, rnnt_cfg):
+    """Random tensors with the documented icefall zipformer2 naming."""
+    sd = {}
+
+    def add(name, *shape):
+        sd[name] = rt(*shape)
+
+    c1, c2, c3 = enc_cfg.embed_channels
+    add("encoder_embed.conv.0.weight", c1, 1, 3, 3)
+    add("encoder_embed.conv.0.bias", c1)
+    add("encoder_embed.conv.4.weight", c2, c1, 3, 3)
+    add("encoder_embed.conv.4.bias", c2)
+    add("encoder_embed.conv.8.weight", c3, c2, 3, 3)
+    add("encoder_embed.conv.8.bias", c3)
+    f = enc_cfg.feat_in
+    f = (f - 3) // 2 + 1
+    f = (f - 3) // 2 + 1
+    f = f - 2
+    add("encoder_embed.out.weight", enc_cfg.encoder_dim[0], c3 * f)
+    add("encoder_embed.out.bias", enc_cfg.encoder_dim[0])
+    add("encoder_embed.out_norm.bias", enc_cfg.encoder_dim[0])
+    sd["encoder_embed.out_norm.log_scale"] = np.zeros((), np.float32)
+
+    qd, vd, pd = enc_cfg.query_head_dim, enc_cfg.value_head_dim, enc_cfg.pos_head_dim
+    for s in range(len(enc_cfg.num_layers)):
+        d = enc_cfg.encoder_dim[s]
+        h = enc_cfg.num_heads[s]
+        ffn = enc_cfg.ffn_dim[s]
+        hidden = d * 3 // 4
+        # downsampled stacks nest layers under .encoder
+        base = (
+            f"encoder.encoders.{s}.encoder.layers"
+            if enc_cfg.downsampling[s] > 1
+            else f"encoder.encoders.{s}.layers"
+        )
+        for j in range(enc_cfg.num_layers[s]):
+            p = f"{base}.{j}"
+            add(f"{p}.self_attn_weights.in_proj.weight", h * (2 * qd + pd), d)
+            add(f"{p}.self_attn_weights.in_proj.bias", h * (2 * qd + pd))
+            add(f"{p}.self_attn_weights.linear_pos.weight", h * pd, enc_cfg.pos_dim)
+            for sa in ("self_attn1", "self_attn2"):
+                add(f"{p}.{sa}.in_proj.weight", h * vd, d)
+                add(f"{p}.{sa}.in_proj.bias", h * vd)
+                add(f"{p}.{sa}.out_proj.weight", d, h * vd)
+                add(f"{p}.{sa}.out_proj.bias", d)
+            add(f"{p}.nonlin_attention.in_proj.weight", 3 * hidden, d)
+            add(f"{p}.nonlin_attention.in_proj.bias", 3 * hidden)
+            add(f"{p}.nonlin_attention.out_proj.weight", d, hidden)
+            add(f"{p}.nonlin_attention.out_proj.bias", d)
+            for ff in ("feed_forward1", "feed_forward2", "feed_forward3"):
+                add(f"{p}.{ff}.in_proj.weight", ffn, d)
+                add(f"{p}.{ff}.in_proj.bias", ffn)
+                add(f"{p}.{ff}.out_proj.weight", d, ffn)
+                add(f"{p}.{ff}.out_proj.bias", d)
+            for cv in ("conv_module1", "conv_module2"):
+                add(f"{p}.{cv}.in_proj.weight", 2 * d, d)
+                add(f"{p}.{cv}.in_proj.bias", 2 * d)
+                add(f"{p}.{cv}.depthwise_conv.weight", d, 1, enc_cfg.cnn_kernel[s])
+                add(f"{p}.{cv}.depthwise_conv.bias", d)
+                add(f"{p}.{cv}.out_proj.weight", d, d)
+                add(f"{p}.{cv}.out_proj.bias", d)
+            add(f"{p}.norm.bias", d)
+            sd[f"{p}.norm.log_scale"] = np.zeros((), np.float32)
+            add(f"{p}.bypass.bypass_scale", d)
+            add(f"{p}.bypass_mid.bypass_scale", d)
+        if enc_cfg.downsampling[s] > 1:
+            add(f"encoder.encoders.{s}.downsample.bias", enc_cfg.downsampling[s])
+            add(f"encoder.encoders.{s}.bypass.bypass_scale", d)
+
+    v, dd, jd = rnnt_cfg.vocab_size, rnnt_cfg.pred_hidden, rnnt_cfg.joint_hidden
+    add("decoder.embedding.weight", v, dd)
+    add("decoder.conv.weight", dd, dd, rnnt_cfg.context_size)
+    add("joiner.encoder_proj.weight", jd, rnnt_cfg.enc_dim)
+    add("joiner.encoder_proj.bias", jd)
+    add("joiner.decoder_proj.weight", jd, dd)
+    add("joiner.decoder_proj.bias", jd)
+    add("joiner.output_linear.weight", rnnt_cfg.num_classes, jd)
+    add("joiner.output_linear.bias", rnnt_cfg.num_classes)
+    return sd
+
+
+def test_icefall_conversion_structure_and_run():
+    from reazonspeech_tpu.convert.icefall_zipformer import convert_icefall_state_dict
+    from reazonspeech_tpu.models.rnnt import RNNTConfig
+    from reazonspeech_tpu.models.zipformer import (
+        ZipformerConfig,
+        init_zipformer,
+        zipformer_encode,
+    )
+
+    enc_cfg = ZipformerConfig.tiny(compute_dtype="float32")
+    rnnt_cfg = RNNTConfig(
+        vocab_size=50, enc_dim=enc_cfg.out_dim, pred_hidden=16, joint_hidden=16,
+        predictor_kind="stateless", compute_dtype="float32",
+    )
+    sd = synth_icefall_state_dict(enc_cfg, rnnt_cfg)
+    params = convert_icefall_state_dict(sd, enc_cfg, rnnt_cfg)
+
+    # encoder leaf structure identical to random init
+    template = init_zipformer(jax.random.PRNGKey(0), enc_cfg)
+    got = {jax.tree_util.keystr(k): np.asarray(v).shape for k, v in
+           jax.tree_util.tree_flatten_with_path(params["encoder"])[0]}
+    want = {jax.tree_util.keystr(k): np.asarray(v).shape for k, v in
+            jax.tree_util.tree_flatten_with_path(template)[0]}
+    assert got == want
+
+    feats = jnp.asarray(RNG.standard_normal((1, 64, enc_cfg.feat_in)), jnp.float32)
+    enc, lens = zipformer_encode(
+        jax.tree.map(jnp.asarray, params["encoder"]), feats, jnp.array([64]), enc_cfg
+    )
+    assert np.isfinite(np.asarray(enc)).all()
+
+    # converted predictor/joint run through the greedy decode
+    from reazonspeech_tpu.decoding.rnnt_greedy import rnnt_greedy_decode
+
+    tokens, frames, counts = rnnt_greedy_decode(
+        jax.tree.map(jnp.asarray, params["predictor"]),
+        jax.tree.map(jnp.asarray, params["joint"]),
+        enc, lens, rnnt_cfg,
+    )
+    assert tokens.shape[0] == 1
