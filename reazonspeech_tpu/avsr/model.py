@@ -104,6 +104,10 @@ def init_avhubert(key, cfg: AVHubertConfig):
     p["dec_final_ln"] = layer_norm_init(dd)
     if not cfg.tie_word_embeddings:
         p["lm_head"] = dense_init(next(keys), dd, cfg.vocab_size, bias=False)
+    if cfg.ctc_loss_weight > 0:
+        # auxiliary CTC head over encoder frames (reference trains with
+        # ctc_loss_weight=0.3, configuration_avhubert.py:54)
+        p["ctc_head"] = dense_init(next(keys), d, cfg.vocab_size + 1)
     return p
 
 
@@ -499,18 +503,36 @@ class AVHubertForConditionalGeneration:
         )
 
     def loss(self, decoder_input_ids, labels, audio=None, video=None, lengths=None):
-        """Cross-entropy with label smoothing (reference
-        modeling_avhubert.py:314-316)."""
-        logits = self.forward_logits(decoder_input_ids, audio, video, lengths)
+        """Label-smoothed cross-entropy (reference modeling_avhubert.py:314-316),
+        plus the auxiliary encoder CTC term weighted by config.ctc_loss_weight
+        when a ctc_head is present."""
+        enc, mask = self.encoder(audio, video, lengths)
+        logits = decode_logits(
+            self.params, self.config, jnp.asarray(decoder_input_ids), enc, mask
+        )
         logp = jax.nn.log_softmax(logits, axis=-1)
         eps = self.config.label_smoothing
-        v = logits.shape[-1]
         lbl = jnp.asarray(labels)
         nll = -jnp.take_along_axis(logp, lbl[..., None], axis=-1)[..., 0]
         smooth = -logp.mean(axis=-1)
-        loss = (1 - eps) * nll + eps * smooth
+        ce = (1 - eps) * nll + eps * smooth
         pad_mask = lbl != self.config.pad_token_id
-        return (loss * pad_mask).sum() / jnp.maximum(pad_mask.sum(), 1)
+        loss = (ce * pad_mask).sum() / jnp.maximum(pad_mask.sum(), 1)
+
+        w = self.config.ctc_loss_weight
+        if w > 0 and "ctc_head" in self.params:
+            from ..models.layers import dense
+            from ..training.losses import ctc_loss
+
+            ctc_logits = dense(self.params["ctc_head"], enc).astype(jnp.float32)
+            enc_lens = mask.sum(axis=-1).astype(jnp.int32)
+            lbl_lens = pad_mask.sum(axis=-1).astype(jnp.int32)
+            blank_id = self.config.vocab_size  # extra last logit
+            c = jnp.mean(
+                ctc_loss(ctc_logits, enc_lens, lbl, lbl_lens, blank_id)
+            )
+            loss = (1 - w) * loss + w * c
+        return loss
 
     def generate(self, audio=None, video=None, lengths=None, num_beams=5,
                  max_length=128):

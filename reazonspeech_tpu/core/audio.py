@@ -165,7 +165,17 @@ def audio_from_path(path):
     try:
         x, sr = _read_wav(path)
     except ValueError:
-        if shutil.which("ffmpeg") and shutil.which("ffprobe"):
+        with open(path, "rb") as f:
+            magic = f.read(4)
+        if magic == b"fLaC":
+            from .flac import decode_flac
+
+            with open(path, "rb") as f:
+                pcm, sr = decode_flac(f.read())
+            x = pcm.astype(np.float32) / 32768.0
+            if x.ndim > 1:
+                x = x.T
+        elif shutil.which("ffmpeg") and shutil.which("ffprobe"):
             x, sr = _ffmpeg_decode(path)
         else:
             raise

@@ -4,8 +4,9 @@ Behavior parity with the reference (pkg/espnet-oneseg/src/utils.py:1-58):
 ``load_audio`` decodes via an ffmpeg subprocess (16 kHz, right-channel mono —
 1seg broadcasts carry the primary audio on FR), ``save_as_zip`` writes
 ``%04i.<ext>`` entries plus a ``dataset.json`` JSONL manifest with QC fields.
-FLAC encoding requires soundfile; without it the encoder falls back to
-first-party WAV entries (manifest names follow the actual format).
+FLAC (the reference's default entry format) is encoded first-party
+(core.flac, verbatim subframes); WAV is also first-party; other formats use
+soundfile when available.
 """
 
 import io
@@ -13,7 +14,6 @@ import json
 import shutil
 import subprocess
 import tempfile
-import warnings
 import zipfile
 
 import numpy as np
@@ -59,6 +59,10 @@ def _encode_wav(utt) -> bytes:
 def _encode(utt, format) -> bytes:
     if format == "wav":
         return _encode_wav(utt)
+    if format == "flac":
+        from ..core.flac import encode_flac
+
+        return encode_flac(np.asarray(utt.buffer), utt.samplerate)
     try:
         import soundfile
 
@@ -68,7 +72,7 @@ def _encode(utt, format) -> bytes:
     except ImportError:
         raise RuntimeError(
             f"encoding '{format}' requires the soundfile package; "
-            "use format='wav' for the first-party encoder"
+            "use 'wav' or 'flac' for the first-party encoders"
         )
 
 
@@ -78,17 +82,9 @@ def save_as_zip(utterances, path, format="flac"):
     Args:
         utterances (list[Utterance]): the audio corpus to save
         path (str): zip file path to create
-        format (str): audio entry format ("flac" with soundfile, "wav" always)
+        format (str): audio entry format — "flac" (first-party verbatim
+            encoder, reference default) or "wav"; other formats need soundfile
     """
-    try:
-        _encode_probe = format == "wav" or __import__("soundfile")
-    except ImportError:
-        warnings.warn(
-            "soundfile not available; writing WAV corpus entries instead of "
-            f"'{format}'"
-        )
-        format = "wav"
-
     with zipfile.ZipFile(path, "w") as zipf:
         dataset = []
         for idx, utt in enumerate(utterances):

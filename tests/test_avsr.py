@@ -178,3 +178,31 @@ def test_resnet3d_shapes():
     out = resnet3d_apply(p, video)
     assert out.shape == (1, 5, 512)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_hybrid_ctc_loss(tiny):
+    """ctc_loss_weight>0 adds the auxiliary encoder-CTC term; both variants
+    must be finite and differ."""
+    cfg_ctc = AVHubertConfig.tiny(audio_feat_dim=104, ctc_loss_weight=0.3)
+    m_ctc = AVHubertForConditionalGeneration.init(jax.random.PRNGKey(0), cfg_ctc)
+    assert "ctc_head" in m_ctc.params
+
+    cfg0 = AVHubertConfig.tiny(audio_feat_dim=104, ctc_loss_weight=0.0)
+    m0 = AVHubertForConditionalGeneration.init(jax.random.PRNGKey(0), cfg0)
+
+    rng = np.random.default_rng(8)
+    audio = rng.standard_normal((2, 6, 104)).astype(np.float32)
+    ids = rng.integers(3, cfg0.vocab_size, (2, 4)).astype(np.int32)
+    l_ctc = float(m_ctc.loss(ids, ids, audio=audio))
+    l0 = float(m0.loss(ids, ids, audio=audio))
+    assert np.isfinite(l_ctc) and np.isfinite(l0)
+    assert l_ctc != l0
+
+    # gradient flows through both heads
+    def f(params):
+        m = AVHubertForConditionalGeneration(config=cfg_ctc, params=params)
+        return m.loss(ids, ids, audio=audio)
+
+    g = jax.grad(f)(m_ctc.params)
+    assert np.isfinite(np.asarray(g["ctc_head"]["w"])).all()
+    assert float(np.abs(np.asarray(g["ctc_head"]["w"])).sum()) > 0

@@ -81,3 +81,15 @@ def test_normalization_applied_in_cer():
     r = calculate_cer("25日です。", "２５日です")
     assert r["distance"] == 0
     assert normalize("２５日です。") == "二十五日です"
+
+
+def test_evaluate_multiprocess(capsys):
+    """num_proc=2 forks datasets.map workers — the evaluator must pickle and
+    the per-process results must merge (the reference's multi-GPU pattern,
+    pkg/evaluation/src/base.py:194-215)."""
+    ev = EchoEvaluator(
+        {i: t for i, t in enumerate(["あ", "い", "う", "え"])}, num_proc=2
+    )
+    out = ev.evaluate(dataset={"id": [0, 1, 2, 3], "text": ["あ", "い", "う", "お"]})
+    assert sum(out["distance"]) == 1
+    assert "CER: 25.00%" in capsys.readouterr().out

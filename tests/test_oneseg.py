@@ -244,16 +244,16 @@ def test_save_as_zip_wav(tmp_path):
     assert len(a.waveform) == 1600
 
 
-def test_save_as_zip_flac_falls_back(tmp_path):
+def test_save_as_zip_flac_default(tmp_path):
     utt = Utterance(
         buffer=np.zeros(160, np.float32), samplerate=16000, duration=0.01,
         start_seconds=0, end_seconds=0.01, text="x", ctc=0.0,
     )
     p = tmp_path / "c.zip"
-    with pytest.warns(UserWarning, match="soundfile not available"):
-        save_as_zip([utt], str(p))
+    save_as_zip([utt], str(p))  # reference-default FLAC via first-party encoder
     with zipfile.ZipFile(p) as z:
-        assert "0000.wav" in z.namelist()
+        assert "0000.flac" in z.namelist()
+        assert z.read("0000.flac")[:4] == b"fLaC"
 
 
 def test_demuxer_fuzz_robustness(tmp_path):
