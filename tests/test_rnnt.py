@@ -66,23 +66,6 @@ def test_joint_full_matches_step(tiny):
     np.testing.assert_allclose(np.asarray(full[:, 1, 2]), np.asarray(one), atol=1e-5)
 
 
-def rigged_joint(cfg, emissions):
-    """Build joint params whose argmax follows a scripted (frame -> token)
-    plan via the enc projection: enc one-hot frames select logits rows."""
-    t = len(emissions)
-    w_enc = np.zeros((cfg.enc_dim, cfg.joint_hidden), np.float32)
-    # identity-ish passthrough: joint_hidden >= num_classes for the rig
-    assert cfg.joint_hidden >= cfg.num_classes
-    w_out = np.zeros((cfg.joint_hidden, cfg.num_classes), np.float32)
-    for i in range(cfg.num_classes):
-        w_out[i, i] = 1.0
-    return {
-        "enc": {"w": jnp.asarray(w_enc), "b": jnp.zeros(cfg.joint_hidden)},
-        "pred": {"w": jnp.zeros((cfg.pred_hidden, cfg.joint_hidden)), "b": jnp.zeros(cfg.joint_hidden)},
-        "out": {"w": jnp.asarray(w_out), "b": jnp.zeros(cfg.num_classes)},
-    }
-
-
 def test_greedy_decode_scripted():
     """Rig the joint so its logits depend only on the encoder frame, with a
     known emission plan; the decode must recover exactly those (token, frame)
