@@ -97,15 +97,82 @@ def convert_espnet_state_dict(sd, enc_cfg: FastConformerConfig, num_tokens=None)
     stacked = jax.tree.map(lambda *xs: np.stack(xs), *blocks)
 
     params = {"encoder": {"subsampling": sub, "blocks": stacked}}
+    if "encoder.after_norm.weight" in sd:
+        params["encoder"]["after_norm"] = _ln(sd, "encoder.after_norm")
     if "ctc.ctc_lo.weight" in sd:
         params["ctc"] = {"out": _lin(sd, "ctc.ctc_lo")}
+
+    # --- transducer prediction network + joint (espnet2 TransducerDecoder /
+    # JointNetwork naming: decoder.embed, decoder.decoder.{i}.*_l0,
+    # joint_network.lin_{enc,dec,out})
+    if "decoder.embed.weight" in sd:
+        from .torch_utils import t_lstm_layer
+
+        lstm = []
+        i = 0
+        while f"decoder.decoder.{i}.weight_ih_l0" in sd:
+            lstm.append(
+                t_lstm_layer(
+                    sd[f"decoder.decoder.{i}.weight_ih_l0"],
+                    sd[f"decoder.decoder.{i}.weight_hh_l0"],
+                    sd[f"decoder.decoder.{i}.bias_ih_l0"],
+                    sd[f"decoder.decoder.{i}.bias_hh_l0"],
+                )
+            )
+            i += 1
+        params["predictor"] = {
+            "embed": {"table": sd["decoder.embed.weight"]},
+            "lstm": lstm,
+        }
+    if "joint_network.lin_out.weight" in sd:
+        params["joint"] = {
+            "enc": _lin(sd, "joint_network.lin_enc"),
+            "pred": _lin(sd, "joint_network.lin_dec"),
+            "out": _lin(sd, "joint_network.lin_out"),
+        }
     return params
 
 
-def convert_espnet_checkpoint(pth_path, out_path, enc_cfg=None):
+def read_espnet_config(config_yaml):
+    """Parse an ESPnet experiment config.yaml: (token_list, encoder_conf).
+
+    The zoo layout ships the training config next to the .pth
+    (exp/<run>/config.yaml); token_list is the authoritative vocabulary
+    (blank first, <sos/eos> last — espnet2 convention)."""
+    import yaml
+
+    with open(config_yaml) as f:
+        cfg = yaml.safe_load(f)
+    return cfg.get("token_list"), cfg.get("encoder_conf") or {}
+
+
+def infer_config_from_espnet(encoder_conf):
+    """Derive a FastConformerConfig (espnet preset) from encoder_conf."""
+    from ..models.conformer import espnet_encoder_config
+
+    kw = {}
+    if "output_size" in encoder_conf:
+        kw["d_model"] = encoder_conf["output_size"]
+    if "attention_heads" in encoder_conf:
+        kw["num_heads"] = encoder_conf["attention_heads"]
+    if "num_blocks" in encoder_conf:
+        kw["num_layers"] = encoder_conf["num_blocks"]
+    if "linear_units" in encoder_conf and "output_size" in encoder_conf:
+        kw["ff_expansion"] = encoder_conf["linear_units"] // encoder_conf["output_size"]
+    if "cnn_module_kernel" in encoder_conf:
+        kw["conv_kernel"] = encoder_conf["cnn_module_kernel"]
+    return espnet_encoder_config(**kw)
+
+
+def convert_espnet_checkpoint(pth_path, out_path, enc_cfg=None, config_yaml=None):
     import torch
 
     sd = torch.load(pth_path, map_location="cpu", weights_only=True)
+    token_list = None
+    if config_yaml:
+        token_list, encoder_conf = read_espnet_config(config_yaml)
+        if enc_cfg is None:
+            enc_cfg = infer_config_from_espnet(encoder_conf)
     if enc_cfg is None:
         from ..models.conformer import espnet_encoder_config
 
@@ -115,5 +182,20 @@ def convert_espnet_checkpoint(pth_path, out_path, enc_cfg=None):
         "flavor": "espnet",
         "enc_cfg": {k: getattr(enc_cfg, k) for k in enc_cfg.__dataclass_fields__},
     }
+    if "predictor" in params and "joint" in params:
+        # espnet2 transducer conventions: LSTM predictor, blank id 0 sharing
+        # the embedding table, tanh joint (JointNetwork default)
+        meta["rnnt_cfg"] = {
+            "vocab_size": int(params["predictor"]["embed"]["table"].shape[0]),
+            "enc_dim": enc_cfg.d_model,
+            "pred_hidden": int(params["predictor"]["lstm"][0]["w_hh"].shape[0]),
+            "pred_rnn_layers": len(params["predictor"]["lstm"]),
+            "joint_hidden": int(params["joint"]["out"]["w"].shape[0]),
+            "joint_activation": "tanh",
+            "predictor_kind": "lstm",
+            "blank_position": "first",
+        }
+    if token_list:
+        meta["token_list"] = token_list
     save_param_tree(out_path, params, meta)
     return params, enc_cfg

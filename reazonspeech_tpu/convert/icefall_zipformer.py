@@ -155,11 +155,29 @@ def convert_icefall_checkpoint(pt_path, out_path, enc_cfg=None, rnnt_cfg=None,
     if isinstance(sd, dict) and "model" in sd:
         sd = sd["model"]
     enc_cfg = enc_cfg or ZipformerConfig.large()
+    if rnnt_cfg is None and "decoder.embedding.weight" in sd:
+        # derive the transducer dims from the checkpoint itself
+        v, d = sd["decoder.embedding.weight"].shape
+        ctx = sd["decoder.conv.weight"].shape[2]
+        j = sd["joiner.output_linear.weight"].shape[1]  # torch [out, in]
+        rnnt_cfg = RNNTConfig(
+            vocab_size=int(v),
+            enc_dim=enc_cfg.out_dim,
+            pred_hidden=int(d),
+            joint_hidden=int(j),
+            joint_activation="tanh",
+            predictor_kind="stateless",
+            context_size=int(ctx),
+        )
     params = convert_icefall_state_dict(sd, enc_cfg, rnnt_cfg)
     meta = {
         "flavor": "k2-zipformer",
         "enc_cfg": {k: getattr(enc_cfg, k) for k in enc_cfg.__dataclass_fields__},
     }
+    if rnnt_cfg is not None:
+        meta["rnnt_cfg"] = {
+            k: getattr(rnnt_cfg, k) for k in rnnt_cfg.__dataclass_fields__
+        }
     if token_list:
         meta["token_list"] = list(token_list)
     save_param_tree(out_path, params, meta)

@@ -26,7 +26,58 @@ from ..models.rnnt import RNNTConfig
 from .onnx_reader import read_onnx_initializers
 from .store import save_param_tree
 
-__all__ = ["convert_decoder_joiner", "convert_zipformer_torch"]
+__all__ = [
+    "convert_decoder_joiner",
+    "convert_zipformer_torch",
+    "convert_sherpa_snapshot",
+    "read_tokens_txt",
+    "infer_rnnt_cfg_from_onnx",
+]
+
+
+def read_tokens_txt(path):
+    """Parse sherpa/k2 tokens.txt ("<sym> <id>" lines) into an id-indexed
+    token list (pkg/k2-asr/src/huggingface.py:42 'tokens' entry)."""
+    toks = {}
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            sym, idx = line.rsplit(" ", 1)
+            toks[int(idx)] = sym
+    return [toks[i] for i in range(len(toks))]
+
+
+def infer_rnnt_cfg_from_onnx(decoder_onnx, joiner_onnx, enc_dim):
+    """Derive an RNNTConfig from the decoder/joiner graph tensor shapes."""
+    dec = _dequant_pairs(read_onnx_initializers(decoder_onnx))
+    joi = _dequant_pairs(read_onnx_initializers(joiner_onnx))
+    embed = conv = None
+    for arr in dec.values():
+        if arr.ndim == 3:
+            conv = arr
+        elif arr.ndim == 2:
+            embed = arr
+    if embed is None or conv is None:
+        raise ValueError("decoder graph lacks embedding/conv tensors")
+    v, d = embed.shape
+    ctx = min(conv.shape)
+    j = None
+    for arr in joi.values():
+        if arr.ndim == 2 and v in arr.shape:
+            j = arr.shape[0] if arr.shape[1] == v else arr.shape[1]
+    if j is None:
+        raise ValueError("joiner graph lacks the [J, V] output linear")
+    return RNNTConfig(
+        vocab_size=v,
+        enc_dim=enc_dim,
+        pred_hidden=d,
+        joint_hidden=j,
+        joint_activation="tanh",
+        predictor_kind="stateless",
+        context_size=ctx,
+    )
 
 
 def _dequant_pairs(tensors):
@@ -125,8 +176,76 @@ def convert_decoder_joiner(decoder_onnx, joiner_onnx, rnnt_cfg: RNNTConfig):
 
 def convert_zipformer_torch(pt_path, out_path, enc_cfg=None, rnnt_cfg=None):
     """Entry point for icefall .pt zipformer checkpoints (the encoder's
-    canonical source; published next to the ONNX exports) — delegates to
+    canonical source; published alongside the ONNX exports) — delegates to
     convert.icefall_zipformer."""
     from .icefall_zipformer import convert_icefall_checkpoint
 
     return convert_icefall_checkpoint(pt_path, out_path, enc_cfg, rnnt_cfg)
+
+
+def convert_sherpa_snapshot(
+    encoder_onnx,
+    decoder_onnx,
+    joiner_onnx,
+    out_path,
+    tokens_txt=None,
+    icefall_pt=None,
+    enc_cfg=None,
+):
+    """Convert a sherpa-style published snapshot to a native param tree.
+
+    The decoder/joiner always convert from the ONNX graphs (shape-driven,
+    int8-aware). The encoder converts from ``icefall_pt`` when given; the
+    traced encoder ONNX graph is constant-folded by the exporter (Linear
+    weights lose their module names), so without the .pt the conversion
+    raises with that explanation rather than guessing.
+    """
+    import os
+
+    from ..models.zipformer import ZipformerConfig
+
+    token_list = read_tokens_txt(tokens_txt) if tokens_txt else None
+    if enc_cfg is None:
+        # sherpa repos carry no encoder config file; the published models are
+        # Zipformer-L (README.rst:28). Tests shrink via the size env var.
+        tiny = os.environ.get("REAZONSPEECH_TPU_MODEL_SIZE") == "tiny"
+        enc_cfg = ZipformerConfig.tiny() if tiny else ZipformerConfig.large()
+    rnnt_cfg = infer_rnnt_cfg_from_onnx(decoder_onnx, joiner_onnx, enc_cfg.out_dim)
+    if token_list and rnnt_cfg.vocab_size != len(token_list):
+        raise ValueError(
+            f"tokens.txt has {len(token_list)} entries but the decoder "
+            f"embedding has {rnnt_cfg.vocab_size} rows"
+        )
+
+    predictor, joint = convert_decoder_joiner(decoder_onnx, joiner_onnx, rnnt_cfg)
+
+    if icefall_pt is None:
+        raise FileNotFoundError(
+            "sherpa ONNX encoder graphs are constant-folded at export time "
+            "(module names are lost), so the Zipformer encoder must convert "
+            "from the icefall .pt checkpoint published alongside the ONNX "
+            f"files; none was found next to {encoder_onnx}. Download the "
+            "repo's exp/pretrained.pt (or epoch-*.pt) and re-run."
+        )
+    import torch
+
+    sd = torch.load(icefall_pt, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "model" in sd:
+        sd = sd["model"]
+    from .icefall_zipformer import convert_icefall_state_dict
+
+    params = convert_icefall_state_dict(sd, enc_cfg, rnnt_cfg)
+    # ONNX decoder/joiner win over the .pt ones: for int8 precisions they
+    # carry the published quantization (pkg/k2-asr/src/huggingface.py:47-58)
+    params["predictor"] = predictor
+    params["joint"] = joint
+
+    meta = {
+        "flavor": "k2-zipformer",
+        "enc_cfg": {k: getattr(enc_cfg, k) for k in enc_cfg.__dataclass_fields__},
+        "rnnt_cfg": {k: getattr(rnnt_cfg, k) for k in rnnt_cfg.__dataclass_fields__},
+    }
+    if token_list:
+        meta["token_list"] = token_list
+    save_param_tree(out_path, params, meta)
+    return params, enc_cfg, rnnt_cfg

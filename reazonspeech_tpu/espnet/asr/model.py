@@ -6,9 +6,9 @@ transducer emissions — eliminating the reference's 3× encoder recompute per
 chunk (SURVEY.md §3.3 note).
 """
 
+import glob
 import os
-import warnings
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from functools import partial
 from typing import Optional
 
@@ -26,6 +26,9 @@ from ...models.rnnt import RNNTConfig, init_joint, init_predictor
 __all__ = ["EspnetTPUModel", "load_model_container"]
 
 DEFAULT_CHECKPOINT_ENV = "REAZONSPEECH_TPU_ESPNET_CHECKPOINT"
+
+# Published weights repo (parity: pkg/espnet-asr/src/transcribe.py:28-31).
+HF_REPO_ID = "reazon-research/reazonspeech-espnet-v2"
 BUCKET_SAMPLES = 2 * 16000  # chunks are ≤ 20 s; 2 s buckets bound recompiles
 
 
@@ -122,6 +125,35 @@ def default_token_list(vocab_chars=None):
     return ["<blank>"] + list(vocab_chars) + ["<sos/eos>"]
 
 
+def _convert_snapshot(snapshot_dir, out_base):
+    """Convert the espnet-zoo .pth (+ its config.yaml) inside an HF snapshot."""
+    pths = sorted(
+        glob.glob(os.path.join(snapshot_dir, "**", "*.pth"), recursive=True),
+        # prefer the averaged validation checkpoint the zoo publishes
+        key=lambda p: ("valid" not in p, "ave" not in p, p),
+    )
+    if not pths:
+        from ...core.hub import CheckpointNotFoundError
+
+        raise CheckpointNotFoundError(
+            f"HF snapshot {snapshot_dir} contains no .pth checkpoint"
+        )
+    cfg_candidates = glob.glob(
+        os.path.join(os.path.dirname(pths[0]), "config.yaml")
+    ) or glob.glob(os.path.join(snapshot_dir, "**", "config.yaml"), recursive=True)
+    from ...convert.espnet_conformer import convert_espnet_checkpoint
+
+    convert_espnet_checkpoint(
+        pths[0], out_base, config_yaml=cfg_candidates[0] if cfg_candidates else None
+    )
+
+
+def _tpu_serving_overrides(enc_cfg: FastConformerConfig) -> FastConformerConfig:
+    if jax.devices()[0].platform in ("tpu", "axon"):
+        return replace(enc_cfg, attn_impl="pallas", residual_dtype="bfloat16")
+    return enc_cfg
+
+
 def load_model_container(
     checkpoint: Optional[str] = None,
     enc_cfg: Optional[FastConformerConfig] = None,
@@ -131,21 +163,41 @@ def load_model_container(
     beam_size: int = 4,
     seed: int = 0,
 ) -> EspnetTPUModel:
+    """Build the espnet-flavor container.
+
+    Checkpoint resolution is offline-first HF-hub (core/hub.py) and FAILS
+    LOUDLY when nothing resolves; pass checkpoint="random" for an explicitly
+    randomly initialized model (tests/benchmarks).
+    """
+    checkpoint = checkpoint or os.environ.get(DEFAULT_CHECKPOINT_ENV)
+    random_init = checkpoint == "random"
+    meta = {}
+    params = None
+    if not random_init:
+        if checkpoint is None:
+            from ...core.hub import resolve_converted
+
+            checkpoint = resolve_converted(HF_REPO_ID, "model", _convert_snapshot)
+        from ...convert.store import load_param_tree
+
+        params, meta = load_param_tree(checkpoint)
+        if meta.get("token_list"):
+            token_list = token_list or meta["token_list"]
+
     if enc_cfg is None:
-        size = os.environ.get("REAZONSPEECH_TPU_MODEL_SIZE", "")
-        if size == "tiny":
+        if meta.get("enc_cfg"):
+            enc_cfg = _tpu_serving_overrides(FastConformerConfig(**meta["enc_cfg"]))
+        elif os.environ.get("REAZONSPEECH_TPU_MODEL_SIZE", "") == "tiny":
             enc_cfg = espnet_encoder_config(
                 num_layers=2, d_model=64, num_heads=4, subsampling_channels=32
             )
         else:
-            on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-            enc_cfg = espnet_encoder_config(
-                attn_impl="pallas" if on_tpu else "xla",
-                residual_dtype="bfloat16" if on_tpu else "float32",
-            )
+            enc_cfg = _tpu_serving_overrides(espnet_encoder_config())
 
     token_list = token_list or default_token_list()
     num_tokens = len(token_list)
+    if rnnt_cfg is None and meta.get("rnnt_cfg"):
+        rnnt_cfg = RNNTConfig(**meta["rnnt_cfg"])
     if rnnt_cfg is None:
         rnnt_cfg = RNNTConfig(
             vocab_size=num_tokens,
@@ -154,18 +206,7 @@ def load_model_container(
             joint_hidden=256 if enc_cfg.d_model >= 256 else 64,
         )
 
-    checkpoint = checkpoint or os.environ.get(DEFAULT_CHECKPOINT_ENV)
-    if checkpoint:
-        from ...convert.store import load_param_tree
-
-        params, meta = load_param_tree(checkpoint)
-        if meta.get("token_list"):
-            token_list = meta["token_list"]
-    else:
-        warnings.warn(
-            "No converted checkpoint found (set $%s or pass checkpoint=); "
-            "returning a randomly initialized model." % DEFAULT_CHECKPOINT_ENV
-        )
+    if params is None:
         key = jax.random.PRNGKey(seed)
         k1, k2, k3, k4 = jax.random.split(key, 4)
         params = {
@@ -174,6 +215,14 @@ def load_model_container(
             "predictor": init_predictor(k3, rnnt_cfg),
             "joint": init_joint(k4, rnnt_cfg),
         }
+    else:
+        # a CTC-only or encoder-only conversion still needs usable shapes
+        # for the transducer branch of the fused program
+        key = jax.random.PRNGKey(seed)
+        k1, k2, k3 = jax.random.split(key, 3)
+        params.setdefault("ctc", init_ctc_head(k1, enc_cfg.d_model, num_tokens))
+        params.setdefault("predictor", init_predictor(k2, rnnt_cfg))
+        params.setdefault("joint", init_joint(k3, rnnt_cfg))
 
     tok = CharTokenizer(token_list)
     tok.types[0] = 3  # <blank> control

@@ -1,20 +1,28 @@
 """Model loading for the k2 flavor.
 
 API parity with the reference loader (pkg/k2-asr/src/huggingface.py:16-83):
-the same device/precision/language signature, the same language→model table
-and validation errors. The sherpa-onnx recognizer becomes our Zipformer TPU
-container; checkpoints come from converted param trees (see
-reazonspeech_tpu.convert.onnx_zipformer) located via
-$REAZONSPEECH_TPU_K2_CHECKPOINT_DIR/<language>/<precision> or an explicit
-``checkpoint=`` path.
+the same device/precision/language signature, the same language→model table,
+file-name tables and validation errors, and the same offline-first HF-hub
+resolution (snapshot from the local cache before any network attempt,
+pkg/k2-asr/src/huggingface.py:68-71). The sherpa-onnx recognizer becomes our
+Zipformer TPU container; the published ONNX decoder/joiner graphs (fp32 or
+int8 per ``precision``) convert directly, the encoder converts from the
+icefall .pt next to them (the traced encoder ONNX is constant-folded).
+
+Resolution order: explicit ``checkpoint=`` >
+$REAZONSPEECH_TPU_K2_CHECKPOINT_DIR/<language>/<precision> > converted-tree
+cache > HF snapshot (auto-converted). ``checkpoint="random"`` opts into a
+randomly initialized model; with nothing resolvable this raises
+CheckpointNotFoundError instead of silently serving random weights.
 """
 
+import glob
 import os
-import warnings
 
+from ...core.hub import CheckpointNotFoundError, resolve_converted
 from .model import K2TPUModel, load_model_container
 
-__all__ = ["load_model", "LANGUAGE_MODELS"]
+__all__ = ["load_model", "LANGUAGE_MODELS", "hf_repo_files"]
 
 # language -> (HF repo the weights originate from, training epoch of the
 # published checkpoint). Parity: pkg/k2-asr/src/huggingface.py:28-38.
@@ -29,15 +37,73 @@ PRECISIONS = ("fp32", "int8", "int8-fp32")
 CHECKPOINT_DIR_ENV = "REAZONSPEECH_TPU_K2_CHECKPOINT_DIR"
 
 
+def hf_repo_files(precision, epochs):
+    """Published file names per precision (pkg/k2-asr/src/huggingface.py:40-59)."""
+    files = {
+        "fp32": {
+            "tokens": "tokens.txt",
+            "encoder": f"encoder-epoch-{epochs}-avg-1.onnx",
+            "decoder": f"decoder-epoch-{epochs}-avg-1.onnx",
+            "joiner": f"joiner-epoch-{epochs}-avg-1.onnx",
+        },
+        "int8": {
+            "tokens": "tokens.txt",
+            "encoder": f"encoder-epoch-{epochs}-avg-1.int8.onnx",
+            "decoder": f"decoder-epoch-{epochs}-avg-1.int8.onnx",
+            "joiner": f"joiner-epoch-{epochs}-avg-1.int8.onnx",
+        },
+        "int8-fp32": {
+            "tokens": "tokens.txt",
+            "encoder": f"encoder-epoch-{epochs}-avg-1.int8.onnx",
+            "decoder": f"decoder-epoch-{epochs}-avg-1.onnx",
+            "joiner": f"joiner-epoch-{epochs}-avg-1.int8.onnx",
+        },
+    }
+    return files[precision]
+
+
+def _make_converter(precision, epochs):
+    files = hf_repo_files(precision, epochs)
+
+    def convert(snapshot_dir, out_base):
+        from ...convert.onnx_zipformer import convert_sherpa_snapshot
+
+        def find(name):
+            p = os.path.join(snapshot_dir, name)
+            if os.path.exists(p):
+                return p
+            hits = glob.glob(os.path.join(snapshot_dir, "**", name), recursive=True)
+            return hits[0] if hits else None
+
+        enc, dec, joi = (find(files[k]) for k in ("encoder", "decoder", "joiner"))
+        if not (enc and dec and joi):
+            raise CheckpointNotFoundError(
+                f"snapshot {snapshot_dir} is missing the {precision} ONNX "
+                f"files {sorted(files.values())}"
+            )
+        pts = sorted(
+            glob.glob(os.path.join(snapshot_dir, "**", "*.pt"), recursive=True),
+            # prefer the averaged/pretrained export over raw epoch files
+            key=lambda p: ("pretrained" not in p, "avg" not in p, p),
+        )
+        convert_sherpa_snapshot(
+            enc, dec, joi, out_base,
+            tokens_txt=find(files["tokens"]),
+            icefall_pt=pts[0] if pts else None,
+        )
+
+    return convert
+
+
 def load_model(device="cpu", precision="fp32", language="ja", checkpoint=None) -> K2TPUModel:
     """Load a ReazonSpeech k2 model.
 
     Args:
       device (str): accepted for API compatibility; placement is JAX's
-      precision (str): "fp32", "int8" or "int8-fp32" (int8 variants load the
-        quantization-converted param trees when present)
+      precision (str): "fp32", "int8" or "int8-fp32" (int8 variants convert
+        the published quantized decoder/joiner graphs)
       language (str): "ja", "ja-en" or "ja-en-mls-5k"
-      checkpoint (str): explicit converted-checkpoint path (overrides lookup)
+      checkpoint (str): explicit converted-checkpoint path, or "random"
 
     Returns:
       K2TPUModel
@@ -55,7 +121,13 @@ def load_model(device="cpu", precision="fp32", language="ja", checkpoint=None) -
             if os.path.exists(cand + ".npz"):
                 checkpoint = cand
             else:
-                warnings.warn(
-                    f"no converted checkpoint at {cand}.npz; falling back"
+                raise CheckpointNotFoundError(
+                    f"${CHECKPOINT_DIR_ENV}={basedir} is set but "
+                    f"{cand}.npz does not exist"
                 )
+    if checkpoint is None:
+        repo_id, epochs = LANGUAGE_MODELS[language]
+        checkpoint = resolve_converted(
+            repo_id, precision, _make_converter(precision, epochs)
+        )
     return load_model_container(checkpoint=checkpoint)

@@ -7,7 +7,6 @@ prediction network, blank-first token convention.
 """
 
 import os
-import warnings
 from dataclasses import dataclass
 from functools import partial
 from typing import Optional
@@ -94,11 +93,52 @@ def load_model_container(
     token_list=None,
     seed: int = 0,
 ) -> K2TPUModel:
+    """Build the k2-flavor container.
+
+    ``checkpoint`` is a converted-tree base path, "random" (explicit random
+    initialization for tests/benchmarks), or None — which consults
+    $REAZONSPEECH_TPU_K2_CHECKPOINT and otherwise raises (the HF-hub
+    resolution lives in load_model, k2/asr/huggingface.py).
+    """
+    checkpoint = checkpoint or os.environ.get(DEFAULT_CHECKPOINT_ENV)
+    random_init = checkpoint == "random"
+    meta = {}
+    params = None
+    if not random_init:
+        if checkpoint is None:
+            from ...core.hub import CheckpointNotFoundError
+
+            raise CheckpointNotFoundError(
+                "No k2 checkpoint given (pass checkpoint=, set $%s, or use "
+                "k2.asr.load_model for HF-hub resolution). For a randomly "
+                "initialized model pass checkpoint=\"random\"."
+                % DEFAULT_CHECKPOINT_ENV
+            )
+        from ...convert.quantize import dequantize_tree, is_quantized
+        from ...convert.store import load_param_tree
+
+        params, meta = load_param_tree(checkpoint)
+        if is_quantized(params):  # int8 precision variants
+            params = dequantize_tree(params)
+        if meta.get("token_list"):
+            token_list = token_list or meta["token_list"]
+
     if enc_cfg is None:
-        size = os.environ.get("REAZONSPEECH_TPU_MODEL_SIZE", "")
-        enc_cfg = ZipformerConfig.tiny() if size == "tiny" else ZipformerConfig.large()
+        if meta.get("enc_cfg"):
+            cfg_kw = {
+                k: tuple(v) if isinstance(v, list) else v
+                for k, v in meta["enc_cfg"].items()
+            }
+            enc_cfg = ZipformerConfig(**cfg_kw)
+        else:
+            size = os.environ.get("REAZONSPEECH_TPU_MODEL_SIZE", "")
+            enc_cfg = (
+                ZipformerConfig.tiny() if size == "tiny" else ZipformerConfig.large()
+            )
 
     token_list = token_list or default_k2_token_list()
+    if rnnt_cfg is None and meta.get("rnnt_cfg"):
+        rnnt_cfg = RNNTConfig(**meta["rnnt_cfg"])
     if rnnt_cfg is None:
         rnnt_cfg = RNNTConfig(
             vocab_size=len(token_list),
@@ -110,21 +150,7 @@ def load_model_container(
             context_size=2,
         )
 
-    checkpoint = checkpoint or os.environ.get(DEFAULT_CHECKPOINT_ENV)
-    if checkpoint:
-        from ...convert.quantize import dequantize_tree, is_quantized
-        from ...convert.store import load_param_tree
-
-        params, meta = load_param_tree(checkpoint)
-        if is_quantized(params):  # int8 precision variants
-            params = dequantize_tree(params)
-        if meta.get("token_list"):
-            token_list = meta["token_list"]
-    else:
-        warnings.warn(
-            "No converted checkpoint found (set $%s or pass checkpoint=); "
-            "returning a randomly initialized model." % DEFAULT_CHECKPOINT_ENV
-        )
+    if params is None:
         key = jax.random.PRNGKey(seed)
         k1, k2, k3 = jax.random.split(key, 3)
         params = {

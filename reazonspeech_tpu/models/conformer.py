@@ -41,6 +41,7 @@ def espnet_encoder_config(**overrides) -> FastConformerConfig:
         subsampling_channels=512,
         subsampling_style="conv2d",
         conv_norm="layer_norm",
+        final_norm=True,  # ESPnet after_norm (normalize_before)
     )
     cfg.update(overrides)
     return FastConformerConfig(**cfg)

@@ -60,6 +60,9 @@ class FastConformerConfig:
     subsampling_style: str = "dw_striding"
     conv_norm: str = "batch_norm"  # batch_norm (inference stats) | layer_norm
     xscaling: bool = True
+    # encoder-level LayerNorm after the block stack (ESPnet `after_norm`
+    # with normalize_before; NeMo has no encoder-level norm)
+    final_norm: bool = False
     compute_dtype: str = "bfloat16"
     # attention implementation: "xla" (einsum + pad/reshape shift) or
     # "pallas" (VMEM-resident fused kernel, ops/relpos_attention.py)
@@ -157,7 +160,10 @@ def init_fastconformer(key, cfg: FastConformerConfig):
     blocks = [_init_block(next(keys), cfg) for _ in range(cfg.num_layers)]
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
 
-    return {"subsampling": sub, "blocks": stacked}
+    tree = {"subsampling": sub, "blocks": stacked}
+    if cfg.final_norm:
+        tree["after_norm"] = layer_norm_init(cfg.d_model)
+    return tree
 
 
 # ---------------------------------------------------------------------------
@@ -207,9 +213,11 @@ def _sinusoid_rel_pos(t, d_model):
 
 
 def _rel_shift(x):
-    """[B, H, T, 2T-1] -> [B, H, T, T]: row t keeps entries for keys 0..T-1,
-    i.e. out[..., t, j] = x[..., t, (T-1) + (t - j) ... wait — standard
-    Transformer-XL shift: out[..., t, j] = x[..., t, T-1 - t + j]."""
+    """Transformer-XL relative shift, [B, H, T, 2T-1] -> [B, H, T, T].
+
+    Input column l holds the score for relative offset (T-1-l); query row t
+    and key column j need offset t-j, so out[..., t, j] = x[..., t, T-1-t+j].
+    Implemented as the standard pad/reshape/slice trick (no gathers)."""
     b, h, t, l = x.shape
     x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 0)))  # [B,H,T,2T]
     x = x.reshape(b, h, 2 * t, t)
@@ -333,4 +341,6 @@ def fastconformer_encode(params, feats, feat_lengths, cfg: FastConformerConfig):
     if cfg.remat:
         body = jax.checkpoint(body)
     x, _ = jax.lax.scan(body, x, params["blocks"])
+    if cfg.final_norm:
+        x = layer_norm(params["after_norm"], x)
     return x.astype(jnp.float32), lengths

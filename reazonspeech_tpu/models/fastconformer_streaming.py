@@ -198,6 +198,10 @@ def streaming_step(params, state, mel_chunk, cfg: FastConformerConfig,
         "conv_cache": jnp.stack(new_conv_caches),
         "frames_seen": state["frames_seen"] + c,
     }
+    if cfg.final_norm:
+        from .layers import layer_norm
+
+        x = layer_norm(params["after_norm"], x)
     return x, new_state
 
 

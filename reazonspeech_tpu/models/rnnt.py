@@ -52,9 +52,15 @@ class RNNTConfig:
     #   in vocab_size (k2 tokens.txt lists <blk> first).
     predictor_kind: str = "lstm"
     context_size: int = 2
+    # where the blank logit lives: "auto" = last for lstm (NeMo), first for
+    # stateless (k2). ESPnet transducers are lstm predictors with blank FIRST
+    # (espnet2 TransducerDecoder: blank 0 shares the embedding table).
+    blank_position: str = "auto"  # auto | first | last
 
     @property
     def blank_first(self) -> bool:
+        if self.blank_position != "auto":
+            return self.blank_position == "first"
         return self.predictor_kind == "stateless"
 
     @property

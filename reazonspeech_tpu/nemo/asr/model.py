@@ -7,9 +7,9 @@ buffers the only device→host transfer, replacing the reference's
 CPU↔GPU round trips through NeMo (SURVEY.md §3.1).
 """
 
+import glob
 import os
-import warnings
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from functools import partial
 from typing import Optional
 
@@ -31,6 +31,9 @@ from ...models.rnnt import RNNTConfig, init_joint, init_predictor
 __all__ = ["NemoTPUModel", "load_model", "asr_forward", "DEFAULT_CHECKPOINT_ENV"]
 
 DEFAULT_CHECKPOINT_ENV = "REAZONSPEECH_TPU_NEMO_CHECKPOINT"
+
+# Published weights repo (parity: pkg/nemo-asr/src/transcribe.py:27-28).
+HF_REPO_ID = "reazon-research/reazonspeech-nemo-v2"
 
 # Bucket padded waveforms to multiples of this many samples so the number of
 # distinct compiled programs stays bounded (XLA static shapes).
@@ -124,6 +127,30 @@ def init_params(seed: int, enc_cfg: FastConformerConfig, rnnt_cfg: RNNTConfig):
     }
 
 
+def _convert_snapshot(snapshot_dir, out_base):
+    """Convert the .nemo archive inside an HF snapshot to a native tree."""
+    cands = sorted(
+        glob.glob(os.path.join(snapshot_dir, "**", "*.nemo"), recursive=True)
+    )
+    if not cands:
+        from ...core.hub import CheckpointNotFoundError
+
+        raise CheckpointNotFoundError(
+            f"HF snapshot {snapshot_dir} contains no .nemo archive"
+        )
+    from ...convert.nemo_fastconformer import convert_nemo_checkpoint
+
+    convert_nemo_checkpoint(cands[0], out_base)
+
+
+def _tpu_serving_overrides(enc_cfg: FastConformerConfig) -> FastConformerConfig:
+    """Serving defaults on real TPU: Pallas attention + bf16 residual stream
+    (token parity with the fp32 path gated in tools/convert_and_gate.py)."""
+    if jax.devices()[0].platform in ("tpu", "axon"):
+        return replace(enc_cfg, attn_impl="pallas", residual_dtype="bfloat16")
+    return enc_cfg
+
+
 def load_model(
     device=None,
     *,
@@ -141,28 +168,47 @@ def load_model(
     API parity with the reference loader (pkg/nemo-asr/src/transcribe.py:9-28);
     ``device`` is accepted for compatibility but placement is JAX's (the
     default TPU backend). ``decoding`` selects "greedy" (label-looping) or
-    "beam" (ALSD-style, ``beam_size``). Weights come from ``checkpoint`` (a
-    param tree produced by reazonspeech_tpu.convert) or
-    $REAZONSPEECH_TPU_NEMO_CHECKPOINT; with neither present, a
-    RANDOM-initialized model is returned (useful for plumbing and benchmarks,
-    useless for real transcription) with a warning.
+    "beam" (ALSD-style, ``beam_size``).
+
+    Weight resolution (offline-first, like the reference's from_pretrained):
+    ``checkpoint=`` path > $REAZONSPEECH_TPU_NEMO_CHECKPOINT > the converted-
+    tree cache > a local/downloaded HF snapshot of reazonspeech-nemo-v2 run
+    through the converter. With nothing resolvable this RAISES
+    CheckpointNotFoundError; a randomly initialized model (plumbing, tests,
+    benchmarks) is explicit opt-in via ``checkpoint="random"``.
     """
     del device
-    if enc_cfg is None:
-        size = os.environ.get("REAZONSPEECH_TPU_MODEL_SIZE", "xlarge")
-        # TPU serving config: Pallas attention (-23% encoder) + bf16 residual
-        # stream (-26% more); CPU/emulated runs use the XLA/fp32 path
-        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-        enc_cfg = (
-            FastConformerConfig.tiny()
-            if size == "tiny"
-            else FastConformerConfig.xlarge(
-                attn_impl="pallas" if on_tpu else "xla",
-                residual_dtype="bfloat16" if on_tpu else "float32",
+    checkpoint = checkpoint or os.environ.get(DEFAULT_CHECKPOINT_ENV)
+    random_init = checkpoint == "random"
+    meta = {}
+    params = None
+    if not random_init:
+        if checkpoint is None:
+            from ...core.hub import resolve_converted
+
+            checkpoint = resolve_converted(
+                HF_REPO_ID, "model", _convert_snapshot, require=("*.nemo",)
             )
-        )
-        if size == "tiny" and rnnt_cfg is None:
-            rnnt_cfg = RNNTConfig.tiny(enc_dim=enc_cfg.d_model)
+        from ...convert.store import load_param_tree
+
+        params, meta = load_param_tree(checkpoint)
+        if tokenizer is None and meta.get("tokenizer_model"):
+            tokenizer = SentencePieceTokenizer.from_model_file(meta["tokenizer_model"])
+
+    if enc_cfg is None:
+        if meta.get("enc_cfg"):
+            enc_cfg = _tpu_serving_overrides(FastConformerConfig(**meta["enc_cfg"]))
+        else:
+            size = os.environ.get("REAZONSPEECH_TPU_MODEL_SIZE", "xlarge")
+            enc_cfg = (
+                FastConformerConfig.tiny()
+                if size == "tiny"
+                else _tpu_serving_overrides(FastConformerConfig.xlarge())
+            )
+            if size == "tiny" and rnnt_cfg is None:
+                rnnt_cfg = RNNTConfig.tiny(enc_dim=enc_cfg.d_model)
+    if rnnt_cfg is None and meta.get("rnnt_cfg"):
+        rnnt_cfg = RNNTConfig(**meta["rnnt_cfg"])
     rnnt_cfg = rnnt_cfg or RNNTConfig(enc_dim=enc_cfg.d_model)
     if decode_cfg is None:
         decode_cfg = (
@@ -171,18 +217,7 @@ def load_model(
             else GreedyDecodeConfig()
         )
 
-    checkpoint = checkpoint or os.environ.get(DEFAULT_CHECKPOINT_ENV)
-    if checkpoint:
-        from ...convert.store import load_param_tree
-
-        params, meta = load_param_tree(checkpoint)
-        if tokenizer is None and meta.get("tokenizer_model"):
-            tokenizer = SentencePieceTokenizer.from_model_file(meta["tokenizer_model"])
-    else:
-        warnings.warn(
-            "No converted checkpoint found (set $%s or pass checkpoint=); "
-            "returning a randomly initialized model." % DEFAULT_CHECKPOINT_ENV
-        )
+    if params is None:
         params = init_params(seed, enc_cfg, rnnt_cfg)
 
     if tokenizer is None:

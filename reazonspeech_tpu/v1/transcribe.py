@@ -20,10 +20,22 @@ __all__ = ["transcribe", "load_default_model"]
 def load_default_model():
     """Load the default v1 recognition model (API parity:
     pkg/_v1/src/transcribe.py:116-127; beam/lm weights are espnet-specific
-    and do not apply to the TPU transducer decode)."""
+    and do not apply to the TPU transducer decode). Weights resolve from
+    the reazonspeech-espnet-next HF repo, offline-cache first; raises
+    CheckpointNotFoundError when nothing is resolvable."""
+    import os
+
     from ..espnet.asr.model import load_model_container
 
-    return load_model_container()
+    checkpoint = os.environ.get("REAZONSPEECH_TPU_V1_CHECKPOINT")
+    if checkpoint is None:
+        from ..core.hub import resolve_converted
+        from ..espnet.asr.model import _convert_snapshot
+
+        checkpoint = resolve_converted(
+            "reazon-research/reazonspeech-espnet-next", "model", _convert_snapshot
+        )
+    return load_model_container(checkpoint=checkpoint)
 
 
 def _get_timings(asr, lpz_log, nsamples, model):

@@ -20,6 +20,13 @@ from reazonspeech_tpu.convert.torch_utils import (
     t_lstm_layer,
 )
 from reazonspeech_tpu.models import layers as L
+from fixture_checkpoints import (
+    encode_varint,
+    field,
+    synth_espnet_state_dict,
+    synth_icefall_state_dict,
+    synth_nemo_state_dict,
+)
 
 RNG = np.random.default_rng(0)
 
@@ -167,76 +174,6 @@ def test_layer_norm_parity():
 # full-tree structural round trips
 # ---------------------------------------------------------------------------
 
-def synth_nemo_state_dict(enc_cfg, rnnt_cfg):
-    """Random tensors with NeMo's naming for a tiny config."""
-    d, dff = enc_cfg.d_model, enc_cfg.d_model * enc_cfg.ff_expansion
-    c = enc_cfg.subsampling_channels
-    h, dh = enc_cfg.num_heads, enc_cfg.head_dim
-    sd = {}
-
-    def add(name, *shape):
-        sd[name] = rt(*shape)
-
-    add("encoder.pre_encode.conv.0.weight", c, 1, 3, 3)
-    add("encoder.pre_encode.conv.0.bias", c)
-    idx = 2
-    for i in range(1, 3):
-        add(f"encoder.pre_encode.conv.{idx}.weight", c, 1, 3, 3)
-        add(f"encoder.pre_encode.conv.{idx}.bias", c)
-        add(f"encoder.pre_encode.conv.{idx+1}.weight", c, c, 1, 1)
-        add(f"encoder.pre_encode.conv.{idx+1}.bias", c)
-        idx += 3
-    f_out = enc_cfg.feat_in
-    for _ in range(3):
-        f_out = (f_out - 1) // 2 + 1
-    add("encoder.pre_encode.out.weight", d, c * f_out)
-    add("encoder.pre_encode.out.bias", d)
-
-    for n in range(enc_cfg.num_layers):
-        p = f"encoder.layers.{n}"
-        for ln in ("norm_feed_forward1", "norm_self_att", "norm_conv",
-                   "norm_feed_forward2", "norm_out"):
-            add(f"{p}.{ln}.weight", d)
-            add(f"{p}.{ln}.bias", d)
-        for ff in ("feed_forward1", "feed_forward2"):
-            add(f"{p}.{ff}.linear1.weight", dff, d)
-            add(f"{p}.{ff}.linear1.bias", dff)
-            add(f"{p}.{ff}.linear2.weight", d, dff)
-            add(f"{p}.{ff}.linear2.bias", d)
-        for qkv in ("linear_q", "linear_k", "linear_v", "linear_out"):
-            add(f"{p}.self_attn.{qkv}.weight", d, d)
-            add(f"{p}.self_attn.{qkv}.bias", d)
-        add(f"{p}.self_attn.linear_pos.weight", d, d)
-        add(f"{p}.self_attn.pos_bias_u", h, dh)
-        add(f"{p}.self_attn.pos_bias_v", h, dh)
-        add(f"{p}.conv.pointwise_conv1.weight", 2 * d, d, 1)
-        add(f"{p}.conv.pointwise_conv1.bias", 2 * d)
-        add(f"{p}.conv.depthwise_conv.weight", d, 1, enc_cfg.conv_kernel)
-        add(f"{p}.conv.depthwise_conv.bias", d)
-        for bn in ("weight", "bias", "running_mean", "running_var"):
-            sd[f"{p}.conv.batch_norm.{bn}"] = (
-                rt(d).abs() + 0.5 if bn == "running_var" else rt(d)
-            )
-        add(f"{p}.conv.pointwise_conv2.weight", d, d, 1)
-        add(f"{p}.conv.pointwise_conv2.bias", d)
-
-    add("decoder.prediction.embed.weight", rnnt_cfg.vocab_size, rnnt_cfg.pred_hidden)
-    for k in range(rnnt_cfg.pred_rnn_layers):
-        add(f"decoder.prediction.dec_rnn.lstm.weight_ih_l{k}",
-            4 * rnnt_cfg.pred_hidden, rnnt_cfg.pred_hidden)
-        add(f"decoder.prediction.dec_rnn.lstm.weight_hh_l{k}",
-            4 * rnnt_cfg.pred_hidden, rnnt_cfg.pred_hidden)
-        add(f"decoder.prediction.dec_rnn.lstm.bias_ih_l{k}", 4 * rnnt_cfg.pred_hidden)
-        add(f"decoder.prediction.dec_rnn.lstm.bias_hh_l{k}", 4 * rnnt_cfg.pred_hidden)
-    add("joint.enc.weight", rnnt_cfg.joint_hidden, rnnt_cfg.enc_dim)
-    add("joint.enc.bias", rnnt_cfg.joint_hidden)
-    add("joint.pred.weight", rnnt_cfg.joint_hidden, rnnt_cfg.pred_hidden)
-    add("joint.pred.bias", rnnt_cfg.joint_hidden)
-    add("joint.joint_net.2.weight", rnnt_cfg.num_classes, rnnt_cfg.joint_hidden)
-    add("joint.joint_net.2.bias", rnnt_cfg.num_classes)
-    return sd
-
-
 def test_nemo_conversion_structure_and_run():
     from reazonspeech_tpu.convert.nemo_fastconformer import convert_nemo_state_dict
     from reazonspeech_tpu.models.fastconformer import (
@@ -268,87 +205,49 @@ def test_nemo_conversion_structure_and_run():
 
 
 def test_espnet_conversion_structure():
+    """Full espnet2 state dict (encoder + after_norm + CTC + transducer
+    decoder/joint) converts, and the converted tree runs end-to-end."""
     from reazonspeech_tpu.convert.espnet_conformer import convert_espnet_state_dict
     from reazonspeech_tpu.models.conformer import espnet_encoder_config
+    from reazonspeech_tpu.models.rnnt import RNNTConfig
 
     enc_cfg = espnet_encoder_config(
         num_layers=2, d_model=32, num_heads=4, subsampling_channels=8,
         compute_dtype="float32",
     )
-    d, dff, c = 32, 128, 8
-    sd = {}
-
-    def add(name, *shape):
-        sd[name] = rt(*shape)
-
-    add("encoder.embed.conv.0.weight", c, 1, 3, 3)
-    add("encoder.embed.conv.0.bias", c)
-    add("encoder.embed.conv.2.weight", c, c, 3, 3)
-    add("encoder.embed.conv.2.bias", c)
-    f = enc_cfg.feat_in
-    f = (f - 1) // 2
-    f = (f - 1) // 2
-    add("encoder.embed.out.0.weight", d, c * f)
-    add("encoder.embed.out.0.bias", d)
-    for n in range(2):
-        p = f"encoder.encoders.{n}"
-        for ln in ("norm_ff_macaron", "norm_mha", "norm_conv", "norm_ff", "norm_final"):
-            add(f"{p}.{ln}.weight", d)
-            add(f"{p}.{ln}.bias", d)
-        for ff in ("feed_forward_macaron", "feed_forward"):
-            add(f"{p}.{ff}.w_1.weight", dff, d)
-            add(f"{p}.{ff}.w_1.bias", dff)
-            add(f"{p}.{ff}.w_2.weight", d, dff)
-            add(f"{p}.{ff}.w_2.bias", d)
-        for qkv in ("linear_q", "linear_k", "linear_v", "linear_out"):
-            add(f"{p}.self_attn.{qkv}.weight", d, d)
-            add(f"{p}.self_attn.{qkv}.bias", d)
-        add(f"{p}.self_attn.linear_pos.weight", d, d)
-        add(f"{p}.self_attn.pos_bias_u", 4, 8)
-        add(f"{p}.self_attn.pos_bias_v", 4, 8)
-        add(f"{p}.conv_module.pointwise_conv1.weight", 2 * d, d, 1)
-        add(f"{p}.conv_module.pointwise_conv1.bias", 2 * d)
-        add(f"{p}.conv_module.depthwise_conv.weight", d, 1, enc_cfg.conv_kernel)
-        add(f"{p}.conv_module.depthwise_conv.bias", d)
-        add(f"{p}.conv_module.norm.weight", d)
-        add(f"{p}.conv_module.norm.bias", d)
-        add(f"{p}.conv_module.pointwise_conv2.weight", d, d, 1)
-        add(f"{p}.conv_module.pointwise_conv2.bias", d)
-    add("ctc.ctc_lo.weight", 20, d)
-    add("ctc.ctc_lo.bias", 20)
+    rnnt_cfg = RNNTConfig(
+        vocab_size=20, enc_dim=32, pred_hidden=16, joint_hidden=24,
+        joint_activation="tanh", blank_position="first",
+        compute_dtype="float32",
+    )
+    sd = synth_espnet_state_dict(enc_cfg, 20, rnnt_cfg)
 
     params = convert_espnet_state_dict(sd, enc_cfg)
     assert "ctc" in params
+    assert "after_norm" in params["encoder"]
+    assert "predictor" in params and "joint" in params
     from reazonspeech_tpu.models.fastconformer import fastconformer_encode
 
     feats = jnp.asarray(RNG.standard_normal((1, 64, enc_cfg.feat_in)), jnp.float32)
-    enc, _ = fastconformer_encode(
+    enc, lens = fastconformer_encode(
         jax.tree.map(jnp.asarray, params["encoder"]), feats, jnp.array([64]), enc_cfg
     )
     assert np.isfinite(np.asarray(enc)).all()
+
+    # converted espnet transducer (LSTM predictor, blank-first) greedy-decodes
+    from reazonspeech_tpu.decoding.rnnt_greedy import rnnt_greedy_decode
+
+    tokens, frames, counts = rnnt_greedy_decode(
+        jax.tree.map(jnp.asarray, params["predictor"]),
+        jax.tree.map(jnp.asarray, params["joint"]),
+        enc, lens, rnnt_cfg,
+    )
+    assert tokens.shape[0] == 1
 
 
 # ---------------------------------------------------------------------------
 # ONNX reader
 # ---------------------------------------------------------------------------
-
-def encode_varint(n):
-    out = b""
-    while True:
-        b = n & 0x7F
-        n >>= 7
-        if n:
-            out += bytes([b | 0x80])
-        else:
-            return out + bytes([b])
-
-
-def field(num, wt, payload):
-    key = encode_varint(num << 3 | wt)
-    if wt == 2:
-        return key + encode_varint(len(payload)) + payload
-    return key + payload
-
 
 def test_onnx_reader_roundtrip(tmp_path):
     from reazonspeech_tpu.convert.onnx_reader import read_onnx_initializers
@@ -376,87 +275,6 @@ def test_onnx_reader_roundtrip(tmp_path):
     out = read_onnx_initializers(str(p))
     np.testing.assert_array_equal(out["encoder.w"], w)
     np.testing.assert_array_equal(out["encoder.w_quant"], i8)
-
-
-def synth_icefall_state_dict(enc_cfg, rnnt_cfg):
-    """Random tensors with the documented icefall zipformer2 naming."""
-    sd = {}
-
-    def add(name, *shape):
-        sd[name] = rt(*shape)
-
-    c1, c2, c3 = enc_cfg.embed_channels
-    add("encoder_embed.conv.0.weight", c1, 1, 3, 3)
-    add("encoder_embed.conv.0.bias", c1)
-    add("encoder_embed.conv.4.weight", c2, c1, 3, 3)
-    add("encoder_embed.conv.4.bias", c2)
-    add("encoder_embed.conv.8.weight", c3, c2, 3, 3)
-    add("encoder_embed.conv.8.bias", c3)
-    f = enc_cfg.feat_in
-    f = (f - 3) // 2 + 1
-    f = (f - 3) // 2 + 1
-    f = f - 2
-    add("encoder_embed.out.weight", enc_cfg.encoder_dim[0], c3 * f)
-    add("encoder_embed.out.bias", enc_cfg.encoder_dim[0])
-    add("encoder_embed.out_norm.bias", enc_cfg.encoder_dim[0])
-    sd["encoder_embed.out_norm.log_scale"] = np.zeros((), np.float32)
-
-    qd, vd, pd = enc_cfg.query_head_dim, enc_cfg.value_head_dim, enc_cfg.pos_head_dim
-    for s in range(len(enc_cfg.num_layers)):
-        d = enc_cfg.encoder_dim[s]
-        h = enc_cfg.num_heads[s]
-        ffn = enc_cfg.ffn_dim[s]
-        hidden = d * 3 // 4
-        # downsampled stacks nest layers under .encoder
-        base = (
-            f"encoder.encoders.{s}.encoder.layers"
-            if enc_cfg.downsampling[s] > 1
-            else f"encoder.encoders.{s}.layers"
-        )
-        for j in range(enc_cfg.num_layers[s]):
-            p = f"{base}.{j}"
-            add(f"{p}.self_attn_weights.in_proj.weight", h * (2 * qd + pd), d)
-            add(f"{p}.self_attn_weights.in_proj.bias", h * (2 * qd + pd))
-            add(f"{p}.self_attn_weights.linear_pos.weight", h * pd, enc_cfg.pos_dim)
-            for sa in ("self_attn1", "self_attn2"):
-                add(f"{p}.{sa}.in_proj.weight", h * vd, d)
-                add(f"{p}.{sa}.in_proj.bias", h * vd)
-                add(f"{p}.{sa}.out_proj.weight", d, h * vd)
-                add(f"{p}.{sa}.out_proj.bias", d)
-            add(f"{p}.nonlin_attention.in_proj.weight", 3 * hidden, d)
-            add(f"{p}.nonlin_attention.in_proj.bias", 3 * hidden)
-            add(f"{p}.nonlin_attention.out_proj.weight", d, hidden)
-            add(f"{p}.nonlin_attention.out_proj.bias", d)
-            for ff in ("feed_forward1", "feed_forward2", "feed_forward3"):
-                add(f"{p}.{ff}.in_proj.weight", ffn, d)
-                add(f"{p}.{ff}.in_proj.bias", ffn)
-                add(f"{p}.{ff}.out_proj.weight", d, ffn)
-                add(f"{p}.{ff}.out_proj.bias", d)
-            for cv in ("conv_module1", "conv_module2"):
-                add(f"{p}.{cv}.in_proj.weight", 2 * d, d)
-                add(f"{p}.{cv}.in_proj.bias", 2 * d)
-                add(f"{p}.{cv}.depthwise_conv.weight", d, 1, enc_cfg.cnn_kernel[s])
-                add(f"{p}.{cv}.depthwise_conv.bias", d)
-                add(f"{p}.{cv}.out_proj.weight", d, d)
-                add(f"{p}.{cv}.out_proj.bias", d)
-            add(f"{p}.norm.bias", d)
-            sd[f"{p}.norm.log_scale"] = np.zeros((), np.float32)
-            add(f"{p}.bypass.bypass_scale", d)
-            add(f"{p}.bypass_mid.bypass_scale", d)
-        if enc_cfg.downsampling[s] > 1:
-            add(f"encoder.encoders.{s}.downsample.bias", enc_cfg.downsampling[s])
-            add(f"encoder.encoders.{s}.bypass.bypass_scale", d)
-
-    v, dd, jd = rnnt_cfg.vocab_size, rnnt_cfg.pred_hidden, rnnt_cfg.joint_hidden
-    add("decoder.embedding.weight", v, dd)
-    add("decoder.conv.weight", dd, dd, rnnt_cfg.context_size)
-    add("joiner.encoder_proj.weight", jd, rnnt_cfg.enc_dim)
-    add("joiner.encoder_proj.bias", jd)
-    add("joiner.decoder_proj.weight", jd, dd)
-    add("joiner.decoder_proj.bias", jd)
-    add("joiner.output_linear.weight", rnnt_cfg.num_classes, jd)
-    add("joiner.output_linear.bias", rnnt_cfg.num_classes)
-    return sd
 
 
 def test_icefall_conversion_structure_and_run():

@@ -24,8 +24,7 @@ def tiny_model():
         num_layers=2, d_model=64, num_heads=4, subsampling_channels=32,
         compute_dtype="float32",
     )
-    with pytest.warns(UserWarning, match="randomly initialized"):
-        return load_model(enc_cfg=enc_cfg)
+    return load_model(enc_cfg=enc_cfg, checkpoint="random")
 
 
 def test_ctc_probs_shape(tiny_model):

@@ -16,8 +16,7 @@ from reazonspeech_tpu.models.zipformer import ZipformerConfig
 
 @pytest.fixture(scope="module")
 def tiny_model():
-    with pytest.warns(UserWarning, match="randomly initialized"):
-        return load_model_container(enc_cfg=ZipformerConfig.tiny(compute_dtype="float32"))
+    return load_model_container(checkpoint="random", enc_cfg=ZipformerConfig.tiny(compute_dtype="float32"))
 
 
 def test_load_model_validates_language():

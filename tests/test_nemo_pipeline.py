@@ -28,8 +28,7 @@ from reazonspeech_tpu.nemo.asr.decode import (
 def tiny_model():
     enc_cfg = FastConformerConfig.tiny(compute_dtype="float32")
     rnnt_cfg = RNNTConfig.tiny(enc_dim=enc_cfg.d_model, compute_dtype="float32")
-    with pytest.warns(UserWarning, match="randomly initialized"):
-        return load_model(enc_cfg=enc_cfg, rnnt_cfg=rnnt_cfg)
+    return load_model(enc_cfg=enc_cfg, rnnt_cfg=rnnt_cfg, checkpoint="random")
 
 
 class FakeTok:

@@ -92,8 +92,7 @@ def test_transcribe_batch():
 
     enc_cfg = FastConformerConfig.tiny(compute_dtype="float32")
     rnnt_cfg = RNNTConfig.tiny(enc_dim=enc_cfg.d_model, compute_dtype="float32")
-    with pytest.warns(UserWarning):
-        model = load_model(enc_cfg=enc_cfg, rnnt_cfg=rnnt_cfg)
+    model = load_model(enc_cfg=enc_cfg, rnnt_cfg=rnnt_cfg, checkpoint="random")
 
     rng = np.random.default_rng(0)
     audios = [

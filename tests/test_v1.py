@@ -19,8 +19,7 @@ def tiny_model():
         num_layers=2, d_model=64, num_heads=4, subsampling_channels=32,
         compute_dtype="float32",
     )
-    with pytest.warns(UserWarning, match="randomly initialized"):
-        return load_model_container(enc_cfg=enc_cfg)
+    return load_model_container(checkpoint="random", enc_cfg=enc_cfg)
 
 
 def test_transcribe_is_generator(tiny_model):

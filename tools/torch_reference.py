@@ -1,0 +1,275 @@
+"""Independent torch-CPU oracle for the converted-checkpoint parity gate.
+
+Implements the published models' forward semantics (NeMo FastConformer-RNNT,
+ESPnet Conformer, icefall Zipformer decoder/joiner) directly on a torch
+state dict with the ORIGINAL module naming — the same tensors the converters
+consume. tools/convert_and_gate.py runs audio through this oracle and
+through the JAX pipeline and demands logit- and token-level agreement, which
+is the layer-wiring check primitive-level conversion tests can't provide
+(VERDICT.md round 1, "Next round" item 1).
+
+This is a first-party reimplementation from the architectures' published
+descriptions (cited per function); it is deliberately simple/slow — an
+oracle, not a runtime.
+"""
+
+import math
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+__all__ = [
+    "nemo_encoder_forward",
+    "espnet_encoder_forward",
+    "rnnt_greedy_reference",
+    "stateless_greedy_reference",
+    "espnet_ctc_log_softmax",
+]
+
+
+def _lin(sd, p, x):
+    return F.linear(x, sd[f"{p}.weight"], sd.get(f"{p}.bias"))
+
+
+def _ln(sd, p, x):
+    return F.layer_norm(x, x.shape[-1:], sd[f"{p}.weight"], sd[f"{p}.bias"])
+
+
+def _rel_pos_table(t, d):
+    """Sinusoidal table for offsets [t-1 .. -(t-1)]: [2t-1, d]."""
+    pos = np.arange(t - 1, -t, -1, dtype=np.float64)
+    inv = np.exp(-np.arange(0, d, 2, dtype=np.float64) * (math.log(10000.0) / d))
+    ang = pos[:, None] * inv[None, :]
+    pe = np.zeros((2 * t - 1, d), np.float32)
+    pe[:, 0::2] = np.sin(ang)
+    pe[:, 1::2] = np.cos(ang)
+    return torch.from_numpy(pe)
+
+
+def _relpos_mhsa(sd, p, x, pos_emb, num_heads):
+    """Transformer-XL relative-position MHSA (pos_bias_u/v, rel-shift)."""
+    b, t, d = x.shape
+    h, dh = num_heads, d // num_heads
+    q = _lin(sd, f"{p}.linear_q", x).view(b, t, h, dh)
+    k = _lin(sd, f"{p}.linear_k", x).view(b, t, h, dh)
+    v = _lin(sd, f"{p}.linear_v", x).view(b, t, h, dh)
+    pos = F.linear(pos_emb, sd[f"{p}.linear_pos.weight"]).view(-1, h, dh)
+
+    qu = q + sd[f"{p}.pos_bias_u"]
+    qv = q + sd[f"{p}.pos_bias_v"]
+    ac = torch.einsum("bthd,bshd->bhts", qu, k)
+    bd_all = torch.einsum("bthd,lhd->bhtl", qv, pos)  # [B,H,T,2T-1]
+    # out[..., t, s] = bd_all[..., t, T-1-t+s]
+    idx = (torch.arange(t).view(t, 1) * -1 + (t - 1) + torch.arange(t).view(1, t))
+    bd = bd_all.gather(3, idx.view(1, 1, t, t).expand(b, h, t, t))
+
+    scores = (ac + bd) / math.sqrt(dh)
+    probs = torch.softmax(scores, dim=-1)
+    out = torch.einsum("bhts,bshd->bthd", probs, v).reshape(b, t, d)
+    return _lin(sd, f"{p}.linear_out", out)
+
+
+def _conv_module(sd, p, x, norm="batch_norm"):
+    """Conformer conv module: pointwise(2d)+GLU → depthwise(SAME) → norm →
+    swish → pointwise."""
+    y = x.transpose(1, 2)  # [B, D, T]
+    y = F.conv1d(y, sd[f"{p}.pointwise_conv1.weight"], sd.get(f"{p}.pointwise_conv1.bias"))
+    y = F.glu(y, dim=1)
+    dw = sd[f"{p}.depthwise_conv.weight"]
+    y = F.conv1d(y, dw, sd.get(f"{p}.depthwise_conv.bias"),
+                 padding=dw.shape[-1] // 2, groups=y.shape[1])
+    if norm == "batch_norm":
+        y = F.batch_norm(
+            y, sd[f"{p}.batch_norm.running_mean"], sd[f"{p}.batch_norm.running_var"],
+            sd[f"{p}.batch_norm.weight"], sd[f"{p}.batch_norm.bias"], training=False,
+        )
+    else:  # espnet layer-norm conv module ("norm" submodule)
+        y = y.transpose(1, 2)
+        y = _ln(sd, f"{p}.norm", y)
+        y = y.transpose(1, 2)
+    y = F.silu(y)
+    y = F.conv1d(y, sd[f"{p}.pointwise_conv2.weight"], sd.get(f"{p}.pointwise_conv2.bias"))
+    return y.transpose(1, 2)
+
+
+def nemo_encoder_forward(sd, feats, num_layers, num_heads, d_model,
+                         subsampling_stages=3):
+    """NeMo FastConformer encoder forward (dw_striding subsampling 8×,
+    batch-norm conv modules, per-layer norm_out). feats: [B, T, F] fp32.
+    Mirrors the architecture behind pkg/nemo-asr/src/transcribe.py:26-28."""
+    x = feats.unsqueeze(1)  # [B, 1, T, F]
+    x = F.relu(F.conv2d(x, sd["encoder.pre_encode.conv.0.weight"],
+                        sd["encoder.pre_encode.conv.0.bias"], stride=2, padding=1))
+    idx = 2
+    for _ in range(1, subsampling_stages):
+        c = x.shape[1]
+        x = F.conv2d(x, sd[f"encoder.pre_encode.conv.{idx}.weight"],
+                     sd[f"encoder.pre_encode.conv.{idx}.bias"], stride=2,
+                     padding=1, groups=c)
+        x = F.relu(F.conv2d(x, sd[f"encoder.pre_encode.conv.{idx+1}.weight"],
+                            sd[f"encoder.pre_encode.conv.{idx+1}.bias"]))
+        idx += 3
+    b, c, t, f = x.shape
+    x = x.permute(0, 2, 1, 3).reshape(b, t, c * f)
+    x = _lin(sd, "encoder.pre_encode.out", x)
+    x = x * math.sqrt(d_model)
+
+    pos_emb = _rel_pos_table(t, d_model)
+    for n in range(num_layers):
+        p = f"encoder.layers.{n}"
+        x = x + 0.5 * _ffn(sd, f"{p}.feed_forward1", f"{p}.norm_feed_forward1", x)
+        x = x + _relpos_mhsa(sd, f"{p}.self_attn", _ln(sd, f"{p}.norm_self_att", x),
+                             pos_emb, num_heads)
+        x = x + _conv_module(sd, f"{p}.conv", _ln(sd, f"{p}.norm_conv", x))
+        x = x + 0.5 * _ffn(sd, f"{p}.feed_forward2", f"{p}.norm_feed_forward2", x)
+        x = _ln(sd, f"{p}.norm_out", x)
+    return x
+
+
+def _ffn(sd, p, ln_p, x, w1="linear1", w2="linear2"):
+    y = _ln(sd, ln_p, x)
+    y = F.silu(_lin(sd, f"{p}.{w1}", y))
+    return _lin(sd, f"{p}.{w2}", y)
+
+
+def espnet_encoder_forward(sd, feats, num_layers, num_heads, d_model):
+    """ESPnet Conformer encoder forward (Conv2dSubsampling 4× VALID, macaron
+    FFNs, layer-norm conv modules, per-layer norm_final + encoder after_norm).
+    Mirrors the model behind pkg/espnet-asr/src/transcribe.py:27-32."""
+    x = feats.unsqueeze(1)
+    x = F.relu(F.conv2d(x, sd["encoder.embed.conv.0.weight"],
+                        sd["encoder.embed.conv.0.bias"], stride=2))
+    x = F.relu(F.conv2d(x, sd["encoder.embed.conv.2.weight"],
+                        sd["encoder.embed.conv.2.bias"], stride=2))
+    b, c, t, f = x.shape
+    x = x.permute(0, 2, 1, 3).reshape(b, t, c * f)
+    x = _lin(sd, "encoder.embed.out.0", x)
+    x = x * math.sqrt(d_model)
+
+    pos_emb = _rel_pos_table(t, d_model)
+    for n in range(num_layers):
+        p = f"encoder.encoders.{n}"
+        x = x + 0.5 * _ffn(sd, f"{p}.feed_forward_macaron",
+                           f"{p}.norm_ff_macaron", x, "w_1", "w_2")
+        x = x + _relpos_mhsa(sd, f"{p}.self_attn", _ln(sd, f"{p}.norm_mha", x),
+                             pos_emb, num_heads)
+        x = x + _conv_module(sd, f"{p}.conv_module",
+                             _ln(sd, f"{p}.norm_conv", x), norm="layer_norm")
+        x = x + 0.5 * _ffn(sd, f"{p}.feed_forward", f"{p}.norm_ff", x, "w_1", "w_2")
+        x = _ln(sd, f"{p}.norm_final", x)
+    return _ln(sd, "encoder.after_norm", x)
+
+
+def espnet_ctc_log_softmax(sd, enc):
+    return torch.log_softmax(_lin(sd, "ctc.ctc_lo", enc), dim=-1)
+
+
+# ---------------------------------------------------------------------------
+# transducer greedy oracles
+# ---------------------------------------------------------------------------
+
+
+def rnnt_greedy_reference(sd, enc, vocab_size, pred_rnn_layers=1,
+                          joint_activation="relu", max_symbols=10,
+                          prefix="decoder.prediction", joint_prefix="joint",
+                          blank_first=False):
+    """Greedy RNN-T decode with an LSTM prediction network.
+
+    NeMo convention (default): blank == vocab_size, SOS embeds to zeros.
+    ESPnet convention (blank_first=True, prefix/joint_prefix set to
+    'decoder'/'joint_network' naming by the caller): blank == 0 with a real
+    embedding row. enc: [T, D]. Returns (tokens, frames).
+    """
+    act = {"relu": F.relu, "tanh": torch.tanh, "sigmoid": torch.sigmoid}[joint_activation]
+    hidden = sd[f"{prefix}.dec_rnn.lstm.weight_hh_l0" if not blank_first
+                else f"{prefix}.decoder.0.weight_hh_l0"].shape[1]
+    blank = 0 if blank_first else vocab_size
+
+    def embed(tok):
+        table = sd[f"{prefix}.embed.weight" if not blank_first
+                   else f"{prefix}.embed.weight"]
+        if not blank_first and tok == blank:
+            return torch.zeros(table.shape[1])
+        return table[tok]
+
+    def lstm_step(x, state):
+        hs, cs = [], []
+        for li in range(pred_rnn_layers):
+            if blank_first:
+                wi = sd[f"{prefix}.decoder.{li}.weight_ih_l0"]
+                wh = sd[f"{prefix}.decoder.{li}.weight_hh_l0"]
+                bi = sd[f"{prefix}.decoder.{li}.bias_ih_l0"]
+                bh = sd[f"{prefix}.decoder.{li}.bias_hh_l0"]
+            else:
+                wi = sd[f"{prefix}.dec_rnn.lstm.weight_ih_l{li}"]
+                wh = sd[f"{prefix}.dec_rnn.lstm.weight_hh_l{li}"]
+                bi = sd[f"{prefix}.dec_rnn.lstm.bias_ih_l{li}"]
+                bh = sd[f"{prefix}.dec_rnn.lstm.bias_hh_l{li}"]
+            h, c = state[li]
+            gates = wi @ x + wh @ h + bi + bh
+            i, f_, g, o = gates.chunk(4)
+            c = torch.sigmoid(f_) * c + torch.sigmoid(i) * torch.tanh(g)
+            h = torch.sigmoid(o) * torch.tanh(c)
+            state[li] = (h, c)
+            x = h
+        return x, state
+
+    def joint(e, g):
+        if blank_first:  # espnet JointNetwork naming
+            z = act(_lin(sd, f"{joint_prefix}.lin_enc", e)
+                    + _lin(sd, f"{joint_prefix}.lin_dec", g))
+            return _lin(sd, f"{joint_prefix}.lin_out", z)
+        z = act(_lin(sd, f"{joint_prefix}.enc", e)
+                + _lin(sd, f"{joint_prefix}.pred", g))
+        return _lin(sd, f"{joint_prefix}.joint_net.2", z)
+
+    state = [(torch.zeros(hidden), torch.zeros(hidden)) for _ in range(pred_rnn_layers)]
+    g, state = lstm_step(embed(blank), state)
+    tokens, frames = [], []
+    with torch.no_grad():
+        for t in range(enc.shape[0]):
+            for _ in range(max_symbols):
+                k = int(torch.argmax(joint(enc[t], g)))
+                if k == blank:
+                    break
+                tokens.append(k)
+                frames.append(t)
+                g, state = lstm_step(embed(k), state)
+    return tokens, frames
+
+
+def stateless_greedy_reference(sd, enc, context_size=2, max_symbols=10):
+    """Greedy decode with the icefall stateless predictor (embedding of the
+    last ``context_size`` tokens → context conv → relu; blank == 0) and the
+    icefall joiner naming. enc: [T, D]."""
+    blank = 0
+
+    def pred(context):
+        emb = torch.stack([sd["decoder.embedding.weight"][c] for c in context])
+        # decoder.conv is Conv1d [D, D, ctx] over the context axis
+        y = torch.einsum("kd,dek->e", emb,
+                         sd["decoder.conv.weight"].permute(1, 0, 2))
+        if "decoder.conv.bias" in sd:
+            y = y + sd["decoder.conv.bias"]
+        return F.relu(y)
+
+    def joint(e, g):
+        z = torch.tanh(_lin(sd, "joiner.encoder_proj", e)
+                       + _lin(sd, "joiner.decoder_proj", g))
+        return _lin(sd, "joiner.output_linear", z)
+
+    context = [blank] * context_size
+    g = pred(context)
+    tokens, frames = [], []
+    with torch.no_grad():
+        for t in range(enc.shape[0]):
+            for _ in range(max_symbols):
+                k = int(torch.argmax(joint(enc[t], g)))
+                if k == blank:
+                    break
+                tokens.append(k)
+                frames.append(t)
+                context = context[1:] + [k]
+                g = pred(context)
+    return tokens, frames
