@@ -47,8 +47,15 @@ def main():
     chunk_seconds = 30.0
     iters = 4
 
+    # Serving defaults: Pallas attention, fp32 residual stream (bf16 residual
+    # flips greedy tokens at depth — parity-gated off; see PARITY_GATE.json.
+    # $REAZONSPEECH_TPU_RESIDUAL_DTYPE=bfloat16 opts back in for comparison).
+    import os
+
     enc_cfg = FastConformerConfig.xlarge(
-        attn_impl="pallas", residual_dtype="bfloat16"
+        attn_impl="pallas",
+        conv_impl="pallas",
+        residual_dtype=os.environ.get("REAZONSPEECH_TPU_RESIDUAL_DTYPE", "float32"),
     )
     rnnt_cfg = RNNTConfig(enc_dim=enc_cfg.d_model)
     fe_cfg = nemo_frontend_config()

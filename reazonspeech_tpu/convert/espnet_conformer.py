@@ -30,6 +30,7 @@ from .torch_utils import (
     t_conv1d,
     t_conv2d,
     t_depthwise_conv1d,
+    t_flatten_proj,
     t_layer_norm,
     t_linear,
     to_numpy,
@@ -52,8 +53,11 @@ def convert_espnet_state_dict(sd, enc_cfg: FastConformerConfig, num_tokens=None)
     sub = {
         "conv0": t_conv2d(sd["encoder.embed.conv.0.weight"], sd.get("encoder.embed.conv.0.bias")),
         "conv1": t_conv2d(sd["encoder.embed.conv.2.weight"], sd.get("encoder.embed.conv.2.bias")),
-        "proj": _lin(sd, "encoder.embed.out.0"),
     }
+    sub["proj"] = t_flatten_proj(
+        sd["encoder.embed.out.0.weight"], sd.get("encoder.embed.out.0.bias"),
+        sd["encoder.embed.conv.2.weight"].shape[0],
+    )
 
     blocks = []
     for n in range(enc_cfg.num_layers):

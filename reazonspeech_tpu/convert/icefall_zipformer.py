@@ -31,7 +31,7 @@ import numpy as np
 from ..models.rnnt import RNNTConfig
 from ..models.zipformer import ZipformerConfig
 from .store import save_param_tree
-from .torch_utils import t_conv2d, t_depthwise_conv1d, t_linear, to_numpy
+from .torch_utils import t_conv2d, t_depthwise_conv1d, t_flatten_proj, t_linear, to_numpy
 
 __all__ = ["convert_icefall_state_dict", "convert_icefall_checkpoint"]
 
@@ -76,7 +76,10 @@ def convert_icefall_state_dict(sd, enc_cfg: ZipformerConfig, rnnt_cfg: RNNTConfi
             sd[f"encoder_embed.conv.{idx}.weight"],
             sd.get(f"encoder_embed.conv.{idx}.bias"),
         )
-    embed["proj"] = _lin(sd, "encoder_embed.out")
+    embed["proj"] = t_flatten_proj(
+        sd["encoder_embed.out.weight"], sd.get("encoder_embed.out.bias"),
+        sd[f"encoder_embed.conv.{conv_keys[-1]}.weight"].shape[0],
+    )
     embed["norm"] = _bias_norm(sd, "encoder_embed.out_norm")
 
     # --- stacks

@@ -35,6 +35,7 @@ from .torch_utils import (
     t_conv1d,
     t_conv2d,
     t_depthwise_conv1d,
+    t_flatten_proj,
     t_layer_norm,
     t_linear,
     t_lstm_layer,
@@ -100,7 +101,11 @@ def convert_nemo_state_dict(sd, enc_cfg: FastConformerConfig, rnnt_cfg: RNNTConf
             sd.get(f"encoder.pre_encode.conv.{idx + 1}.bias"),
         )
         idx += 3
-    sub["proj"] = _lin(sd, "encoder.pre_encode.out")
+    channels = sd["encoder.pre_encode.conv.0.weight"].shape[0]
+    sub["proj"] = t_flatten_proj(
+        sd["encoder.pre_encode.out.weight"], sd.get("encoder.pre_encode.out.bias"),
+        channels,
+    )
 
     # --- blocks (stacked over layers)
     blocks = []

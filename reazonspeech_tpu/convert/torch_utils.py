@@ -35,6 +35,24 @@ def t_linear(weight, bias=None):
     return p
 
 
+def t_flatten_proj(weight, bias, channels):
+    """Subsampling flatten projection with layout correction.
+
+    torch conv stacks flatten [B, C, T, F] -> transpose -> [B, T, C*F]
+    (channel-major rows); our NHWC models flatten [B, T, F, C] -> [B, T, F*C]
+    (freq-major). Reorder the Linear's input rows accordingly so the
+    converted weight consumes our layout. Caught by the round-2 parity gate
+    (tools/convert_and_gate.py) — structural shape checks can't see it since
+    C*F == F*C."""
+    p = t_linear(weight, bias)
+    rows, d = p["w"].shape
+    freq = rows // channels
+    p["w"] = np.ascontiguousarray(
+        p["w"].reshape(channels, freq, d).transpose(1, 0, 2).reshape(rows, d)
+    )
+    return p
+
+
 def t_conv1d(weight, bias=None):
     """torch Conv1d [out, in, K] -> {w: [K, in, out]}."""
     p = {"w": np.transpose(to_numpy(weight), (2, 1, 0)).copy()}

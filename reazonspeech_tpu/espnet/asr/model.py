@@ -149,8 +149,14 @@ def _convert_snapshot(snapshot_dir, out_base):
 
 
 def _tpu_serving_overrides(enc_cfg: FastConformerConfig) -> FastConformerConfig:
+    """Pallas attention on TPU; residual stream fp32 by default (see
+    nemo/asr/model.py — bf16 residual is opt-in pending real-weight CER)."""
     if jax.devices()[0].platform in ("tpu", "axon"):
-        return replace(enc_cfg, attn_impl="pallas", residual_dtype="bfloat16")
+        residual = os.environ.get("REAZONSPEECH_TPU_RESIDUAL_DTYPE", "float32")
+        return replace(
+            enc_cfg, attn_impl="pallas", conv_impl="pallas",
+            residual_dtype=residual,
+        )
     return enc_cfg
 
 

@@ -67,6 +67,9 @@ class FastConformerConfig:
     # attention implementation: "xla" (einsum + pad/reshape shift) or
     # "pallas" (VMEM-resident fused kernel, ops/relpos_attention.py)
     attn_impl: str = "xla"
+    # conv module implementation: "xla" or "pallas"
+    # (ops/conformer_conv.py: whole module fused, time axis VMEM-resident)
+    conv_impl: str = "xla"
     # dtype of the residual stream BETWEEN blocks; bf16 halves the
     # elementwise/HBM traffic of the norm/residual chain at some numeric risk
     residual_dtype: str = "float32"
@@ -250,14 +253,17 @@ def _mhsa_relpos(p, x, pos_emb, mask, cfg: FastConformerConfig):
         from ..ops.relpos_attention import relpos_attention
 
         lengths = jnp.sum(mask.astype(jnp.int32), axis=-1)
+        # inputs stay in the compute dtype (bf16 on TPU — half the VMEM
+        # traffic and MXU-native); the kernel accumulates scores/softmax/PV
+        # in fp32 (preferred_element_type), so numerics match bf16 einsums
         out = relpos_attention(
-            jnp.transpose(qu, (0, 2, 1, 3)).astype(jnp.float32),
-            jnp.transpose(qv, (0, 2, 1, 3)).astype(jnp.float32),
-            jnp.transpose(k, (0, 2, 1, 3)).astype(jnp.float32),
-            jnp.transpose(v, (0, 2, 1, 3)).astype(jnp.float32),
-            pos.astype(jnp.float32),
+            jnp.transpose(qu, (0, 2, 1, 3)),
+            jnp.transpose(qv, (0, 2, 1, 3)),
+            jnp.transpose(k, (0, 2, 1, 3)),
+            jnp.transpose(v, (0, 2, 1, 3)),
+            pos,
             lengths,
-        )  # [B, H, T, dh]
+        )  # [B, H, T, dh] fp32
         out = jnp.transpose(out, (0, 2, 1, 3)).astype(dt).reshape(b, t, d)
         return dense(p["attn_out"], out, dtype=dt)
 
@@ -282,6 +288,28 @@ def _conv_module(p, x, mask, cfg: FastConformerConfig):
     swish -> pointwise. Padded frames are zeroed before the depthwise conv so
     padding never leaks into valid frames."""
     dt = cfg.dtype
+    b, t, d = x.shape
+    # the fused kernel holds the whole [T, 2D] GLU input in VMEM per grid
+    # step; beyond ~0.5M elements that overflows, so long-form utterances
+    # take the XLA path (same pattern as the attention kernel)
+    if cfg.conv_impl == "pallas" and t * d <= 512 * 1024:
+        from ..ops.conformer_conv import fold_batch_norm, fused_conv_module
+
+        lengths = jnp.sum(mask.astype(jnp.int32), axis=-1)
+        if cfg.conv_norm == "batch_norm":
+            scale, bias = fold_batch_norm(p["conv_bn"])
+            norm = "folded"
+        else:
+            scale, bias = p["conv_bn"]["scale"], p["conv_bn"]["bias"]
+            norm = "layer"
+        return fused_conv_module(
+            x.astype(dt), lengths,
+            p["conv_in"]["w"][0], p["conv_in"]["b"],
+            p["conv_dw"]["w"], p["conv_dw"]["b"],
+            scale, bias,
+            p["conv_out"]["w"][0], p["conv_out"]["b"],
+            norm=norm,
+        )
     x = conv1d(p["conv_in"], x, dtype=dt)
     x = glu(x, axis=-1)
     x = jnp.where(mask[..., None], x, 0)

@@ -144,10 +144,20 @@ def _convert_snapshot(snapshot_dir, out_base):
 
 
 def _tpu_serving_overrides(enc_cfg: FastConformerConfig) -> FastConformerConfig:
-    """Serving defaults on real TPU: Pallas attention + bf16 residual stream
-    (token parity with the fp32 path gated in tools/convert_and_gate.py)."""
+    """Serving defaults on real TPU: Pallas attention, fp32 residual stream.
+
+    The round-2 parity gate (tools/convert_and_gate.py) measured the bf16
+    residual stream at ~0.8% encoder deviation, which cascades through the
+    LSTM prediction network to a 78% greedy-token flip rate at HALF the
+    production depth — so bf16 residual is opt-in
+    ($REAZONSPEECH_TPU_RESIDUAL_DTYPE=bfloat16) until real-weight CER
+    evidence clears it."""
     if jax.devices()[0].platform in ("tpu", "axon"):
-        return replace(enc_cfg, attn_impl="pallas", residual_dtype="bfloat16")
+        residual = os.environ.get("REAZONSPEECH_TPU_RESIDUAL_DTYPE", "float32")
+        return replace(
+            enc_cfg, attn_impl="pallas", conv_impl="pallas",
+            residual_dtype=residual,
+        )
     return enc_cfg
 
 

@@ -1,0 +1,72 @@
+"""Fused conv-module Pallas kernel vs the XLA reference (interpret mode)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from reazonspeech_tpu.models.fastconformer import FastConformerConfig, _conv_module
+from reazonspeech_tpu.models.layers import (
+    batch_norm_init,
+    conv1d_init,
+    depthwise_conv1d_init,
+)
+from reazonspeech_tpu.ops.conformer_conv import fold_batch_norm, fused_conv_module
+
+
+def _params(key, d, k):
+    k1, k2, k3 = jax.random.split(key, 3)
+    p = {
+        "conv_in": conv1d_init(k1, d, 2 * d, 1),
+        "conv_dw": depthwise_conv1d_init(k2, d, k),
+        "conv_out": conv1d_init(k3, d, d, 1),
+        "conv_bn": batch_norm_init(d),
+    }
+    # non-trivial batch-norm statistics
+    p["conv_bn"]["mean"] = jax.random.normal(k1, (d,)) * 0.1
+    p["conv_bn"]["var"] = jax.random.uniform(k2, (d,), minval=0.5, maxval=2.0)
+    p["conv_bn"]["scale"] = jax.random.normal(k3, (d,)) * 0.2 + 1.0
+    return p
+
+
+def _run_kernel(p, x, lengths):
+    scale, bias = fold_batch_norm(p["conv_bn"])
+    return fused_conv_module(
+        x, lengths,
+        p["conv_in"]["w"][0], p["conv_in"]["b"],
+        p["conv_dw"]["w"], p["conv_dw"]["b"],
+        scale, bias,
+        p["conv_out"]["w"][0], p["conv_out"]["b"],
+        interpret=True,
+    )
+
+
+@pytest.mark.parametrize("t,k", [(64, 9), (48, 31)])
+def test_fused_conv_module_matches_xla(t, k):
+    d = 128
+    cfg = FastConformerConfig.tiny(d_model=d, conv_kernel=k, compute_dtype="float32")
+    p = _params(jax.random.PRNGKey(0), d, k)
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, t, d), jnp.float32)
+    lengths = jnp.array([t, t - 7, 5], jnp.int32)
+    mask = jnp.arange(t)[None, :] < lengths[:, None]
+
+    want = _conv_module(p, x, mask, cfg)
+    got = _run_kernel(p, x, lengths)
+
+    m = np.asarray(mask)[..., None]
+    diff = np.abs(np.asarray(got) - np.asarray(want)) * m
+    assert diff.max() < 2e-5, diff.max()
+
+
+def test_fused_conv_module_padding_isolation():
+    """Valid frames must not change when padding content changes."""
+    d, t, k = 128, 32, 9
+    p = _params(jax.random.PRNGKey(2), d, k)
+    lengths = jnp.array([20], jnp.int32)
+    x1 = jax.random.normal(jax.random.PRNGKey(3), (1, t, d), jnp.float32)
+    x2 = x1.at[:, 20:].set(99.0)
+
+    y1 = np.asarray(_run_kernel(p, x1, lengths))[:, :20]
+    y2 = np.asarray(_run_kernel(p, x2, lengths))[:, :20]
+    np.testing.assert_allclose(y1, y2, rtol=0, atol=1e-6)

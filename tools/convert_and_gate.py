@@ -1,0 +1,455 @@
+"""Convert published checkpoints and GATE the result against a torch oracle.
+
+VERDICT.md round-1 item 1: until weights flow through the converters and the
+JAX pipeline reproduces the torch reference token-for-token, the stack is
+unproven. This tool closes that loop for whatever checkpoints are available:
+
+  stage 1  convert the container (.nemo tar / espnet-zoo / sherpa k2 repo)
+           through the production converters (the same code load_model uses);
+  stage 2  ENCODER LOGIT PARITY: identical features through the torch oracle
+           (tools/torch_reference.py, independent reimplementation of the
+           published architectures) and our JAX encoder; gate max|Δ|/rel-Δ;
+  stage 3  GREEDY TOKEN PARITY: full oracle pipeline vs full JAX pipeline,
+           token-for-token (both from their own encoder outputs for
+           nemo/espnet; shared encoder output for k2, whose torch-side
+           encoder oracle does not exist — the ONNX/pt converters are gated
+           structurally + by decoder/joiner token parity);
+  stage 4  BF16-RESIDUAL CHECK: our pipeline with residual_dtype=float32 vs
+           bfloat16 — token flip rate decides whether the serving default
+           keeps bf16 (VERDICT item "What's missing" 4).
+
+Without egress, `--fixtures` fabricates faithful containers with random
+weights (tests/fixture_checkpoints.py): wiring/layout errors are exactly as
+visible with random weights as with trained ones. Point --nemo/--espnet/--k2
+at real downloads to run the same gates on published weights.
+
+Writes PARITY_GATE.json and exits non-zero on gate failure.
+
+Usage:
+  python tools/convert_and_gate.py --fixtures [--size tiny|small] [--out PARITY_GATE.json]
+  python tools/convert_and_gate.py --nemo path/to/model.nemo
+  python tools/convert_and_gate.py --espnet path/to/zoo_dir --k2 path/to/repo_dir
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+
+import numpy as np
+
+# thresholds: fp32 end-to-end through ~10 orders of elementwise ops
+ENC_MAE_TOL = 2e-4
+ENC_REL_TOL = 2e-3
+TOKEN_MATCH_MIN = 0.99
+# bf16 residual: require <2% token flips for the serving default to keep it
+BF16_FLIP_MAX = 0.02
+# with random weights both decoders saturate their (different) emission caps,
+# which is cap-shape comparison, not semantics; cap both at 1 symbol/frame
+MAX_SYMBOLS = 1
+
+
+def _mel_clips(n_clips, t, feat, seed=0):
+    """Speech-shaped log-mel-like features (band-limited, correlated)."""
+    rng = np.random.default_rng(seed)
+    clips = []
+    for _ in range(n_clips):
+        x = rng.standard_normal((t + 16, feat)).astype(np.float32)
+        # smooth over time to mimic real spectrogram correlation
+        k = np.hanning(9).astype(np.float32)
+        k /= k.sum()
+        x = np.apply_along_axis(lambda v: np.convolve(v, k, "same"), 0, x)
+        clips.append(x[:t] * 2.0)
+    return clips
+
+
+def _decode(jparams, enc, lens, rnnt_cfg):
+    import numpy as np
+
+    from reazonspeech_tpu.decoding.rnnt_greedy import (
+        GreedyDecodeConfig,
+        rnnt_greedy_decode,
+    )
+
+    toks, _, counts = rnnt_greedy_decode(
+        jparams["predictor"], jparams["joint"], enc, lens, rnnt_cfg,
+        GreedyDecodeConfig(max_symbols_per_step=MAX_SYMBOLS),
+    )
+    return np.asarray(toks)[0, : int(np.asarray(counts)[0])].tolist()
+
+
+def _match_rate(a, b):
+    if not a and not b:
+        return 1.0
+    n = max(len(a), len(b))
+    same = sum(1 for x, y in zip(a, b) if x == y)
+    return same / n
+
+
+def gate_nemo(nemo_path, size, report):
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from reazonspeech_tpu.convert.nemo_fastconformer import (
+        convert_nemo_checkpoint,
+        read_nemo_tar,
+    )
+    from reazonspeech_tpu.decoding.rnnt_greedy import GreedyDecodeConfig, rnnt_greedy_decode
+    from reazonspeech_tpu.models.fastconformer import fastconformer_encode
+    from torch_reference import nemo_encoder_forward, rnnt_greedy_reference
+
+    with tempfile.TemporaryDirectory() as td:
+        out = os.path.join(td, "converted")
+        params, enc_cfg, rnnt_cfg = convert_nemo_checkpoint(nemo_path, out)
+        sd, _, _ = read_nemo_tar(nemo_path)
+    sd = {k: v.float() for k, v in sd.items()}
+    from dataclasses import replace
+
+    enc_cfg = replace(enc_cfg, compute_dtype="float32", attn_impl="xla",
+                      residual_dtype="float32")
+    rnnt_cfg = replace(rnnt_cfg, compute_dtype="float32")
+    jparams = jax.tree.map(jnp.asarray, params)
+
+    t = 256 if size != "tiny" else 64
+    clips = _mel_clips(4, t, enc_cfg.feat_in)
+    maes, rels, token_rates = [], [], []
+    flips, devs = [], []
+    for i, mel in enumerate(clips):
+        with torch.no_grad():
+            ref_enc = nemo_encoder_forward(
+                sd, torch.from_numpy(mel)[None], enc_cfg.num_layers,
+                enc_cfg.num_heads, enc_cfg.d_model,
+            ).numpy()[0]
+        lens = jnp.array([mel.shape[0]])
+        ours, olens = fastconformer_encode(
+            jparams["encoder"], jnp.asarray(mel)[None], lens, enc_cfg
+        )
+        ours = np.asarray(ours)[0, : ref_enc.shape[0]]
+        mae = float(np.abs(ours - ref_enc).mean())
+        rel = float(np.abs(ours - ref_enc).max() / (np.abs(ref_enc).max() + 1e-9))
+        maes.append(mae)
+        rels.append(rel)
+
+        ref_tokens, _ = rnnt_greedy_reference(
+            sd, torch.from_numpy(ref_enc), rnnt_cfg.vocab_size,
+            rnnt_cfg.pred_rnn_layers, rnnt_cfg.joint_activation,
+            max_symbols=MAX_SYMBOLS,
+        )
+        toks, frames, counts = rnnt_greedy_decode(
+            jparams["predictor"], jparams["joint"],
+            jnp.asarray(ours)[None], olens, rnnt_cfg,
+            GreedyDecodeConfig(max_symbols_per_step=MAX_SYMBOLS),
+        )
+        our_tokens = np.asarray(toks)[0, : int(np.asarray(counts)[0])].tolist()
+        token_rates.append(_match_rate(ref_tokens, our_tokens))
+
+        # bf16-RESIDUAL sensitivity. Serving always computes matmuls in bf16
+        # (MXU); the open question is the residual stream dtype, so compare
+        # bf16-compute/fp32-residual (baseline) vs bf16-compute/bf16-residual.
+        base_cfg = replace(enc_cfg, compute_dtype="bfloat16")
+        bf_cfg = replace(base_cfg, residual_dtype="bfloat16")
+        enc_base, lens_b = fastconformer_encode(
+            jparams["encoder"], jnp.asarray(mel)[None], lens, base_cfg
+        )
+        enc_bf, _ = fastconformer_encode(
+            jparams["encoder"], jnp.asarray(mel)[None], lens, bf_cfg
+        )
+        dev = float(np.abs(np.asarray(enc_bf) - np.asarray(enc_base)).max()
+                    / (np.abs(np.asarray(enc_base)).max() + 1e-9))
+        devs.append(dev)
+        base_toks = _decode(jparams, enc_base, lens_b, rnnt_cfg)
+        bf_toks = _decode(jparams, enc_bf, lens_b, rnnt_cfg)
+        flips.append(1.0 - _match_rate(base_toks, bf_toks))
+
+    entry = {
+        "encoder_logit_mae": max(maes),
+        "encoder_logit_rel": max(rels),
+        "token_match_vs_torch": min(token_rates),
+        "bf16_residual_token_flip_rate": max(flips),
+        "bf16_residual_enc_rel_dev": max(devs),
+        "pass": bool(
+            max(maes) < ENC_MAE_TOL
+            and max(rels) < ENC_REL_TOL
+            and min(token_rates) >= TOKEN_MATCH_MIN
+        ),
+        "bf16_serving_ok": bool(max(flips) <= BF16_FLIP_MAX),
+    }
+    report["nemo"] = entry
+    return entry["pass"]
+
+
+def gate_espnet(zoo_dir, size, report):
+    import glob
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from reazonspeech_tpu.convert.espnet_conformer import convert_espnet_checkpoint
+    from reazonspeech_tpu.decoding.rnnt_greedy import GreedyDecodeConfig, rnnt_greedy_decode
+    from reazonspeech_tpu.models.conformer import ctc_log_softmax
+    from reazonspeech_tpu.models.fastconformer import fastconformer_encode
+    from reazonspeech_tpu.models.rnnt import RNNTConfig
+    from torch_reference import (
+        espnet_ctc_log_softmax,
+        espnet_encoder_forward,
+        rnnt_greedy_reference,
+    )
+
+    pths = sorted(glob.glob(os.path.join(zoo_dir, "**", "*.pth"), recursive=True))
+    cfgs = glob.glob(os.path.join(os.path.dirname(pths[0]), "config.yaml"))
+    with tempfile.TemporaryDirectory() as td:
+        out = os.path.join(td, "converted")
+        params, enc_cfg = convert_espnet_checkpoint(
+            pths[0], out, config_yaml=cfgs[0] if cfgs else None
+        )
+        from reazonspeech_tpu.convert.store import load_param_tree
+
+        _, meta = load_param_tree(out)
+    sd = {k: v.float() for k, v in
+          __import__("torch").load(pths[0], map_location="cpu", weights_only=True).items()}
+    from dataclasses import replace
+
+    enc_cfg = replace(enc_cfg, compute_dtype="float32", attn_impl="xla",
+                      residual_dtype="float32")
+    rnnt_cfg = RNNTConfig(**meta["rnnt_cfg"]) if meta.get("rnnt_cfg") else None
+    if rnnt_cfg is not None:
+        rnnt_cfg = replace(rnnt_cfg, compute_dtype="float32")
+    jparams = jax.tree.map(jnp.asarray, params)
+
+    t = 256 if size != "tiny" else 64
+    clips = _mel_clips(4, t, enc_cfg.feat_in, seed=1)
+    maes, rels, ctc_maes, token_rates = [], [], [], []
+    flips, devs = [], []
+    for mel in clips:
+        with torch.no_grad():
+            ref_enc = espnet_encoder_forward(
+                sd, torch.from_numpy(mel)[None], enc_cfg.num_layers,
+                enc_cfg.num_heads, enc_cfg.d_model,
+            )
+            ref_lpz = espnet_ctc_log_softmax(sd, ref_enc).numpy()[0]
+            ref_enc = ref_enc.numpy()[0]
+        lens = jnp.array([mel.shape[0]])
+        ours, olens = fastconformer_encode(
+            jparams["encoder"], jnp.asarray(mel)[None], lens, enc_cfg
+        )
+        ours_np = np.asarray(ours)[0, : ref_enc.shape[0]]
+        maes.append(float(np.abs(ours_np - ref_enc).mean()))
+        rels.append(float(np.abs(ours_np - ref_enc).max()
+                          / (np.abs(ref_enc).max() + 1e-9)))
+        lpz = np.asarray(ctc_log_softmax(jparams["ctc"], ours))[0, : ref_lpz.shape[0]]
+        ctc_maes.append(float(np.abs(lpz - ref_lpz).mean()))
+
+        if rnnt_cfg is not None:
+            ref_tokens, _ = rnnt_greedy_reference(
+                sd, torch.from_numpy(ref_enc), rnnt_cfg.vocab_size,
+                rnnt_cfg.pred_rnn_layers, rnnt_cfg.joint_activation,
+                prefix="decoder", joint_prefix="joint_network",
+                blank_first=True, max_symbols=MAX_SYMBOLS,
+            )
+            toks, _, counts = rnnt_greedy_decode(
+                jparams["predictor"], jparams["joint"],
+                jnp.asarray(ours_np)[None], olens, rnnt_cfg,
+                GreedyDecodeConfig(max_symbols_per_step=MAX_SYMBOLS),
+            )
+            our_tokens = np.asarray(toks)[0, : int(np.asarray(counts)[0])].tolist()
+            token_rates.append(_match_rate(ref_tokens, our_tokens))
+
+            base_cfg = replace(enc_cfg, compute_dtype="bfloat16")
+            bf_cfg = replace(base_cfg, residual_dtype="bfloat16")
+            enc_base, lens_b = fastconformer_encode(
+                jparams["encoder"], jnp.asarray(mel)[None], lens, base_cfg
+            )
+            enc_bf, _ = fastconformer_encode(
+                jparams["encoder"], jnp.asarray(mel)[None], lens, bf_cfg
+            )
+            devs.append(float(
+                np.abs(np.asarray(enc_bf) - np.asarray(enc_base)).max()
+                / (np.abs(np.asarray(enc_base)).max() + 1e-9)))
+            base_toks = _decode(jparams, enc_base, lens_b, rnnt_cfg)
+            bf_toks = _decode(jparams, enc_bf, lens_b, rnnt_cfg)
+            flips.append(1.0 - _match_rate(base_toks, bf_toks))
+
+    entry = {
+        "encoder_logit_mae": max(maes),
+        "encoder_logit_rel": max(rels),
+        "ctc_log_softmax_mae": max(ctc_maes),
+        "token_match_vs_torch": min(token_rates) if token_rates else None,
+        "bf16_residual_token_flip_rate": max(flips) if flips else None,
+        "bf16_residual_enc_rel_dev": max(devs) if devs else None,
+        "pass": bool(
+            max(maes) < ENC_MAE_TOL
+            and max(rels) < ENC_REL_TOL
+            and (not token_rates or min(token_rates) >= TOKEN_MATCH_MIN)
+        ),
+        "bf16_serving_ok": bool(not flips or max(flips) <= BF16_FLIP_MAX),
+    }
+    report["espnet"] = entry
+    return entry["pass"]
+
+
+def gate_k2(repo_dir, size, report):
+    """k2 gate: encoder converts structurally from the icefall .pt (no torch
+    zipformer oracle yet — documented); decoder/joiner gate token-for-token
+    on a shared encoder output, for BOTH the fp32 and the .pt-derived trees."""
+    import glob
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from reazonspeech_tpu.convert.onnx_zipformer import convert_sherpa_snapshot
+    from reazonspeech_tpu.decoding.rnnt_greedy import GreedyDecodeConfig, rnnt_greedy_decode
+    from reazonspeech_tpu.models.rnnt import RNNTConfig
+    from reazonspeech_tpu.models.zipformer import ZipformerConfig, zipformer_encode
+    from torch_reference import stateless_greedy_reference
+
+    def find(pat):
+        hits = sorted(glob.glob(os.path.join(repo_dir, "**", pat), recursive=True))
+        return hits[0] if hits else None
+
+    enc_onnx = find("encoder-*-avg-1.onnx")
+    dec_onnx = find("decoder-*-avg-1.onnx")
+    joi_onnx = find("joiner-*-avg-1.onnx")
+    pt = find("*.pt")
+    tokens_txt = find("tokens.txt")
+    # fixtures (tiny/small) are built on the tiny zipformer; published repos
+    # (size=full semantics) use the default Zipformer-L
+    enc_cfg = ZipformerConfig.tiny() if size in ("tiny", "small") else None
+    with tempfile.TemporaryDirectory() as td:
+        out = os.path.join(td, "converted")
+        params, enc_cfg, rnnt_cfg = convert_sherpa_snapshot(
+            enc_onnx, dec_onnx, joi_onnx, out,
+            tokens_txt=tokens_txt, icefall_pt=pt, enc_cfg=enc_cfg,
+        )
+    from dataclasses import replace
+
+    enc_cfg = replace(enc_cfg, compute_dtype="float32", residual_dtype="float32")
+    rnnt_cfg = replace(rnnt_cfg, compute_dtype="float32")
+    jparams = jax.tree.map(jnp.asarray, params)
+    sd = torch.load(pt, map_location="cpu", weights_only=True)
+    if "model" in sd:
+        sd = sd["model"]
+    sd = {k: v.float() for k, v in sd.items()}
+
+    t = 256 if size != "tiny" else 64
+    clips = _mel_clips(3, t, enc_cfg.feat_in, seed=2)
+    token_rates = []
+    for mel in clips:
+        enc, elens = zipformer_encode(
+            jparams["encoder"], jnp.asarray(mel)[None], jnp.array([mel.shape[0]]),
+            enc_cfg,
+        )
+        enc_np = np.asarray(enc)[0, : int(np.asarray(elens)[0])]
+        assert np.isfinite(enc_np).all(), "zipformer produced non-finite output"
+
+        ref_tokens, _ = stateless_greedy_reference(
+            sd, torch.from_numpy(enc_np.copy()), rnnt_cfg.context_size,
+            max_symbols=MAX_SYMBOLS,
+        )
+        toks, _, counts = rnnt_greedy_decode(
+            jparams["predictor"], jparams["joint"], enc, elens, rnnt_cfg,
+            GreedyDecodeConfig(max_symbols_per_step=MAX_SYMBOLS),
+        )
+        our_tokens = np.asarray(toks)[0, : int(np.asarray(counts)[0])].tolist()
+        token_rates.append(_match_rate(ref_tokens, our_tokens))
+
+    entry = {
+        "decoder_joiner_token_match": min(token_rates),
+        "encoder_oracle": "none (icefall .pt converts structurally; "
+        "torch zipformer oracle not yet implemented)",
+        "pass": bool(min(token_rates) >= TOKEN_MATCH_MIN),
+    }
+    report["k2"] = entry
+    return entry["pass"]
+
+
+def build_fixtures(td, size):
+    """Fabricate faithful containers (tests/fixture_checkpoints.py)."""
+    from fixture_checkpoints import (
+        write_espnet_zoo,
+        write_k2_repo,
+        write_nemo_archive,
+    )
+    from reazonspeech_tpu.models.conformer import espnet_encoder_config
+    from reazonspeech_tpu.models.fastconformer import FastConformerConfig
+    from reazonspeech_tpu.models.rnnt import RNNTConfig
+    from reazonspeech_tpu.models.zipformer import ZipformerConfig
+
+    if size == "tiny":
+        n_enc = FastConformerConfig.tiny()
+        n_rnnt = RNNTConfig.tiny(enc_dim=n_enc.d_model)
+        e_enc = espnet_encoder_config(
+            num_layers=2, d_model=32, num_heads=4, subsampling_channels=8
+        )
+        z_enc = ZipformerConfig.tiny()
+    else:  # "small": deep enough for error accumulation to show
+        n_enc = FastConformerConfig.tiny(num_layers=8, d_model=256, num_heads=8,
+                                         subsampling_channels=64)
+        n_rnnt = RNNTConfig(vocab_size=256, enc_dim=256, pred_hidden=64,
+                            joint_hidden=64)
+        e_enc = espnet_encoder_config(
+            num_layers=8, d_model=128, num_heads=8, subsampling_channels=32
+        )
+        z_enc = ZipformerConfig.tiny()
+
+    nemo = os.path.join(td, "model.nemo")
+    write_nemo_archive(nemo, n_enc, n_rnnt)
+
+    e_tokens = ["<blank>"] + [chr(c) for c in range(0x3041, 0x3041 + 40)] + ["<sos/eos>"]
+    e_rnnt = RNNTConfig(vocab_size=len(e_tokens), enc_dim=e_enc.d_model,
+                        pred_hidden=24, joint_hidden=32,
+                        joint_activation="tanh", blank_position="first")
+    ezoo = os.path.join(td, "espnet")
+    write_espnet_zoo(ezoo, e_enc, e_tokens, e_rnnt)
+
+    k_tokens = ["<blk>", "<sos/eos>", "<unk>"] + [chr(c) for c in range(0x3041, 0x3041 + 40)]
+    k_rnnt = RNNTConfig(vocab_size=len(k_tokens), enc_dim=z_enc.out_dim,
+                        pred_hidden=24, joint_hidden=32, joint_activation="tanh",
+                        predictor_kind="stateless", context_size=2)
+    k2 = os.path.join(td, "k2")
+    write_k2_repo(k2, z_enc, k_rnnt, k_tokens)
+    return nemo, ezoo, k2
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fixtures", action="store_true",
+                    help="fabricate faithful containers with random weights")
+    ap.add_argument("--size", default="tiny", choices=("tiny", "small"))
+    ap.add_argument("--nemo", help=".nemo archive path")
+    ap.add_argument("--espnet", help="espnet-zoo directory")
+    ap.add_argument("--k2", help="sherpa k2 repo directory")
+    ap.add_argument("--out", default="PARITY_GATE.json")
+    args = ap.parse_args(argv)
+
+    report = {"size": args.size, "weights": "fixtures" if args.fixtures else "published"}
+    ok = True
+    with tempfile.TemporaryDirectory() as td:
+        nemo, ezoo, k2 = args.nemo, args.espnet, args.k2
+        if args.fixtures:
+            nemo, ezoo, k2 = build_fixtures(td, args.size)
+        if nemo:
+            ok &= gate_nemo(nemo, args.size, report)
+            print("nemo:", json.dumps(report["nemo"]), file=sys.stderr)
+        if ezoo:
+            ok &= gate_espnet(ezoo, args.size, report)
+            print("espnet:", json.dumps(report["espnet"]), file=sys.stderr)
+        if k2:
+            ok &= gate_k2(k2, args.size, report)
+            print("k2:", json.dumps(report["k2"]), file=sys.stderr)
+
+    report["pass"] = bool(ok)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
