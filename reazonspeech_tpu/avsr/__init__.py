@@ -27,15 +27,71 @@ __all__ = [
 ]
 
 
-def register_auto_classes():
-    """Register the family into HF Auto classes (no-op without transformers)."""
-    try:
-        from transformers import AutoConfig, AutoFeatureExtractor
+def _native_config(config):
+    """HF PretrainedConfig (or None) -> AVHubertConfig dataclass."""
+    if config is None or isinstance(config, AVHubertConfig):
+        return config
+    fields = {
+        k: getattr(config, k)
+        for k in AVHubertConfig.__dataclass_fields__
+        if hasattr(config, k)
+    }
+    return AVHubertConfig(**fields)
 
-        AutoConfig.register("avhubert", AVHubertConfig.hf_config_class())
-        AutoFeatureExtractor.register(
-            AVHubertConfig.hf_config_class(), AVHubertFeatureExtractor
+
+def register_auto_classes():
+    """Register the family into ALL five HF Auto classes, mirroring the
+    reference (pkg/avsr/src/__init__.py:25-35): AutoConfig, AutoModel,
+    AutoModelForSpeechSeq2Seq, AutoFeatureExtractor, AutoProcessor.
+
+    The model entries are thin adapters whose ``from_pretrained`` accepts the
+    Auto machinery's calling convention (positional path, ``config=`` as an
+    HF PretrainedConfig, hub kwargs) and return the JAX models. The
+    reference's ``register_for_auto_class`` calls serialize auto_map entries
+    for trust_remote_code checkpoints; our classes are not torch
+    PreTrainedModels, so that serialization path is intentionally omitted.
+
+    No-op (returns False) when transformers is not importable.
+    """
+    try:
+        from transformers import (
+            AutoConfig,
+            AutoFeatureExtractor,
+            AutoModel,
+            AutoModelForSpeechSeq2Seq,
+            AutoProcessor,
         )
-        return True
-    except Exception:
+    except ImportError:
         return False
+
+    hf_cfg = AVHubertConfig.hf_config_class()
+
+    class _AVHubertModelAdapter(AVHubertModel):
+        config_class = hf_cfg
+
+        @classmethod
+        def from_pretrained(cls, path, *args, config=None, **kwargs):
+            return AVHubertModel.from_pretrained(path, config=_native_config(config))
+
+    class _AVHubertSeq2SeqAdapter(AVHubertForConditionalGeneration):
+        config_class = hf_cfg
+
+        @classmethod
+        def from_pretrained(cls, path, *args, config=None, **kwargs):
+            return AVHubertForConditionalGeneration.from_pretrained(
+                path, config=_native_config(config)
+            )
+
+    def _register(fn, *args, **kwargs):
+        try:
+            fn(*args, **kwargs)
+        except ValueError:
+            # already registered (repeat import in one process)
+            pass
+
+    _register(AutoConfig.register, "avhubert", hf_cfg)
+    _register(AutoModel.register, hf_cfg, _AVHubertModelAdapter)
+    _register(AutoModelForSpeechSeq2Seq.register, hf_cfg, _AVHubertSeq2SeqAdapter)
+    _register(AutoFeatureExtractor.register, hf_cfg, AVHubertFeatureExtractor)
+    _register(AutoProcessor.register, hf_cfg, AVHubertProcessor)
+    return True

@@ -73,8 +73,13 @@ class AVHubertConfig:
 
     @classmethod
     def hf_config_class(cls):
-        """Build (lazily) a transformers.PretrainedConfig subclass mirroring
-        this dataclass, for HF Auto-class registration."""
+        """Build (once; memoized) a transformers.PretrainedConfig subclass
+        mirroring this dataclass, for HF Auto-class registration — Auto
+        mappings are keyed by class identity, so every caller must see the
+        SAME class object."""
+        cached = getattr(cls, "_hf_config_class", None)
+        if cached is not None:
+            return cached
         from transformers import PretrainedConfig
 
         fields = {f: getattr(cls(), f) for f in cls.__dataclass_fields__}
@@ -90,4 +95,5 @@ class AVHubertConfig:
                 for k, v in merged.items():
                     setattr(self, k, v)
 
+        cls._hf_config_class = HFAVHubertConfig
         return HFAVHubertConfig

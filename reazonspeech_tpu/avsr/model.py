@@ -435,6 +435,31 @@ def beam_generate(params, cfg: AVHubertConfig, enc, enc_mask, num_beams=5,
 # ---------------------------------------------------------------------------
 
 
+def _load_pretrained(cls, path, config=None):
+    """Shared loader: a native param tree (.npz/.json from convert.store) or
+    an HF checkpoint directory (config.json + safetensors/bin, converted on
+    the fly)."""
+    import os
+    import tempfile
+
+    if os.path.isdir(path):
+        from ..convert.hf_avhubert import convert_avhubert_checkpoint
+
+        with tempfile.TemporaryDirectory() as td:
+            params, cfg = convert_avhubert_checkpoint(
+                path, os.path.join(td, "tree"), cfg=config
+            )
+        return cls(config=cfg, params=jax.tree.map(jnp.asarray, params))
+
+    from ..convert.store import load_param_tree
+
+    params, meta = load_param_tree(path)
+    if config is None:
+        cfg_dict = meta.get("cfg", {})
+        config = AVHubertConfig(**cfg_dict) if cfg_dict else AVHubertConfig()
+    return cls(config=config, params=jax.tree.map(jnp.asarray, params))
+
+
 @dataclass
 class AVHubertModel:
     """Encoder-only model (feature fusion + transformer)."""
@@ -445,6 +470,10 @@ class AVHubertModel:
     @classmethod
     def init(cls, key, config: AVHubertConfig):
         return cls(config=config, params=init_avhubert(key, config))
+
+    @classmethod
+    def from_pretrained(cls, path, config: AVHubertConfig = None):
+        return _load_pretrained(cls, path, config)
 
     def __call__(self, audio=None, video=None, lengths=None):
         audio = jnp.asarray(audio) if audio is not None else None
@@ -470,28 +499,9 @@ class AVHubertForConditionalGeneration:
 
     @classmethod
     def from_pretrained(cls, path, config: AVHubertConfig = None):
-        """Load from a native param tree (.npz/.json pair written by
-        convert.store) or an HF checkpoint directory (config.json +
-        safetensors/bin, converted on the fly)."""
-        import os
-
-        if os.path.isdir(path):
-            from ..convert.hf_avhubert import convert_avhubert_checkpoint
-            import tempfile
-
-            with tempfile.TemporaryDirectory() as td:
-                params, cfg = convert_avhubert_checkpoint(
-                    path, os.path.join(td, "tree"), cfg=config
-                )
-            return cls(config=cfg, params=params)
-
-        from ..convert.store import load_param_tree
-
-        params, meta = load_param_tree(path)
-        if config is None:
-            cfg_dict = meta.get("cfg", {})
-            config = AVHubertConfig(**cfg_dict) if cfg_dict else AVHubertConfig()
-        return cls(config=config, params=params)
+        """Load from a native param tree or an HF checkpoint directory
+        (see _load_pretrained)."""
+        return _load_pretrained(cls, path, config)
 
     def encoder(self, audio=None, video=None, lengths=None):
         return encode(self.params, self.config, audio, video, lengths)

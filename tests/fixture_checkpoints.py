@@ -412,6 +412,111 @@ def write_k2_repo(dirpath, enc_cfg, rnnt_cfg, token_list, epochs=99,
     return sd
 
 
+def synth_avhubert_state_dict(cfg):
+    """Random tensors with the HF AVHuBERT naming the converter consumes
+    (convert/hf_avhubert.py; reference pkg/avsr/src/avhubert/ module tree)."""
+    d, ff = cfg.hidden_size, cfg.intermediate_size
+    dd, dff = cfg.decoder_hidden_size, cfg.decoder_ffn_dim
+    v = cfg.vocab_size
+    sd = {}
+
+    def add(name, *shape):
+        sd["model." + name] = rt(*shape)
+
+    def add_bn(p, ch):
+        add(f"{p}.weight", ch)
+        add(f"{p}.bias", ch)
+        sd[f"model.{p}.running_mean"] = rt(ch) * 0.1
+        sd[f"model.{p}.running_var"] = rt(ch).abs() + 0.5
+
+    add("feature_extractor_audio.proj.weight", d, cfg.audio_feat_dim)
+    add("feature_extractor_audio.proj.bias", d)
+    add("feature_extractor_video.proj.weight", d, 512)
+    add("feature_extractor_video.proj.bias", d)
+    add("layer_norm.weight", cfg.fused_dim)
+    add("layer_norm.bias", cfg.fused_dim)
+    if cfg.fused_dim != d:
+        add("post_extract_proj.weight", d, cfg.fused_dim)
+        add("post_extract_proj.bias", d)
+    g = cfg.num_conv_pos_embedding_groups
+    add("encoder.pos_conv_embed.conv.weight", d, d // g, cfg.num_conv_pos_embeddings)
+    add("encoder.pos_conv_embed.conv.bias", d)
+    add("encoder.layer_norm.weight", d)
+    add("encoder.layer_norm.bias", d)
+    for n in range(cfg.num_hidden_layers):
+        p = f"encoder.layers.{n}"
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            add(f"{p}.attention.{proj}.weight", d, d)
+            add(f"{p}.attention.{proj}.bias", d)
+        for ln in ("layer_norm", "final_layer_norm"):
+            add(f"{p}.{ln}.weight", d)
+            add(f"{p}.{ln}.bias", d)
+        add(f"{p}.feed_forward.intermediate_dense.weight", ff, d)
+        add(f"{p}.feed_forward.intermediate_dense.bias", ff)
+        add(f"{p}.feed_forward.output_dense.weight", d, ff)
+        add(f"{p}.feed_forward.output_dense.bias", d)
+
+    rp = "feature_extractor_video.resnet"
+    add(f"{rp}.frontend3D.0.weight", 64, 1, 5, 7, 7)
+    add_bn(f"{rp}.frontend3D.1", 64)
+    add(f"{rp}.frontend3D.2.weight", 64)  # PReLU
+    in_ch = 64
+    for s, out_ch in zip((1, 2, 3, 4), (64, 128, 256, 512)):
+        for b in range(2):
+            p = f"{rp}.trunk.layer{s}.{b}"
+            first = b == 0
+            cin = in_ch if first else out_ch
+            add(f"{p}.conv1.weight", out_ch, cin, 3, 3)
+            add_bn(f"{p}.bn1", out_ch)
+            add(f"{p}.relu1.weight", out_ch)
+            add(f"{p}.conv2.weight", out_ch, out_ch, 3, 3)
+            add_bn(f"{p}.bn2", out_ch)
+            add(f"{p}.relu2.weight", out_ch)
+            if first and (s != 1):
+                add(f"{p}.downsample.0.weight", out_ch, cin, 1, 1)
+                add_bn(f"{p}.downsample.1", out_ch)
+        in_ch = out_ch
+
+    add("decoder.embed_tokens.weight", v, dd)
+    add("decoder.layer_norm.weight", dd)
+    add("decoder.layer_norm.bias", dd)
+    for n in range(cfg.decoder_layers):
+        p = f"decoder.layers.{n}"
+        for attn, kv in (("self_attn", dd), ("encoder_attn", d)):
+            add(f"{p}.{attn}.q_proj.weight", dd, dd)
+            add(f"{p}.{attn}.q_proj.bias", dd)
+            add(f"{p}.{attn}.k_proj.weight", dd, kv)
+            add(f"{p}.{attn}.k_proj.bias", dd)
+            add(f"{p}.{attn}.v_proj.weight", dd, kv)
+            add(f"{p}.{attn}.v_proj.bias", dd)
+            add(f"{p}.{attn}.out_proj.weight", dd, dd)
+            add(f"{p}.{attn}.out_proj.bias", dd)
+        for ln in ("self_attn_layer_norm", "encoder_attn_layer_norm",
+                   "final_layer_norm"):
+            add(f"{p}.{ln}.weight", dd)
+            add(f"{p}.{ln}.bias", dd)
+        add(f"{p}.fc1.weight", dff, dd)
+        add(f"{p}.fc1.bias", dff)
+        add(f"{p}.fc2.weight", dd, dff)
+        add(f"{p}.fc2.bias", dd)
+    if not cfg.tie_word_embeddings:
+        sd["lm_head.weight"] = rt(v, dd)
+    return sd
+
+
+def write_avhubert_hf_dir(dirpath, cfg, sd=None):
+    """Write an HF checkpoint directory: config.json + pytorch_model.bin."""
+    import json
+
+    os.makedirs(dirpath, exist_ok=True)
+    sd = sd or synth_avhubert_state_dict(cfg)
+    raw = {k: getattr(cfg, k) for k in cfg.__dataclass_fields__}
+    with open(os.path.join(dirpath, "config.json"), "w") as f:
+        json.dump(raw, f)
+    torch.save(sd, os.path.join(dirpath, "pytorch_model.bin"))
+    return sd
+
+
 def write_hf_snapshot(cache_root, repo_id, build, rev="0" * 40):
     """Create an HF-hub cache snapshot for ``repo_id``; ``build(snapdir)``
     populates it. Returns the snapshot dir."""
