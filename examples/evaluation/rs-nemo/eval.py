@@ -57,11 +57,27 @@ if __name__ == "__main__":
     parser.add_argument("--num_gpus", type=int, default=None)
     parser.add_argument("--num_proc", type=int, default=None)
     parser.add_argument("--output_file", type=str, default=None)
+    parser.add_argument(
+        "--local-fixture",
+        type=str,
+        default=None,
+        help="directory of a local 10-row dataset (built on first use) "
+        "instead of the hub dataset — offline/CI runs",
+    )
     args = parser.parse_args()
 
     evaluator = RSNemoEvaluator(output_file=args.output_file)
-    dataset = load_dataset("reazon-research/reazonspeech", "tiny", split="train")
-    dataset = dataset.cast_column("audio", Audio(decode=False)).select(range(10))
+    if args.local_fixture:
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from local_fixture import load_fixture
+
+        dataset = load_fixture(args.local_fixture)
+    else:
+        dataset = load_dataset("reazon-research/reazonspeech", "tiny", split="train")
+        dataset = dataset.cast_column("audio", Audio(decode=False)).select(range(10))
     evaluated = evaluator.evaluate(
         dataset=dataset,
         text_column="transcription",

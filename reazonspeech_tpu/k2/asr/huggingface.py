@@ -114,6 +114,8 @@ def load_model(device="cpu", precision="fp32", language="ja", checkpoint=None) -
     if precision not in PRECISIONS:
         raise ValueError("Unknown precision: '%s'" % precision)
 
+    # the container-level env var names one converted tree directly
+    checkpoint = checkpoint or os.environ.get("REAZONSPEECH_TPU_K2_CHECKPOINT")
     if checkpoint is None:
         basedir = os.environ.get(CHECKPOINT_DIR_ENV)
         if basedir:

@@ -7,7 +7,7 @@ prediction network, blank-first token convention.
 """
 
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from functools import partial
 from typing import Optional
 
@@ -86,6 +86,15 @@ def default_k2_token_list():
     return pieces
 
 
+def _tpu_serving_overrides(enc_cfg: ZipformerConfig) -> ZipformerConfig:
+    """On real TPU, serve with the scores-in-VMEM shared-attention kernel
+    (ops/zipformer_attention.py); the residual stream stays fp32 (same
+    accuracy policy as the conformers, see nemo/asr/model.py)."""
+    if jax.devices()[0].platform in ("tpu", "axon"):
+        return replace(enc_cfg, attn_impl="pallas")
+    return enc_cfg
+
+
 def load_model_container(
     checkpoint: Optional[str] = None,
     enc_cfg: Optional[ZipformerConfig] = None,
@@ -129,11 +138,13 @@ def load_model_container(
                 k: tuple(v) if isinstance(v, list) else v
                 for k, v in meta["enc_cfg"].items()
             }
-            enc_cfg = ZipformerConfig(**cfg_kw)
+            enc_cfg = _tpu_serving_overrides(ZipformerConfig(**cfg_kw))
         else:
             size = os.environ.get("REAZONSPEECH_TPU_MODEL_SIZE", "")
             enc_cfg = (
-                ZipformerConfig.tiny() if size == "tiny" else ZipformerConfig.large()
+                ZipformerConfig.tiny()
+                if size == "tiny"
+                else _tpu_serving_overrides(ZipformerConfig.large())
             )
 
     token_list = token_list or default_k2_token_list()

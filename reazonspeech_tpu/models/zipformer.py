@@ -54,6 +54,10 @@ class ZipformerConfig:
     pos_dim: int = 48
     embed_channels: Tuple[int, ...] = (8, 32, 128)
     output_downsampling: int = 2
+    # attention implementation: "xla" (materialized [B,H,T,T] weights shared
+    # by the three consumers) or "pallas" (ops/zipformer_attention.py:
+    # scores recomputed in VMEM per application, weights never hit HBM)
+    attn_impl: str = "xla"
     compute_dtype: str = "bfloat16"
     # dtype of the stream between layers/stacks (bf16 halves norm/bypass HBM
     # traffic; BiasNorm statistics always accumulate in fp32)
@@ -310,18 +314,86 @@ def _conv_module(p, prefix, x, mask, si, cfg: ZipformerConfig):
     return dense(p[f"{prefix}_out"], y, dtype=dt)
 
 
+def _attn_context(p, x, pos_emb, si, cfg: ZipformerConfig):
+    """Project the SHARED attention inputs once per layer (zipformer2 computes
+    q/k/pos-q a single time and reuses them for all three applications)."""
+    b, t, d = x.shape
+    h, qd, pd = cfg.num_heads[si], cfg.query_head_dim, cfg.pos_head_dim
+    dt = cfg.dtype
+    qkp = dense(p["attn_qkp"], x, dtype=dt).reshape(b, t, h, 2 * qd + pd)
+
+    def flat(a):  # [B, T, H, c] -> [B*H, T, c]
+        return jnp.transpose(a, (0, 2, 1, 3)).reshape(b * h, t, -1)
+
+    q = flat(qkp[..., :qd])
+    k = flat(qkp[..., qd : 2 * qd])
+    qp = flat(qkp[..., 2 * qd :])
+    pos = dense(p["attn_pos"], pos_emb, dtype=dt).reshape(2 * t - 1, h, pd)
+    pos = jnp.transpose(pos, (1, 0, 2))  # [H, 2T-1, pd]
+    return q, k, qp, pos
+
+
+def _self_attn_pallas(p, prefix, x, ctx, lengths, si, cfg: ZipformerConfig):
+    from ..ops.zipformer_attention import shared_rel_attention
+
+    b, t, d = x.shape
+    h, vd = cfg.num_heads[si], cfg.value_head_dim
+    dt = cfg.dtype
+    q, k, qp, pos = ctx
+    v = dense(p[f"{prefix}_v"], x, dtype=dt).reshape(b, t, h, vd)
+    v = jnp.transpose(v, (0, 2, 1, 3)).reshape(b * h, t, vd)
+    out = shared_rel_attention(
+        q, k, qp, pos, v, jnp.repeat(lengths, h), heads=h
+    )  # [B*H, T, vd] fp32
+    out = jnp.transpose(out.reshape(b, h, t, vd), (0, 2, 1, 3)).astype(dt)
+    return dense(p[f"{prefix}_out"], out.reshape(b, t, h * vd), dtype=dt)
+
+
+def _nonlin_attention_pallas(p, x, ctx, lengths, si, cfg: ZipformerConfig):
+    from ..ops.zipformer_attention import shared_rel_attention
+
+    b, t, d = x.shape
+    h = cfg.num_heads[si]
+    dt = cfg.dtype
+    q, k, qp, pos = ctx
+    sxy = dense(p["na_in"], x, dtype=dt)
+    s, v, y = jnp.split(sxy, 3, axis=-1)
+    v = jnp.tanh(s) * v  # [B, T, hidden]
+
+    def head0(a):  # [B*H, T, c] -> head-0 rows [B, T, c]
+        return a.reshape(b, h, t, -1)[:, 0]
+
+    attended = shared_rel_attention(
+        head0(q), head0(k), head0(qp), pos[:1], v.astype(dt), lengths, heads=1
+    ).astype(dt)
+    return dense(p["na_out"], attended * y, dtype=dt)
+
+
 def _layer(p, x, pos_emb, mask, si, cfg: ZipformerConfig):
     dt = cfg.dtype
     x_orig = x
-    weights = _attn_weights(p, x.astype(dt), pos_emb, mask, si, cfg)
+    t = x.shape[1]
+
+    # scores-in-VMEM kernel for serving shapes; the fp32 XLA path (weights
+    # materialized once) serves long-form and CPU
+    use_pallas = cfg.attn_impl == "pallas" and t <= 2048
+    if use_pallas:
+        ctx = _attn_context(p, x.astype(dt), pos_emb, si, cfg)
+        lengths = jnp.sum(mask.astype(jnp.int32), axis=-1)
+        nonlin = lambda y: _nonlin_attention_pallas(p, y, ctx, lengths, si, cfg)
+        attn = lambda pre, y: _self_attn_pallas(p, pre, y, ctx, lengths, si, cfg)
+    else:
+        weights = _attn_weights(p, x.astype(dt), pos_emb, mask, si, cfg)
+        nonlin = lambda y: _nonlin_attention(p, y, weights[:, 0], cfg)
+        attn = lambda pre, y: _self_attn(p, pre, y, weights, si, cfg)
 
     x = x + _ffn(p, "ff1", x.astype(dt), cfg)
-    x = x + _nonlin_attention(p, x.astype(dt), weights[:, 0], cfg)
-    x = x + _self_attn(p, "sa1", x.astype(dt), weights, si, cfg)
+    x = x + nonlin(x.astype(dt))
+    x = x + attn("sa1", x.astype(dt))
     x = x + _conv_module(p, "cv1", x.astype(dt), mask, si, cfg)
     x = x + _ffn(p, "ff2", x.astype(dt), cfg)
     x = bypass_apply(p["bypass_mid"], x_orig, x)
-    x = x + _self_attn(p, "sa2", x.astype(dt), weights, si, cfg)
+    x = x + attn("sa2", x.astype(dt))
     x = x + _conv_module(p, "cv2", x.astype(dt), mask, si, cfg)
     x = x + _ffn(p, "ff3", x.astype(dt), cfg)
     x = bias_norm(p["norm"], x)

@@ -1,0 +1,97 @@
+"""espnet + k2 flavor RTFx on one TPU chip, in ONE process.
+
+Companion to bench.py (which owns the nemo headline number). Measures the
+full jitted pipeline per flavor with inputs staged in HBM and completion
+forced by host materialization (tunnel caveats, CLAUDE.md). Usage:
+
+  python tools/tpu_bench_flavors.py [k2|espnet|all] [batch]
+"""
+
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+RNG = np.random.default_rng(0)
+
+
+def _wavs(batch, seconds, iters):
+    n = int(seconds * 16000)
+    t = np.arange(n) / 16000.0
+    env = 0.5 * (1 + np.sin(2 * np.pi * 3.0 * t))
+    return [
+        RNG.standard_normal((batch, n)).astype(np.float32) * 0.1 * env[None, :]
+        for _ in range(iters + 1)
+    ], n
+
+
+def _measure(tag, run, wavs_host, batch, seconds, iters):
+    first = jax.device_put(wavs_host[0])
+    np.asarray(first[0, :4])
+    t0 = time.perf_counter()
+    run(first)
+    compile_s = time.perf_counter() - t0
+    devs = [jax.device_put(w) for w in wavs_host[1:]]
+    for w in devs:
+        np.asarray(w[0, :4])
+    t0 = time.perf_counter()
+    for i in range(iters):
+        run(devs[i])
+    elapsed = time.perf_counter() - t0
+    rtfx = batch * seconds * iters / elapsed
+    print(f"{tag}: RTFx {rtfx:.0f}  (compile+warmup {compile_s:.1f}s, "
+          f"B={batch}x{seconds:.0f}s x{iters})", flush=True)
+    return rtfx
+
+
+def bench_k2(batch=32, seconds=30.0, iters=4, attn_impl="pallas"):
+    from dataclasses import replace
+
+    from reazonspeech_tpu.k2.asr.model import K2TPUModel, k2_forward, load_model_container
+
+    model = load_model_container(checkpoint="random")
+    model.enc_cfg = replace(model.enc_cfg, attn_impl=attn_impl)
+    wavs, n = _wavs(batch, seconds, iters)
+    lengths = jnp.full((batch,), n, jnp.int32)
+
+    def run(w):
+        out = k2_forward(model.params, w, lengths, model.fe_cfg, model.enc_cfg,
+                         model.rnnt_cfg, model.decode_cfg)
+        return np.asarray(out[0]), np.asarray(out[2])
+
+    return _measure(f"k2 zipformer-L ({attn_impl})", run, wavs, batch, seconds, iters)
+
+
+def bench_espnet(batch=32, seconds=20.0, iters=4):
+    from reazonspeech_tpu.espnet.asr.model import (
+        encode_ctc_decode,
+        load_model_container,
+    )
+
+    model = load_model_container(checkpoint="random")
+    wavs, n = _wavs(batch, seconds, iters)
+    lengths = jnp.full((batch,), n, jnp.int32)
+
+    def run(w):
+        out = encode_ctc_decode(model.params, w, lengths, model.fe_cfg,
+                                model.enc_cfg, model.rnnt_cfg, model.decode_cfg)
+        return np.asarray(out[1]), np.asarray(out[3])
+
+    return _measure("espnet conformer-CTC+T", run, wavs, batch, seconds, iters)
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    print(f"device: {jax.devices()[0].device_kind}", flush=True)
+    if which in ("k2", "all"):
+        bench_k2(batch, attn_impl="xla")
+        bench_k2(batch, attn_impl="pallas")
+    if which in ("espnet", "all"):
+        bench_espnet(batch)
