@@ -119,6 +119,31 @@ def _mouth_roi(frames, size=88):
     return out
 
 
+def mouth_crop_box(xs, ys, h, w):
+    """Square mouth crop box from normalized landmark coordinates.
+
+    EXACT reference arithmetic (feature_extraction_avhubert.py:99-113):
+    patch side = max(x-extent·W, y-extent·H); ``half`` and the center are
+    truncated to int in the same order; the box may extend out of bounds or
+    be degenerate — numpy slicing semantics downstream are part of the
+    behavior (the reference zero-fills when the resize then fails).
+
+    Returns (y0, y1, x0, x1).
+    """
+    xmax, xmin = max(xs), min(xs)
+    ymax, ymin = max(ys), min(ys)
+    patch_size = max((xmax - xmin) * w, (ymax - ymin) * h)
+    half = int(patch_size / 2)
+    y_center = int(ymin * h) + int(((ymax - ymin) / 2) * h)
+    x_center = int(xmin * w) + int(((xmax - xmin) / 2) * w)
+    return y_center - half, y_center + half, x_center - half, x_center + half
+
+
+# FaceMesh landmark ids bounding the mouth: top, right, bottom, left
+# (reference feature_extraction_avhubert.py landmark_indices default).
+MOUTH_LANDMARKS = (5, 411, 199, 187)
+
+
 def _mouth_roi_mediapipe(frames, size, mp):
     import cv2
 
@@ -130,19 +155,15 @@ def _mouth_roi_mediapipe(frames, size, mp):
             rgb = cv2.cvtColor(frame.astype(np.uint8), cv2.COLOR_GRAY2RGB)
             res = mesh.process(rgb)
             if not res.multi_face_landmarks:
-                continue  # zeros on no face
+                continue  # zeros on no face (reference appends a zero frame)
             lm = res.multi_face_landmarks[0].landmark
             h, w = frame.shape
-            pts = np.array(
-                [[lm[j].x * w, lm[j].y * h] for j in (5, 411, 199, 187)]
-            )
-            cx, cy = pts.mean(axis=0)
-            half = max(pts[:, 0].ptp(), pts[:, 1].ptp()) / 2 * 1.3
-            x0, x1 = int(cx - half), int(cx + half)
-            y0, y1 = int(cy - half), int(cy + half)
-            patch = frame[max(y0, 0) : y1, max(x0, 0) : x1]
+            xs = [lm[j].x for j in MOUTH_LANDMARKS]
+            ys = [lm[j].y for j in MOUTH_LANDMARKS]
+            y0, y1, x0, x1 = mouth_crop_box(xs, ys, h, w)
+            patch = frame[y0:y1, x0:x1]
             if patch.size == 0:
-                continue
+                continue  # zeros, like the reference's resize-failure path
             out[i] = cv2.resize(patch, (size, size))
     return out
 

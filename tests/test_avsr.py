@@ -206,3 +206,77 @@ def test_hybrid_ctc_loss(tiny):
     g = jax.grad(f)(m_ctc.params)
     assert np.isfinite(np.asarray(g["ctc_head"]["w"])).all()
     assert float(np.abs(np.asarray(g["ctc_head"]["w"])).sum()) > 0
+
+
+def test_mouth_crop_box_reference_arithmetic():
+    """Pin the crop geometry to the reference's exact integer arithmetic
+    (feature_extraction_avhubert.py:99-113): truncation points, square side
+    from the max extent, and out-of-bounds boxes left unclamped."""
+    from reazonspeech_tpu.avsr.feature_extraction import mouth_crop_box
+
+    # x-extent dominates; note 0.6-0.4 = 0.19999999999999996 in binary
+    # floating point, so patch=19.99..., half=int(9.99...)=9 — the truncation
+    # artifacts are part of the reference behavior and pinned here
+    assert mouth_crop_box((0.4, 0.6), (0.45, 0.55), 100, 100) == (41, 59, 40, 58)
+    # y-extent dominates (patch 30, half 15)
+    assert mouth_crop_box((0.5, 0.55), (0.3, 0.6), 100, 100) == (30, 60, 37, 67)
+    # truncation order: int(ymin*h) + int((extent/2)*h), NOT int of the sum
+    assert mouth_crop_box((0.333, 0.666), (0.333, 0.666), 99, 99) == (32, 64, 32, 64)
+    # a mouth at the frame corner: box touches 0 exactly, no clamping needed
+    assert mouth_crop_box((0.0, 0.3), (0.0, 0.3), 100, 100) == (0, 30, 0, 30)
+    # fully off-center small mouth: the box CAN go negative (numpy slicing
+    # then yields an empty/garbled patch -> zero frame, like the reference)
+    assert mouth_crop_box((0.0, 0.1), (0.0, 0.1), 100, 100) == (0, 10, 0, 10)
+
+
+def test_mouth_roi_geometry_with_synthetic_landmarks(monkeypatch):
+    """Drive _mouth_roi_mediapipe with a stubbed FaceMesh producing known
+    landmarks; the extracted patch must equal the reference box resized."""
+    import sys
+    import types
+
+    import numpy as np
+
+    cv2 = pytest.importorskip("cv2")
+    from reazonspeech_tpu.avsr import feature_extraction as fe
+
+    class _LM:
+        def __init__(self, x, y):
+            self.x, self.y = x, y
+
+    lms = [None] * 500
+    # landmarks at ids (5, 411, 199, 187): a 20x10-px mouth on 100x100
+    coords = {5: (0.5, 0.45), 411: (0.6, 0.5), 199: (0.5, 0.55), 187: (0.4, 0.5)}
+    for idx, (x, y) in coords.items():
+        lms[idx] = _LM(x, y)
+
+    class _Mesh:
+        def __init__(self, **kw):
+            pass
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def process(self, rgb):
+            face = types.SimpleNamespace(landmark=lms)
+            return types.SimpleNamespace(multi_face_landmarks=[face])
+
+    fake_mp = types.SimpleNamespace(
+        solutions=types.SimpleNamespace(
+            face_mesh=types.SimpleNamespace(FaceMesh=_Mesh)
+        )
+    )
+
+    frame = np.arange(100 * 100, dtype=np.float32).reshape(100, 100)
+    out = fe._mouth_roi_mediapipe(frame[None], 88, fake_mp)
+
+    # expected: box from the reference formula, resized to 88x88
+    y0, y1, x0, x1 = fe.mouth_crop_box(
+        [c[0] for c in coords.values()], [c[1] for c in coords.values()], 100, 100
+    )
+    assert (y0, y1, x0, x1) == (41, 59, 40, 58)
+    want = cv2.resize(frame[y0:y1, x0:x1], (88, 88))
+    np.testing.assert_allclose(out[0], want)

@@ -282,3 +282,97 @@ def test_demuxer_truncated_tail(tmp_path):
     p.write_bytes(stream[: len(stream) - 100])  # cut mid-packet
     caps = get_captions(str(p))
     assert isinstance(caps, list)
+
+
+# ---------------------------------------------------------------------------
+# sentence splitter: re-merge properties + fallback behavior pins
+# (VERDICT round 1, item 9 — GiNZA itself is not installable here, so the
+# invariants the timing re-merge depends on are property-tested, and the
+# rule fallback's decisions are pinned on curated cases)
+# ---------------------------------------------------------------------------
+
+
+def test_rule_split_concatenation_invariant():
+    """build_sentences' timeline re-merge assumes the splitter returns a
+    partition of its input: no characters dropped, added, or reordered.
+    (GiNZA guarantees this for .sents; the fallback must too.)"""
+    import random
+
+    from reazonspeech_tpu.oneseg.sentence import _rule_split
+
+    rng = random.Random(0)
+    alphabet = "今日は晴れです明日雨。！？!?」』）あい"
+    for _ in range(200):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 40)))
+        parts = _rule_split(s)
+        assert "".join(parts) == s, s
+        assert all(parts), s  # no empty sentences
+
+
+def test_rule_split_pinned_cases():
+    from reazonspeech_tpu.oneseg.sentence import _rule_split
+
+    cases = {
+        "今日は晴れ。明日は雨。": ["今日は晴れ。", "明日は雨。"],
+        "「行くの？」と聞いた。": ["「行くの？」", "と聞いた。"],
+        "えっ!?そうなの…": ["えっ!?", "そうなの…"],
+        "終端なしの文": ["終端なしの文"],
+        "": [],
+        "。。。": ["。。。"],
+    }
+    for text, want in cases.items():
+        assert _rule_split(text) == want, text
+
+
+def test_build_sentences_timing_remerge_property():
+    """Each rebuilt caption must carry the start time of its first source
+    character and the end time of its last, for random fragmentations."""
+    import random
+
+    from reazonspeech_tpu.oneseg.interface import Caption
+    from reazonspeech_tpu.oneseg.sentence import _cleanup, build_sentences
+
+    rng = random.Random(1)
+    base = "今日は晴れです。明日は雨でしょう？はい！そうですね。おわり"
+    for _ in range(50):
+        # random fragmentation into captions with increasing timings
+        cuts = sorted(rng.sample(range(1, len(base)), rng.randrange(1, 6)))
+        frags = [base[a:b] for a, b in zip([0] + cuts, cuts + [len(base)])]
+        t = 0.0
+        caps = []
+        for f in frags:
+            dur = 1.0 + rng.random()
+            caps.append(Caption(start_seconds=t, end_seconds=t + dur, text=f))
+            t += dur
+
+        out = build_sentences(caps)
+        # reconstruct the char -> source caption timeline like the merger
+        timeline = []
+        for c in caps:
+            timeline.extend([c] * len(_cleanup(c.text)))
+        pos = 0
+        for cap in out:
+            first, last = timeline[pos], timeline[pos + len(cap.text) - 1]
+            assert cap.start_seconds == first.start_seconds
+            assert cap.end_seconds == last.end_seconds
+            pos += len(cap.text)
+        assert pos == len(timeline)
+
+
+def test_rule_split_matches_ginza_when_available():
+    """Direct rule-vs-GiNZA comparison; runs only where ja_ginza exists."""
+    pytest.importorskip("spacy")
+    try:
+        import spacy
+
+        nlp = spacy.load("ja_ginza")
+    except Exception:
+        pytest.skip("ja_ginza model not installed")
+
+    from reazonspeech_tpu.oneseg.sentence import _rule_split
+
+    for text in (
+        "今日は晴れです。明日は雨でしょう？",
+        "「はい」と答えた。それだけだった。",
+    ):
+        assert _rule_split(text) == [str(s) for s in nlp(text).sents]
