@@ -339,7 +339,7 @@ def gate_k2(repo_dir, size, report):
 
     t = 256 if size != "tiny" else 64
     clips = _mel_clips(3, t, enc_cfg.feat_in, seed=2)
-    token_rates = []
+    token_rates, flips, devs = [], [], []
     for mel in clips:
         enc, elens = zipformer_encode(
             jparams["encoder"], jnp.asarray(mel)[None], jnp.array([mel.shape[0]]),
@@ -359,11 +359,33 @@ def gate_k2(repo_dir, size, report):
         our_tokens = np.asarray(toks)[0, : int(np.asarray(counts)[0])].tolist()
         token_rates.append(_match_rate(ref_tokens, our_tokens))
 
+        # bf16-residual sensitivity (same policy question as the conformers;
+        # no oracle needed — both sides are our pipeline)
+        base_cfg = replace(enc_cfg, compute_dtype="bfloat16")
+        bf_cfg = replace(base_cfg, residual_dtype="bfloat16")
+        enc_base, lens_b = zipformer_encode(
+            jparams["encoder"], jnp.asarray(mel)[None], jnp.array([mel.shape[0]]),
+            base_cfg,
+        )
+        enc_bf, _ = zipformer_encode(
+            jparams["encoder"], jnp.asarray(mel)[None], jnp.array([mel.shape[0]]),
+            bf_cfg,
+        )
+        devs.append(float(
+            np.abs(np.asarray(enc_bf) - np.asarray(enc_base)).max()
+            / (np.abs(np.asarray(enc_base)).max() + 1e-9)))
+        base_toks = _decode(jparams, enc_base, lens_b, rnnt_cfg)
+        bf_toks = _decode(jparams, enc_bf, lens_b, rnnt_cfg)
+        flips.append(1.0 - _match_rate(base_toks, bf_toks))
+
     entry = {
         "decoder_joiner_token_match": min(token_rates),
+        "bf16_residual_token_flip_rate": max(flips),
+        "bf16_residual_enc_rel_dev": max(devs),
         "encoder_oracle": "none (icefall .pt converts structurally; "
         "torch zipformer oracle not yet implemented)",
         "pass": bool(min(token_rates) >= TOKEN_MATCH_MIN),
+        "bf16_serving_ok": bool(max(flips) <= BF16_FLIP_MAX),
     }
     report["k2"] = entry
     return entry["pass"]
