@@ -294,9 +294,10 @@ def gate_espnet(zoo_dir, size, report):
 
 
 def gate_k2(repo_dir, size, report):
-    """k2 gate: encoder converts structurally from the icefall .pt (no torch
-    zipformer oracle yet — documented); decoder/joiner gate token-for-token
-    on a shared encoder output, for BOTH the fp32 and the .pt-derived trees."""
+    """k2 gate: zipformer encoder logit parity vs the torch oracle
+    (tools/torch_reference.py:zipformer_encoder_forward — an independent
+    cross-framework check of the icefall layout transforms), plus
+    decoder/joiner token-for-token parity and the bf16-residual check."""
     import glob
 
     import jax
@@ -307,7 +308,7 @@ def gate_k2(repo_dir, size, report):
     from reazonspeech_tpu.decoding.rnnt_greedy import GreedyDecodeConfig, rnnt_greedy_decode
     from reazonspeech_tpu.models.rnnt import RNNTConfig
     from reazonspeech_tpu.models.zipformer import ZipformerConfig, zipformer_encode
-    from torch_reference import stateless_greedy_reference
+    from torch_reference import stateless_greedy_reference, zipformer_encoder_forward
 
     def find(pat):
         hits = sorted(glob.glob(os.path.join(repo_dir, "**", pat), recursive=True))
@@ -339,7 +340,7 @@ def gate_k2(repo_dir, size, report):
 
     t = 256 if size != "tiny" else 64
     clips = _mel_clips(3, t, enc_cfg.feat_in, seed=2)
-    token_rates, flips, devs = [], [], []
+    maes, rels, token_rates, flips, devs = [], [], [], [], []
     for mel in clips:
         enc, elens = zipformer_encode(
             jparams["encoder"], jnp.asarray(mel)[None], jnp.array([mel.shape[0]]),
@@ -347,6 +348,15 @@ def gate_k2(repo_dir, size, report):
         )
         enc_np = np.asarray(enc)[0, : int(np.asarray(elens)[0])]
         assert np.isfinite(enc_np).all(), "zipformer produced non-finite output"
+
+        with torch.no_grad():
+            ref_enc = zipformer_encoder_forward(
+                sd, torch.from_numpy(mel), enc_cfg
+            ).numpy()[: enc_np.shape[0]]
+        maes.append(float(np.abs(enc_np[: ref_enc.shape[0]] - ref_enc).mean()))
+        rels.append(float(
+            np.abs(enc_np[: ref_enc.shape[0]] - ref_enc).max()
+            / (np.abs(ref_enc).max() + 1e-9)))
 
         ref_tokens, _ = stateless_greedy_reference(
             sd, torch.from_numpy(enc_np.copy()), rnnt_cfg.context_size,
@@ -379,12 +389,16 @@ def gate_k2(repo_dir, size, report):
         flips.append(1.0 - _match_rate(base_toks, bf_toks))
 
     entry = {
+        "encoder_logit_mae": max(maes),
+        "encoder_logit_rel": max(rels),
         "decoder_joiner_token_match": min(token_rates),
         "bf16_residual_token_flip_rate": max(flips),
         "bf16_residual_enc_rel_dev": max(devs),
-        "encoder_oracle": "none (icefall .pt converts structurally; "
-        "torch zipformer oracle not yet implemented)",
-        "pass": bool(min(token_rates) >= TOKEN_MATCH_MIN),
+        "pass": bool(
+            max(maes) < ENC_MAE_TOL
+            and max(rels) < ENC_REL_TOL
+            and min(token_rates) >= TOKEN_MATCH_MIN
+        ),
         "bf16_serving_ok": bool(max(flips) <= BF16_FLIP_MAX),
     }
     report["k2"] = entry

@@ -22,6 +22,7 @@ import torch.nn.functional as F
 __all__ = [
     "nemo_encoder_forward",
     "espnet_encoder_forward",
+    "zipformer_encoder_forward",
     "rnnt_greedy_reference",
     "stateless_greedy_reference",
     "espnet_ctc_log_softmax",
@@ -273,3 +274,172 @@ def stateless_greedy_reference(sd, enc, context_size=2, max_symbols=10):
                 context = context[1:] + [k]
                 g = pred(context)
     return tokens, frames
+
+
+# ---------------------------------------------------------------------------
+# zipformer oracle
+# ---------------------------------------------------------------------------
+
+
+def _swoosh_l(x):
+    return torch.logaddexp(torch.zeros_like(x), x - 4.0) - 0.08 * x - 0.035
+
+
+def _swoosh_r(x):
+    return torch.logaddexp(torch.zeros_like(x), x - 1.0) - 0.08 * x - 0.313
+
+
+def _bias_norm(sd, p, x, eps=1e-5):
+    bias = sd[f"{p}.bias"]
+    rms = torch.sqrt(((x - bias) ** 2).mean(-1, keepdim=True) + eps)
+    return x * (torch.exp(sd[f"{p}.log_scale"]) / rms)
+
+
+def _bypass(sd, p, x_orig, x):
+    c = sd[f"{p}.bypass_scale"].clamp(0.0, 1.0)
+    return x_orig * (1.0 - c) + x * c
+
+
+def _compact_rel_pos_t(t, pos_dim):
+    rel = np.arange(t - 1, -t, -1, dtype=np.float64)
+    compressed = np.sign(rel) * np.log1p(np.abs(rel))
+    half = pos_dim // 2
+    freqs = np.exp(np.arange(half, dtype=np.float64)
+                   * (-math.log(100.0) / max(half - 1, 1)))
+    ang = compressed[:, None] * freqs[None, :] * np.pi
+    pe = np.concatenate([np.sin(ang), np.cos(ang)], axis=1)
+    return torch.from_numpy(pe[:, :pos_dim].astype(np.float32))
+
+
+def _zip_rel_shift(x):
+    """[H, T, 2T-1] -> [H, T, T]"""
+    h, t, _ = x.shape
+    idx = (torch.arange(t).view(t, 1) * -1 + (t - 1) + torch.arange(t).view(1, t))
+    return x.gather(2, idx.view(1, t, t).expand(h, t, t))
+
+
+def _zip_conv_module(sd, p, x, d):
+    y = _lin(sd, f"{p}.in_proj", x)
+    a, g = y[..., :d], y[..., d:]
+    y = a * torch.sigmoid(g)
+    dw = sd[f"{p}.depthwise_conv.weight"]
+    y = F.conv1d(y.T[None], dw, sd.get(f"{p}.depthwise_conv.bias"),
+                 padding=dw.shape[-1] // 2, groups=d)[0].T
+    y = _swoosh_r(y)
+    return _lin(sd, f"{p}.out_proj", y)
+
+
+def _zip_layer(sd, p, x, pos_emb, h, qd, pd, vd, d):
+    """One zipformer2 layer on [T, D] (single utterance, full length)."""
+    t = x.shape[0]
+    x_orig = x
+
+    # shared attention weights, computed ONCE from the layer input
+    qkp = _lin(sd, f"{p}.self_attn_weights.in_proj", x).view(t, h, 2 * qd + pd)
+    q, k, qp = qkp[..., :qd], qkp[..., qd:2 * qd], qkp[..., 2 * qd:]
+    pos = F.linear(pos_emb, sd[f"{p}.self_attn_weights.linear_pos.weight"])
+    pos = pos.view(2 * t - 1, h, pd)
+    scores = torch.einsum("thd,shd->hts", q, k)
+    pos_scores = torch.einsum("thd,lhd->htl", qp, pos)
+    scores = (scores + _zip_rel_shift(pos_scores)) / math.sqrt(qd)
+    weights = torch.softmax(scores, dim=-1)  # [H, T, T]
+
+    def self_attn(prefix, y):
+        v = _lin(sd, f"{p}.{prefix}.in_proj", y).view(t, h, vd)
+        out = torch.einsum("hts,shd->thd", weights, v).reshape(t, h * vd)
+        return _lin(sd, f"{p}.{prefix}.out_proj", out)
+
+    def nonlin(y):
+        sxy = _lin(sd, f"{p}.nonlin_attention.in_proj", y)
+        s, v, y2 = sxy.chunk(3, dim=-1)
+        v = torch.tanh(s) * v
+        attended = torch.einsum("ts,sd->td", weights[0], v)
+        return _lin(sd, f"{p}.nonlin_attention.out_proj", attended * y2)
+
+    def ffn(prefix, y):
+        return _lin(sd, f"{p}.{prefix}.out_proj",
+                    _swoosh_l(_lin(sd, f"{p}.{prefix}.in_proj", y)))
+
+    x = x + ffn("feed_forward1", x)
+    x = x + nonlin(x)
+    x = x + self_attn("self_attn1", x)
+    x = x + _zip_conv_module(sd, f"{p}.conv_module1", x, d)
+    x = x + ffn("feed_forward2", x)
+    x = _bypass(sd, f"{p}.bypass_mid", x_orig, x)
+    x = x + self_attn("self_attn2", x)
+    x = x + _zip_conv_module(sd, f"{p}.conv_module2", x, d)
+    x = x + ffn("feed_forward3", x)
+    x = _bias_norm(sd, f"{p}.norm", x)
+    x = _bypass(sd, f"{p}.bypass", x_orig, x)
+    return x
+
+
+def zipformer_encoder_forward(sd, feats, cfg):
+    """Zipformer2 encoder forward on [T, F] (single utterance, full length).
+
+    Mirrors models/zipformer.py's architecture (this framework's reading of
+    icefall zipformer2) directly on the icefall-named torch state dict — an
+    independent cross-framework check of the converter's layout transforms
+    and the JAX model's wiring. ``cfg`` is a ZipformerConfig (dims only; no
+    JAX is touched).
+    """
+    x = feats[None, None]  # [1, 1, T, F]
+    x = _swoosh_r(F.conv2d(x, sd["encoder_embed.conv.0.weight"],
+                           sd["encoder_embed.conv.0.bias"], stride=(1, 2)))
+    x = _swoosh_r(F.conv2d(x, sd["encoder_embed.conv.4.weight"],
+                           sd["encoder_embed.conv.4.bias"], stride=(2, 2)))
+    x = _swoosh_r(F.conv2d(x, sd["encoder_embed.conv.8.weight"],
+                           sd["encoder_embed.conv.8.bias"], stride=(1, 1)))
+    _, c, t, f = x.shape
+    x = x.permute(0, 2, 1, 3).reshape(t, c * f)  # torch C-major flatten
+    x = _lin(sd, "encoder_embed.out", x)
+    x = _bias_norm(sd, "encoder_embed.out_norm", x)
+
+    t1 = x.shape[0]
+    qd, vd, pd = cfg.query_head_dim, cfg.value_head_dim, cfg.pos_head_dim
+    stack_outputs = []
+    for si in range(len(cfg.num_layers)):
+        d = cfg.encoder_dim[si]
+        # convert_num_channels
+        if x.shape[-1] > d:
+            x = x[..., :d]
+        elif x.shape[-1] < d:
+            x = F.pad(x, (0, d - x.shape[-1]))
+        stack_in = x
+        ds = cfg.downsampling[si]
+        if ds > 1:
+            t_out = -(-x.shape[0] // ds)
+            pad = t_out * ds - x.shape[0]
+            if pad:
+                x = torch.cat([x, x[-1:].expand(pad, d)], dim=0)
+            w = torch.softmax(sd[f"encoder.encoders.{si}.downsample.bias"], dim=0)
+            x = torch.einsum("tsd,s->td", x.view(t_out, ds, d), w)
+        pos_emb = _compact_rel_pos_t(x.shape[0], cfg.pos_dim)
+        base = (f"encoder.encoders.{si}.encoder.layers" if ds > 1
+                else f"encoder.encoders.{si}.layers")
+        for j in range(cfg.num_layers[si]):
+            x = _zip_layer(sd, f"{base}.{j}", x, pos_emb,
+                           cfg.num_heads[si], qd, pd, vd, d)
+        if ds > 1:
+            x = x.repeat_interleave(ds, dim=0)[:t1]
+            x = _bypass(sd, f"encoder.encoders.{si}.bypass", stack_in, x)
+        stack_outputs.append(x)
+
+    pieces = [stack_outputs[-1]]
+    cur = cfg.encoder_dim[-1]
+    for si in range(len(stack_outputs) - 2, -1, -1):
+        d = cfg.encoder_dim[si]
+        if d > cur:
+            pieces.append(stack_outputs[si][..., cur:d])
+            cur = d
+    out = torch.cat(pieces, dim=-1)
+
+    ods = cfg.output_downsampling
+    if ods > 1:
+        t = out.shape[0]
+        t_out = -(-t // ods)
+        pad = t_out * ods - t
+        if pad:
+            out = torch.cat([out, out[-1:].expand(pad, out.shape[-1])], dim=0)
+        out = out.view(t_out, ods, -1).mean(dim=1)
+    return out
