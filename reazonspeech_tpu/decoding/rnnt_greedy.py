@@ -38,6 +38,18 @@ class GreedyDecodeConfig:
     # Output buffer length as a fraction of T; Japanese RNN-T emits well
     # under 1 token per 80 ms frame, so T is a safe default cap.
     max_tokens: int = 0  # 0 -> use T
+    # Blank-run skipping: evaluate the joint over a window of this many
+    # frames per loop iteration and jump over the leading run of blanks in
+    # one step. Algorithmically identical to frame_window=1 (blanks never
+    # change the prediction-network state); outputs agree exactly up to
+    # matmul reassociation — the [B,W,J] joint can round differently from
+    # the [B,J] one, which only matters for near-tie argmaxes (random
+    # weights), not trained logit margins. Trades W× joint work per
+    # iteration for ~(T·blank_fraction) fewer iterations: on-chip, the
+    # all-blank decode halves (19→9 ms at B=128×376 frames, window 4-8)
+    # while the all-emissions worst case is unchanged at window 4 — the
+    # default stays 1 so the benchmark keeps its worst-case semantics.
+    frame_window: int = 1
 
 
 @partial(jax.jit, static_argnames=("rnnt_cfg", "decode_cfg"))
@@ -80,19 +92,52 @@ def rnnt_greedy_decode(
         time_idx, counts = state[3], state[2]
         return jnp.any((time_idx < enc_lengths) & (counts < u_max))
 
+    w = max(int(decode_cfg.frame_window), 1)
+
     def body(state):
         tokens, frames, counts, time_idx, sym_at_frame, last_tok, pred_out, pred_state = state
 
-        safe_t = jnp.minimum(time_idx, t - 1)
-        enc_frame = jnp.take_along_axis(enc_proj, safe_t[:, None, None], axis=1)[:, 0]
-        logits = joint_step_from_enc_proj(joint_params, enc_frame, pred_out, rnnt_cfg)
-        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-
         active = (time_idx < enc_lengths) & (counts < u_max)
         force_advance = sym_at_frame >= decode_cfg.max_symbols_per_step
-        is_blank = (tok == blank) | force_advance
-        emit = active & ~is_blank
-        advance = active & is_blank
+
+        if w == 1:
+            safe_t = jnp.minimum(time_idx, t - 1)
+            enc_frame = jnp.take_along_axis(
+                enc_proj, safe_t[:, None, None], axis=1
+            )[:, 0]
+            logits = joint_step_from_enc_proj(
+                joint_params, enc_frame, pred_out, rnnt_cfg
+            )
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            is_blank = (tok == blank) | force_advance
+            emit = active & ~is_blank
+            advance_n = (active & is_blank).astype(jnp.int32)
+        else:
+            # blank-run skipping: joint over a W-frame window against the
+            # CURRENT prediction-network output (blanks don't change it, so
+            # jumping the leading blank run at once is bit-exact), then
+            # advance by the run length in one iteration.
+            idx = jnp.minimum(
+                time_idx[:, None] + jnp.arange(w)[None, :], t - 1
+            )  # [B, W]
+            enc_frames = jnp.take_along_axis(
+                enc_proj, idx[:, :, None], axis=1
+            )  # [B, W, J]
+            logits = joint_step_from_enc_proj(
+                joint_params, enc_frames, pred_out[:, None, :], rnnt_cfg
+            )  # [B, W, V]
+            tok_w = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            tok = tok_w[:, 0]
+            in_range = (time_idx[:, None] + jnp.arange(w)[None, :]) < enc_lengths[
+                :, None
+            ]
+            blank_w = (tok_w == blank) | ~in_range  # past-end counts as blank
+            blank_w = blank_w.at[:, 0].set(blank_w[:, 0] | force_advance)
+            lead = jnp.sum(
+                jnp.cumprod(blank_w.astype(jnp.int32), axis=1), axis=1
+            )  # leading blank-run length, 0 if frame 0 emits
+            emit = active & (lead == 0)
+            advance_n = jnp.where(active, lead, 0)
 
         # record emissions at position counts[b]
         slot = jnp.arange(u_max)[None, :] == counts[:, None]  # [B, U]
@@ -102,8 +147,8 @@ def rnnt_greedy_decode(
         counts = counts + emit.astype(jnp.int32)
         sym_at_frame = jnp.where(emit, sym_at_frame + 1, sym_at_frame)
 
-        time_idx = time_idx + advance.astype(jnp.int32)
-        sym_at_frame = jnp.where(advance, 0, sym_at_frame)
+        time_idx = time_idx + advance_n
+        sym_at_frame = jnp.where(advance_n > 0, 0, sym_at_frame)
 
         # advance prediction network only where a token was emitted
         new_last = jnp.where(emit, tok, last_tok)

@@ -33,11 +33,18 @@ SECONDS_PER_FRAME = 0.04
 
 @partial(jax.jit, static_argnames=("fe_cfg", "enc_cfg", "rnnt_cfg", "decode_cfg"))
 def k2_forward(params, waveform, lengths, fe_cfg, enc_cfg, rnnt_cfg, decode_cfg):
+    from ...decoding.rnnt_beam import BeamDecodeConfig, rnnt_beam_decode
+
     feats, flens = log_mel_spectrogram(waveform, lengths, fe_cfg)
     enc, elens = zipformer_encode(params["encoder"], feats, flens, enc_cfg)
-    tokens, frames, counts = rnnt_greedy_decode(
-        params["predictor"], params["joint"], enc, elens, rnnt_cfg, decode_cfg
-    )
+    if isinstance(decode_cfg, BeamDecodeConfig):
+        tokens, frames, counts, _ = rnnt_beam_decode(
+            params["predictor"], params["joint"], enc, elens, rnnt_cfg, decode_cfg
+        )
+    else:
+        tokens, frames, counts = rnnt_greedy_decode(
+            params["predictor"], params["joint"], enc, elens, rnnt_cfg, decode_cfg
+        )
     return tokens, frames, counts, elens
 
 
@@ -100,6 +107,8 @@ def load_model_container(
     enc_cfg: Optional[ZipformerConfig] = None,
     rnnt_cfg: Optional[RNNTConfig] = None,
     token_list=None,
+    decoding: str = "greedy",
+    beam_size: int = 4,
     seed: int = 0,
 ) -> K2TPUModel:
     """Build the k2-flavor container.
@@ -170,11 +179,20 @@ def load_model_container(
             "joint": init_joint(k3, rnnt_cfg),
         }
 
+    if decoding == "beam":
+        # sherpa-onnx exposes modified_beam_search for the same models
+        # (beyond the reference's pinned greedy_search)
+        from ...decoding.rnnt_beam import BeamDecodeConfig
+
+        decode_cfg = BeamDecodeConfig(beam_size=beam_size)
+    else:
+        decode_cfg = GreedyDecodeConfig()
+
     return K2TPUModel(
         params=params,
         fe_cfg=kaldi_frontend_config(n_mels=enc_cfg.feat_in),
         enc_cfg=enc_cfg,
         rnnt_cfg=rnnt_cfg,
-        decode_cfg=GreedyDecodeConfig(),
+        decode_cfg=decode_cfg,
         tokenizer=VocabTokenizer(token_list),
     )

@@ -95,3 +95,22 @@ def test_transcribe_batch_matches_single(tiny_model):
     assert [s.seconds for s in batch[1].subwords] == [
         s.seconds for s in single.subwords
     ]
+
+
+def test_k2_beam_decoding_option():
+    """Beam search through the k2 stateless predictor (sherpa exposes
+    modified_beam_search for the same models; the reference pins greedy)."""
+    from reazonspeech_tpu.models.zipformer import ZipformerConfig
+
+    model = load_model_container(
+        checkpoint="random",
+        enc_cfg=ZipformerConfig.tiny(compute_dtype="float32"),
+        decoding="beam",
+        beam_size=2,
+    )
+    import numpy as np
+
+    wav = (np.random.default_rng(0).standard_normal(16000) * 0.05).astype(np.float32)
+    tokens, frames = model.decode_single(wav)
+    assert isinstance(tokens, list)
+    assert all(t != model.rnnt_cfg.blank_id for t in tokens)

@@ -200,3 +200,41 @@ def test_greedy_matches_python_simulation(kind):
         c = int(counts[i])
         got = list(zip(tokens[i, :c].tolist(), frames[i, :c].tolist()))
         assert got == want, (i, got, want)
+
+
+def test_greedy_frame_window_bit_exact():
+    """frame_window>1 (blank-run skipping) must produce IDENTICAL emissions
+    to the sequential decode for arbitrary inputs."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from reazonspeech_tpu.decoding.rnnt_greedy import (
+        GreedyDecodeConfig,
+        rnnt_greedy_decode,
+    )
+    from reazonspeech_tpu.models.rnnt import RNNTConfig, init_joint, init_predictor
+
+    for kind, blankpos in (("lstm", "auto"), ("stateless", "auto")):
+        cfg = RNNTConfig(
+            vocab_size=24, enc_dim=16, pred_hidden=12, joint_hidden=12,
+            predictor_kind=kind, blank_position=blankpos,
+            compute_dtype="float32", context_size=2,
+        )
+        key = jax.random.PRNGKey(3)
+        k1, k2, k3 = jax.random.split(key, 3)
+        pred = init_predictor(k1, cfg)
+        joint = init_joint(k2, cfg)
+        # bias the blank logit up so realistic blank runs appear
+        joint["out"]["b"] = joint["out"]["b"].at[cfg.blank_id].add(2.0)
+        enc = jax.random.normal(k3, (3, 40, 16), jnp.float32)
+        lens = jnp.array([40, 23, 1])
+
+        base = rnnt_greedy_decode(pred, joint, enc, lens, cfg,
+                                  GreedyDecodeConfig(frame_window=1))
+        for w in (2, 5, 8, 64):
+            got = rnnt_greedy_decode(pred, joint, enc, lens, cfg,
+                                     GreedyDecodeConfig(frame_window=w))
+            for a, b in zip(base, got):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b)), (kind, w)
