@@ -246,17 +246,21 @@ def _mhsa_relpos(p, x, pos_emb, mask, cfg: FastConformerConfig):
     qu = q + p["attn_bias_u"].astype(dt)
     qv = q + p["attn_bias_v"].astype(dt)
 
-    # The Pallas kernel holds k/v, the pos table, and a [BQ, 2T-1] position-
-    # score tile in VMEM; beyond ~1k frames (~80 s of audio) that overflows,
-    # so long-form utterances take the XLA path.
-    if cfg.attn_impl == "pallas" and t <= 1024:
-        from ..ops.relpos_attention import relpos_attention
+    # Single-pass kernel up to ~1k frames (k/v/pos + a [BQ, 2T-1] score tile
+    # fit in VMEM); beyond that (long-form unchunked audio) the blockwise-KV
+    # variant streams key/value blocks with an online softmax — no T cap.
+    if cfg.attn_impl == "pallas":
+        from ..ops.relpos_attention import (
+            relpos_attention,
+            relpos_attention_blockwise,
+        )
 
+        kernel = relpos_attention if t <= 1024 else relpos_attention_blockwise
         lengths = jnp.sum(mask.astype(jnp.int32), axis=-1)
         # inputs stay in the compute dtype (bf16 on TPU — half the VMEM
         # traffic and MXU-native); the kernel accumulates scores/softmax/PV
         # in fp32 (preferred_element_type), so numerics match bf16 einsums
-        out = relpos_attention(
+        out = kernel(
             jnp.transpose(qu, (0, 2, 1, 3)),
             jnp.transpose(qv, (0, 2, 1, 3)),
             jnp.transpose(k, (0, 2, 1, 3)),

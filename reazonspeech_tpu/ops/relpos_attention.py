@@ -24,7 +24,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["relpos_attention"]
+__all__ = ["relpos_attention", "relpos_attention_blockwise"]
 
 
 def _kernel(lens_ref, qu_ref, qv_ref, k_ref, v_ref, pos_ref, out_ref, *, t, bq, dh, w):
@@ -119,4 +119,141 @@ def relpos_attention(qu, qv, k, v, pos, lengths, block_q=256, interpret=False):
         ),
         interpret=interpret,
     )(lengths_rep, qu, qv, k, v, pos_h)
+    return out.reshape(b, h, t_pad, dh)[:, :, :t]
+
+
+# ---------------------------------------------------------------------------
+# blockwise-KV (flash-style) variant: no T cap
+# ---------------------------------------------------------------------------
+#
+# The single-pass kernel above holds k/v/pos and a [BQ, 2T-1] score row in
+# VMEM — beyond ~1k key frames that overflows. This variant streams KV
+# blocks with the standard online-softmax recurrence (running max/sum and a
+# rescaled accumulator in VMEM scratch), so VMEM use is independent of T.
+#
+# The relative-position trick: with BQ == BK == BLK and T padded to a
+# multiple of BLK, the pos-table indices needed by the (i, j) block pair,
+#   l = (T-1) - (i·BLK + r) + (j·BLK + c),
+# span exactly the 2·BLK-1 window starting at the BLOCK-ALIGNED offset
+# (T/BLK - 1 + j - i)·BLK — so two consecutive BLK-row slices of the (zero-
+# padded to 2T rows) table cover it, fetched by plain BlockSpec index maps;
+# bd[r, c] is then bd_full[r, (BLK-1-r) + c], the same per-row binary-roll
+# shift as above with shift = BLK-1-r.
+
+
+def _blockwise_kernel(lens_ref, qu_ref, qv_ref, k_ref, v_ref, pos1_ref,
+                      pos2_ref, out_ref, m_ref, l_ref, acc_ref, *, blk, dh,
+                      n_kv):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full((blk, 1), -jnp.inf, jnp.float32)
+        l_ref[:] = jnp.zeros((blk, 1), jnp.float32)
+        acc_ref[:] = jnp.zeros((blk, dh), jnp.float32)
+
+    qu = qu_ref[0]  # [BLK, dh]
+    qv = qv_ref[0]
+    k = k_ref[0]  # [BLK, dh]
+    v = v_ref[0]
+    pos = jnp.concatenate([pos1_ref[0], pos2_ref[0]], axis=0)  # [2BLK, dh]
+
+    ac = jnp.dot(qu, k.T, preferred_element_type=jnp.float32)  # [BLK, BLK]
+    bd_full = jnp.dot(qv, pos.T, preferred_element_type=jnp.float32)  # [BLK, 2BLK]
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0)
+    shift = blk - 1 - row  # [BLK, 1], in [0, BLK-1]
+    x = bd_full
+    n_bits = max(int(np.ceil(np.log2(max(blk, 2)))), 1)
+    for b in range(n_bits):
+        amount = 1 << b
+        rolled = pltpu.roll(x, 2 * blk - amount, 1)
+        take = (shift & amount) != 0
+        x = jnp.where(take, rolled, x)
+    bd = x[:, :blk]
+
+    s = (ac + bd) * (1.0 / np.sqrt(dh))
+    valid_len = lens_ref[pl.program_id(0)]
+    col = j * blk + jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 1)
+    s = jnp.where(col < valid_len, s, jnp.float32(-1e30))
+
+    m_prev, l_prev = m_ref[:], l_ref[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+    m_ref[:] = m_new
+    l_ref[:] = l_new
+
+    @pl.when(j == n_kv - 1)
+    def _finalize():
+        out_ref[0] = (acc_ref[:] / l_ref[:]).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def relpos_attention_blockwise(qu, qv, k, v, pos, lengths, block=256,
+                               interpret=False):
+    """Rel-pos attention with streamed KV blocks (any T; see module notes).
+
+    Same contract as relpos_attention; use for T beyond the single-pass
+    kernel's VMEM budget (long-form unchunked audio).
+    """
+    b, h, t, dh = qu.shape
+    blk = min(block, t)
+    t_pad = -(-t // blk) * blk
+    padq = ((0, 0), (0, 0), (0, t_pad - t), (0, 0))
+    if t_pad != t:
+        qu = jnp.pad(qu, padq)
+        qv = jnp.pad(qv, padq)
+        k = jnp.pad(k, padq)
+        v = jnp.pad(v, padq)
+    bh = b * h
+    qu = qu.reshape(bh, t_pad, dh)
+    qv = qv.reshape(bh, t_pad, dh)
+    k = k.reshape(bh, t_pad, dh)
+    v = v.reshape(bh, t_pad, dh)
+
+    # re-index the [2t-1] table into padded space: l_pad = (t_pad - t) + l,
+    # then zero-fill to 2·t_pad rows (block-aligned fetches)
+    off = t_pad - t
+    pos_h = jnp.transpose(pos, (1, 0, 2))  # [H, 2t-1, dh]
+    pos_h = jnp.pad(pos_h, ((0, 0), (off, 2 * t_pad - (2 * t - 1) - off), (0, 0)))
+    lengths_rep = jnp.repeat(lengths.astype(jnp.int32), h)
+
+    n_q = t_pad // blk
+    m0 = n_q  # t_pad / blk
+    grid = (bh, n_q, n_q)  # (g, query block i, kv block j) — j fastest
+
+    out = pl.pallas_call(
+        functools.partial(_blockwise_kernel, blk=blk, dh=dh, n_kv=n_q),
+        out_shape=jax.ShapeDtypeStruct((bh, t_pad, dh), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, blk, dh), lambda g, i, j, lens: (g, i, 0)),
+                pl.BlockSpec((1, blk, dh), lambda g, i, j, lens: (g, i, 0)),
+                pl.BlockSpec((1, blk, dh), lambda g, i, j, lens: (g, j, 0)),
+                pl.BlockSpec((1, blk, dh), lambda g, i, j, lens: (g, j, 0)),
+                pl.BlockSpec(
+                    (1, blk, dh),
+                    lambda g, i, j, lens, _h=h, _m=m0: (g % _h, _m - 1 + j - i, 0),
+                ),
+                pl.BlockSpec(
+                    (1, blk, dh),
+                    lambda g, i, j, lens, _h=h, _m=m0: (g % _h, _m + j - i, 0),
+                ),
+            ],
+            out_specs=pl.BlockSpec((1, blk, dh), lambda g, i, j, lens: (g, i, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((blk, 1), jnp.float32),
+                pltpu.VMEM((blk, 1), jnp.float32),
+                pltpu.VMEM((blk, dh), jnp.float32),
+            ],
+        ),
+        interpret=interpret,
+    )(lengths_rep, qu, qv, k, v, pos_h, pos_h)
     return out.reshape(b, h, t_pad, dh)[:, :, :t]

@@ -62,3 +62,44 @@ def test_pallas_masking():
     v2 = v.at[:, :, 10:].set(-99.0)
     out2 = np.asarray(relpos_attention(qu, qv, k2, v2, pos, lengths, block_q=16, interpret=True))
     np.testing.assert_allclose(out1, out2, atol=1e-6)
+
+
+from reazonspeech_tpu.ops.relpos_attention import relpos_attention_blockwise
+
+
+@pytest.mark.parametrize("t,block", [(32, 16), (40, 16), (23, 8), (64, 16)])
+def test_blockwise_matches_xla(t, block):
+    """Streaming-KV variant: same outputs at any T, incl. non-multiples of
+    the block and multiple KV blocks."""
+    b, h, dh = 2, 3, 8
+    qu, qv, k, v, pos = make_inputs(b, h, t, dh, seed=2)
+    lengths = jnp.array([t, max(t - 7, 1)])
+    want = np.asarray(xla_reference(qu, qv, k, v, pos, lengths))
+    got = np.asarray(
+        relpos_attention_blockwise(
+            qu, qv, k, v, pos, lengths, block=block, interpret=True
+        )
+    )
+    for i, L in enumerate([t, max(t - 7, 1)]):
+        np.testing.assert_allclose(got[i, :, :L], want[i, :, :L], atol=2e-5, rtol=1e-5)
+
+
+def test_blockwise_matches_single_pass():
+    """Both kernels agree with each other (valid rows)."""
+    b, h, t, dh = 1, 2, 48, 8
+    qu, qv, k, v, pos = make_inputs(b, h, t, dh, seed=3)
+    lengths = jnp.array([37])
+    a = np.asarray(relpos_attention(qu, qv, k, v, pos, lengths, block_q=16, interpret=True))
+    c = np.asarray(relpos_attention_blockwise(qu, qv, k, v, pos, lengths, block=16, interpret=True))
+    np.testing.assert_allclose(a[0, :, :37], c[0, :, :37], atol=2e-5, rtol=1e-5)
+
+
+def test_blockwise_masking():
+    b, h, t, dh = 1, 2, 32, 8
+    qu, qv, k, v, pos = make_inputs(b, h, t, dh, seed=4)
+    lengths = jnp.array([20])
+    out1 = np.asarray(relpos_attention_blockwise(qu, qv, k, v, pos, lengths, block=16, interpret=True))
+    k2 = k.at[:, :, 20:].set(99.0)
+    v2 = v.at[:, :, 20:].set(-99.0)
+    out2 = np.asarray(relpos_attention_blockwise(qu, qv, k2, v2, pos, lengths, block=16, interpret=True))
+    np.testing.assert_allclose(out1[:, :, :20], out2[:, :, :20], atol=1e-6)
