@@ -70,3 +70,41 @@ def test_fused_conv_module_padding_isolation():
     y1 = np.asarray(_run_kernel(p, x1, lengths))[:, :20]
     y2 = np.asarray(_run_kernel(p, x2, lengths))[:, :20]
     np.testing.assert_allclose(y1, y2, rtol=0, atol=1e-6)
+
+
+def test_model_conv_impl_pallas_wiring(monkeypatch):
+    """The model's conv_impl="pallas" branch (weight plumbing, norm choice,
+    bf16 policy) against the XLA branch, via interpret mode on CPU."""
+    from dataclasses import replace
+
+    from reazonspeech_tpu.ops import conformer_conv as cc
+
+    orig = cc.fused_conv_module
+
+    def patched(*args, **kwargs):
+        kwargs.setdefault("interpret", True)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(cc, "fused_conv_module", patched)
+
+    from reazonspeech_tpu.models.fastconformer import (
+        FastConformerConfig,
+        fastconformer_encode,
+        init_fastconformer,
+    )
+
+    for conv_norm in ("batch_norm", "layer_norm"):
+        cfg = FastConformerConfig.tiny(
+            compute_dtype="float32", conv_norm=conv_norm
+        )
+        params = init_fastconformer(jax.random.PRNGKey(0), cfg)
+        feats = jax.random.normal(jax.random.PRNGKey(1), (2, 64, cfg.feat_in))
+        lens = jnp.array([64, 40])
+
+        want, wl = fastconformer_encode(params, feats, lens, cfg)
+        got, gl = fastconformer_encode(
+            params, feats, lens, replace(cfg, conv_impl="pallas")
+        )
+        m = (np.arange(want.shape[1])[None, :] < np.asarray(wl)[:, None])[..., None]
+        diff = np.abs(np.asarray(got) - np.asarray(want)) * m
+        assert diff.max() < 5e-5, (conv_norm, diff.max())
