@@ -82,16 +82,50 @@ def register_auto_classes():
                 path, config=_native_config(config)
             )
 
-    def _register(fn, *args, **kwargs):
+    def _register(fn, check_ours, *args):
+        """transformers raises ValueError both for a harmless repeat
+        registration and for a genuine conflict (another package claimed
+        'avhubert'); suppress only when the existing entry is OURS."""
         try:
-            fn(*args, **kwargs)
+            fn(*args)
         except ValueError:
-            # already registered (repeat import in one process)
-            pass
+            if not check_ours():
+                raise
 
-    _register(AutoConfig.register, "avhubert", hf_cfg)
-    _register(AutoModel.register, hf_cfg, _AVHubertModelAdapter)
-    _register(AutoModelForSpeechSeq2Seq.register, hf_cfg, _AVHubertSeq2SeqAdapter)
-    _register(AutoFeatureExtractor.register, hf_cfg, AVHubertFeatureExtractor)
-    _register(AutoProcessor.register, hf_cfg, AVHubertProcessor)
+    from transformers import CONFIG_MAPPING
+
+    _register(
+        AutoConfig.register,
+        lambda: CONFIG_MAPPING.get("avhubert") is hf_cfg,
+        "avhubert", hf_cfg,
+    )
+    _register(
+        AutoModel.register,
+        lambda: AutoModel._model_mapping._extra_content.get(hf_cfg)
+        is not None,
+        hf_cfg, _AVHubertModelAdapter,
+    )
+    _register(
+        AutoModelForSpeechSeq2Seq.register,
+        lambda: AutoModelForSpeechSeq2Seq._model_mapping._extra_content.get(
+            hf_cfg
+        ) is not None,
+        hf_cfg, _AVHubertSeq2SeqAdapter,
+    )
+    from transformers.models.auto.feature_extraction_auto import (
+        FEATURE_EXTRACTOR_MAPPING,
+    )
+    from transformers.models.auto.processing_auto import PROCESSOR_MAPPING
+
+    _register(
+        AutoFeatureExtractor.register,
+        lambda: FEATURE_EXTRACTOR_MAPPING._extra_content.get(hf_cfg)
+        is AVHubertFeatureExtractor,
+        hf_cfg, AVHubertFeatureExtractor,
+    )
+    _register(
+        AutoProcessor.register,
+        lambda: PROCESSOR_MAPPING._extra_content.get(hf_cfg) is AVHubertProcessor,
+        hf_cfg, AVHubertProcessor,
+    )
     return True

@@ -157,6 +157,10 @@ def infer_config_from_espnet(encoder_conf):
     kw = {}
     if "output_size" in encoder_conf:
         kw["d_model"] = encoder_conf["output_size"]
+        # ESPnet Conv2dSubsampling uses odim (= output_size) as its conv
+        # channel count; recording the preset default instead would persist
+        # a meta enc_cfg whose re-init shapes mismatch the checkpoint
+        kw["subsampling_channels"] = encoder_conf["output_size"]
     if "attention_heads" in encoder_conf:
         kw["num_heads"] = encoder_conf["attention_heads"]
     if "num_blocks" in encoder_conf:

@@ -46,6 +46,14 @@ def read_tokens_txt(path):
                 continue
             sym, idx = line.rsplit(" ", 1)
             toks[int(idx)] = sym
+    missing = [i for i in range(len(toks)) if i not in toks]
+    if missing:
+        raise ValueError(
+            f"{path}: token ids are not contiguous 0..{len(toks) - 1} "
+            f"(missing {missing[:5]}{'...' if len(missing) > 5 else ''}); "
+            "the decoder embedding is indexed by id, so gaps would "
+            "silently misalign symbols"
+        )
     return [toks[i] for i in range(len(toks))]
 
 

@@ -85,7 +85,10 @@ def find_cached_snapshot(repo_id, require=()):
         )
         candidates += [d for d in others if d not in candidates and os.path.isdir(d)]
         for snap in candidates:
-            if all(glob.glob(os.path.join(snap, pat)) for pat in require):
+            if all(
+                glob.glob(os.path.join(snap, "**", pat), recursive=True)
+                for pat in require
+            ):
                 return snap
     return None
 
@@ -144,28 +147,19 @@ def converted_path(repo_id, tag="model"):
     return os.path.join(converted_cache_dir(), _repo_dirname(repo_id), tag)
 
 
-def resolve_converted(repo_id, tag, converter, env_var=None, require=(),
-                      allow_network=True):
+def resolve_converted(repo_id, tag, converter, require=(), allow_network=True):
     """Resolution chain for a flavor's converted checkpoint.
 
-    Order (mirrors the reference's offline-first policy):
-      1. ``$env_var`` — an explicit converted-tree base path;
-      2. the converted-tree cache (one conversion per published repo);
-      3. a cached (or, with egress, downloaded) HF snapshot, run through
+    Order (mirrors the reference's offline-first policy; the flavor-specific
+    env vars are resolved by the callers before reaching here):
+      1. the converted-tree cache (one conversion per published repo);
+      2. a cached (or, with egress, downloaded) HF snapshot, run through
          ``converter(snapshot_dir, out_base)`` and cached.
 
     Returns the ``.npz`` base path. Raises CheckpointNotFoundError when
     nothing resolves — loaders must NOT silently fall back to random
     weights (that is opt-in via checkpoint="random").
     """
-    if env_var:
-        p = os.environ.get(env_var)
-        if p:
-            if os.path.exists(p if p.endswith(".npz") else p + ".npz"):
-                return p[:-4] if p.endswith(".npz") else p
-            raise CheckpointNotFoundError(
-                f"${env_var}={p} is set but {p}.npz does not exist"
-            )
     out = converted_path(repo_id, tag)
     if os.path.exists(out + ".npz"):
         return out

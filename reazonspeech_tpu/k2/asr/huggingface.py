@@ -81,6 +81,13 @@ def _make_converter(precision, epochs):
                 f"snapshot {snapshot_dir} is missing the {precision} ONNX "
                 f"files {sorted(files.values())}"
             )
+        tokens = find(files["tokens"])
+        if tokens is None:
+            raise CheckpointNotFoundError(
+                f"snapshot {snapshot_dir} has no {files['tokens']} — the "
+                "published repos always ship it; without it decoded ids "
+                "cannot be mapped to symbols"
+            )
         pts = sorted(
             glob.glob(os.path.join(snapshot_dir, "**", "*.pt"), recursive=True),
             # prefer the averaged/pretrained export over raw epoch files
@@ -88,7 +95,7 @@ def _make_converter(precision, epochs):
         )
         convert_sherpa_snapshot(
             enc, dec, joi, out_base,
-            tokens_txt=find(files["tokens"]),
+            tokens_txt=tokens,
             icefall_pt=pts[0] if pts else None,
         )
 

@@ -54,10 +54,20 @@ def manifest_batches(
     rows = read_manifest(manifest) if isinstance(manifest, str) else list(manifest)
     rng = np.random.default_rng(seed)
 
+    if not rows:
+        raise ValueError("empty manifest")
     for _ in range(epochs):
         order = rng.permutation(len(rows)) if shuffle else np.arange(len(rows))
-        for i in range(0, len(order) - batch_size + 1, batch_size):
-            chunk = [rows[j] for j in order[i : i + batch_size]]
+        for i in range(0, len(order), batch_size):
+            idxs = list(order[i : i + batch_size])
+            # tail batch: cycle earlier rows to keep the batch static-shape
+            # (same policy as the dropped-row refill below) instead of
+            # silently discarding len(rows) % batch_size rows per epoch
+            k = 0
+            while len(idxs) < batch_size:
+                idxs.append(order[k % len(order)])
+                k += 1
+            chunk = [rows[j] for j in idxs]
             wavs, labels = [], []
             for r in chunk:
                 try:

@@ -98,3 +98,42 @@ def test_rs_k2_example_runs_offline(fixture_dir, tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "CER:" in proc.stdout, proc.stdout
+
+
+def test_rs_espnet_example_runs_offline(fixture_dir, tmp_path):
+    """espnet example through env-var checkpoint resolution, offline."""
+    from fixture_checkpoints import write_espnet_zoo
+
+    from reazonspeech_tpu.convert.espnet_conformer import convert_espnet_checkpoint
+    from reazonspeech_tpu.models.conformer import espnet_encoder_config
+    from reazonspeech_tpu.models.rnnt import RNNTConfig
+
+    enc_cfg = espnet_encoder_config(
+        num_layers=2, d_model=32, num_heads=4, subsampling_channels=32,
+        compute_dtype="float32",
+    )
+    token_list = ["<blank>"] + list("あいうえおかきくけこ") + ["<sos/eos>"]
+    rnnt_cfg = RNNTConfig(
+        vocab_size=len(token_list), enc_dim=32, pred_hidden=16, joint_hidden=24,
+        joint_activation="tanh", blank_position="first", compute_dtype="float32",
+    )
+    zoo = tmp_path / "zoo"
+    write_espnet_zoo(str(zoo), enc_cfg, token_list, rnnt_cfg)
+    import glob
+
+    pth = glob.glob(str(zoo / "exp" / "*" / "*.pth"))[0]
+    cfg_yaml = glob.glob(str(zoo / "exp" / "*" / "config.yaml"))[0]
+    out = str(tmp_path / "converted")
+    convert_espnet_checkpoint(pth, out, config_yaml=cfg_yaml)
+
+    env = dict(os.environ)
+    env["REAZONSPEECH_TPU_ESPNET_CHECKPOINT"] = out
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(EXAMPLES, "rs-espnet", "eval.py"),
+         "--local-fixture", fixture_dir],
+        capture_output=True, text=True, timeout=900, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "CER:" in proc.stdout, proc.stdout

@@ -152,7 +152,8 @@ def test_espnet_hub_resolution_end_to_end(offline_env):
     from reazonspeech_tpu.models.rnnt import RNNTConfig
 
     enc_cfg = espnet_encoder_config(
-        num_layers=2, d_model=32, num_heads=4, subsampling_channels=8,
+        # ESPnet Conv2dSubsampling channels == output_size (odim)
+        num_layers=2, d_model=32, num_heads=4, subsampling_channels=32,
         compute_dtype="float32",
     )
     token_list = ["<blank>"] + list("あいうえおかきくけこ") + ["<sos/eos>"]

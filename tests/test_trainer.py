@@ -108,3 +108,21 @@ def test_trainer_sharded_smoke(manifest):
     hist = tr.fit(manifest_batches(manifest, tok, batch_size=4, epochs=1), max_steps=1)
     assert int(tr.state.step) == 1
     assert np.isfinite(float(hist[0]["loss"])) if hist else True
+
+
+def test_manifest_batches_tail_not_dropped(manifest):
+    """A manifest smaller than batch_size still yields (refilled) batches,
+    and tail rows are never silently discarded."""
+    fe, enc, rnnt = _cfgs()
+    tok = default_ja_tokenizer(rnnt.vocab_size)
+    # 3 rows (< batch_size) with transcripts inside the tiny vocab
+    src = read_manifest(manifest)[:3]
+    rows = [
+        {"audio": r["audio"], "transcription": text}
+        for r, text in zip(src, ("あいう", "えおか", "きくけ"))
+    ]
+    batches = list(
+        manifest_batches(rows, tok, batch_size=4, epochs=2, shuffle=False)
+    )
+    assert len(batches) == 2  # one (refilled) batch per epoch
+    assert all(b["waveform"].shape[0] == 4 for b in batches)

@@ -421,7 +421,7 @@ def build_fixtures(td, size):
         n_enc = FastConformerConfig.tiny()
         n_rnnt = RNNTConfig.tiny(enc_dim=n_enc.d_model)
         e_enc = espnet_encoder_config(
-            num_layers=2, d_model=32, num_heads=4, subsampling_channels=8
+            num_layers=2, d_model=32, num_heads=4, subsampling_channels=32
         )
         z_enc = ZipformerConfig.tiny()
     else:  # "small": deep enough for error accumulation to show
@@ -430,7 +430,7 @@ def build_fixtures(td, size):
         n_rnnt = RNNTConfig(vocab_size=256, enc_dim=256, pred_hidden=64,
                             joint_hidden=64)
         e_enc = espnet_encoder_config(
-            num_layers=8, d_model=128, num_heads=8, subsampling_channels=32
+            num_layers=8, d_model=128, num_heads=8, subsampling_channels=128
         )
         z_enc = ZipformerConfig.tiny()
 
