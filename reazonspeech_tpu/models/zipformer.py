@@ -333,8 +333,18 @@ def _attn_context(p, x, pos_emb, si, cfg: ZipformerConfig):
     return q, k, qp, pos
 
 
+def _shared_attn_kernel(t):
+    """Single-pass kernel within its VMEM budget, streamed-KV beyond."""
+    from ..ops.zipformer_attention import (
+        shared_rel_attention,
+        shared_rel_attention_blockwise,
+    )
+
+    return shared_rel_attention if t <= 2048 else shared_rel_attention_blockwise
+
+
 def _self_attn_pallas(p, prefix, x, ctx, lengths, si, cfg: ZipformerConfig):
-    from ..ops.zipformer_attention import shared_rel_attention
+    shared_rel_attention = _shared_attn_kernel(x.shape[1])
 
     b, t, d = x.shape
     h, vd = cfg.num_heads[si], cfg.value_head_dim
@@ -350,7 +360,7 @@ def _self_attn_pallas(p, prefix, x, ctx, lengths, si, cfg: ZipformerConfig):
 
 
 def _nonlin_attention_pallas(p, x, ctx, lengths, si, cfg: ZipformerConfig):
-    from ..ops.zipformer_attention import shared_rel_attention
+    shared_rel_attention = _shared_attn_kernel(x.shape[1])
 
     b, t, d = x.shape
     h = cfg.num_heads[si]
@@ -374,9 +384,9 @@ def _layer(p, x, pos_emb, mask, si, cfg: ZipformerConfig):
     x_orig = x
     t = x.shape[1]
 
-    # scores-in-VMEM kernel for serving shapes; the fp32 XLA path (weights
-    # materialized once) serves long-form and CPU
-    use_pallas = cfg.attn_impl == "pallas" and t <= 2048
+    # scores-in-VMEM kernel (single-pass to 2048 frames, streamed KV blocks
+    # beyond — no length cliff); the XLA path serves CPU and training
+    use_pallas = cfg.attn_impl == "pallas"
     if use_pallas:
         ctx = _attn_context(p, x.astype(dt), pos_emb, si, cfg)
         lengths = jnp.sum(mask.astype(jnp.int32), axis=-1)

@@ -27,7 +27,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["shared_rel_attention"]
+__all__ = ["shared_rel_attention", "shared_rel_attention_blockwise"]
 
 
 def _kernel(lens_ref, q_ref, k_ref, qp_ref, pos_ref, v_ref, out_ref,
@@ -116,4 +116,115 @@ def shared_rel_attention(q, k, qp, pos, v, lengths, heads=1, block_q=256,
         ),
         interpret=interpret,
     )(lengths.astype(jnp.int32), q, k, qp, pos, v)
+    return out[:, :t]
+
+
+# ---------------------------------------------------------------------------
+# blockwise-KV variant (same online-softmax + block-aligned pos-window trick
+# as ops/relpos_attention.relpos_attention_blockwise): no T cap, for
+# long-form audio past the single-pass kernel's VMEM budget.
+# ---------------------------------------------------------------------------
+
+
+def _blockwise_kernel(lens_ref, q_ref, k_ref, qp_ref, pos1_ref, pos2_ref,
+                      v_ref, out_ref, m_ref, l_ref, acc_ref, *, blk, qd, dv,
+                      n_kv):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full((blk, 1), -jnp.inf, jnp.float32)
+        l_ref[:] = jnp.zeros((blk, 1), jnp.float32)
+        acc_ref[:] = jnp.zeros((blk, dv), jnp.float32)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    qp = qp_ref[0]
+    pos = jnp.concatenate([pos1_ref[0], pos2_ref[0]], axis=0)  # [2BLK, pd]
+    v = v_ref[0]
+
+    ac = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+    bd_full = jnp.dot(qp, pos.T, preferred_element_type=jnp.float32)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0)
+    shift = blk - 1 - row
+    x = bd_full
+    n_bits = max(int(np.ceil(np.log2(max(blk, 2)))), 1)
+    for b in range(n_bits):
+        amount = 1 << b
+        rolled = pltpu.roll(x, 2 * blk - amount, 1)
+        take = (shift & amount) != 0
+        x = jnp.where(take, rolled, x)
+    bd = x[:, :blk]
+
+    s = (ac + bd) * (1.0 / np.sqrt(qd))
+    valid_len = lens_ref[pl.program_id(0)]
+    col = j * blk + jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 1)
+    s = jnp.where(col < valid_len, s, jnp.float32(-1e30))
+
+    m_prev, l_prev = m_ref[:], l_ref[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_ref[:] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+    m_ref[:] = m_new
+
+    @pl.when(j == n_kv - 1)
+    def _finalize():
+        out_ref[0] = (acc_ref[:] / l_ref[:]).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "block", "interpret"))
+def shared_rel_attention_blockwise(q, k, qp, pos, v, lengths, heads=1,
+                                   block=256, interpret=False):
+    """shared_rel_attention with streamed KV blocks (any T)."""
+    g, t, qd = q.shape
+    dv = v.shape[-1]
+    pd = pos.shape[2]
+    blk = min(block, t)
+    t_pad = -(-t // blk) * blk
+    pad3 = ((0, 0), (0, t_pad - t), (0, 0))
+    if t_pad != t:
+        q = jnp.pad(q, pad3)
+        qp = jnp.pad(qp, pad3)
+        k = jnp.pad(k, pad3)
+        v = jnp.pad(v, pad3)
+
+    off = t_pad - t
+    pos_pad = jnp.pad(pos, ((0, 0), (off, 2 * t_pad - (2 * t - 1) - off), (0, 0)))
+
+    n_q = t_pad // blk
+    grid = (g, n_q, n_q)
+    out = pl.pallas_call(
+        functools.partial(_blockwise_kernel, blk=blk, qd=qd, dv=dv, n_kv=n_q),
+        out_shape=jax.ShapeDtypeStruct((g, t_pad, dv), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, blk, qd), lambda gi, i, j, lens: (gi, i, 0)),
+                pl.BlockSpec((1, blk, qd), lambda gi, i, j, lens: (gi, j, 0)),
+                pl.BlockSpec((1, blk, pd), lambda gi, i, j, lens: (gi, i, 0)),
+                pl.BlockSpec(
+                    (1, blk, pd),
+                    lambda gi, i, j, lens, _h=heads, _m=n_q: (gi % _h, _m - 1 + j - i, 0),
+                ),
+                pl.BlockSpec(
+                    (1, blk, pd),
+                    lambda gi, i, j, lens, _h=heads, _m=n_q: (gi % _h, _m + j - i, 0),
+                ),
+                pl.BlockSpec((1, blk, dv), lambda gi, i, j, lens: (gi, j, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, blk, dv), lambda gi, i, j, lens: (gi, i, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((blk, 1), jnp.float32),
+                pltpu.VMEM((blk, 1), jnp.float32),
+                pltpu.VMEM((blk, dv), jnp.float32),
+            ],
+        ),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), q, k, qp, pos_pad, pos_pad, v)
     return out[:, :t]
