@@ -249,18 +249,16 @@ def _mhsa_relpos(p, x, pos_emb, mask, cfg: FastConformerConfig):
     # Single-pass kernel up to ~1k frames (k/v/pos + a [BQ, 2T-1] score tile
     # fit in VMEM); beyond that (long-form unchunked audio) the blockwise-KV
     # variant streams key/value blocks with an online softmax — no T cap.
+    # The wrapper is differentiable (custom VJP: kernel forward, the XLA
+    # formulation's autodiff backward), so training can keep attn_impl=pallas.
     if cfg.attn_impl == "pallas":
-        from ..ops.relpos_attention import (
-            relpos_attention,
-            relpos_attention_blockwise,
-        )
+        from ..ops.relpos_attention import relpos_attention_diff
 
-        kernel = relpos_attention if t <= 1024 else relpos_attention_blockwise
         lengths = jnp.sum(mask.astype(jnp.int32), axis=-1)
         # inputs stay in the compute dtype (bf16 on TPU — half the VMEM
         # traffic and MXU-native); the kernel accumulates scores/softmax/PV
         # in fp32 (preferred_element_type), so numerics match bf16 einsums
-        out = kernel(
+        out = relpos_attention_diff(
             jnp.transpose(qu, (0, 2, 1, 3)),
             jnp.transpose(qv, (0, 2, 1, 3)),
             jnp.transpose(k, (0, 2, 1, 3)),

@@ -257,3 +257,60 @@ def relpos_attention_blockwise(qu, qv, k, v, pos, lengths, block=256,
         interpret=interpret,
     )(lengths_rep, qu, qv, k, v, pos_h, pos_h)
     return out.reshape(b, h, t_pad, dh)[:, :, :t]
+
+
+# ---------------------------------------------------------------------------
+# differentiable wrapper: kernel forward, XLA-derived backward
+# ---------------------------------------------------------------------------
+
+
+def _xla_reference(qu, qv, k, v, pos, lengths):
+    """The einsum + pad/reshape-shift formulation (fp32), used as the
+    backward-pass definition — its VJP is correct by construction and costs
+    the same as differentiating the plain XLA path."""
+    b, h, t, dh = qu.shape
+    f32 = lambda x: x.astype(jnp.float32)
+    ac = jnp.einsum("bhtd,bhsd->bhts", f32(qu), f32(k))
+    posh = jnp.transpose(f32(pos), (1, 0, 2))
+    bd = jnp.einsum("bhtd,hld->bhtl", f32(qv), posh)
+    bd = jnp.pad(bd, ((0, 0), (0, 0), (0, 0), (1, 0)))
+    bd = bd.reshape(b, h, 2 * t, t)[:, :, 1:].reshape(b, h, t, 2 * t - 1)[..., :t]
+    scores = (ac + bd) / np.sqrt(dh)
+    mask = jnp.arange(t)[None, :] < lengths[:, None]
+    scores = jnp.where(mask[:, None, None, :], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhts,bhsd->bhtd", probs, f32(v))
+
+
+@jax.custom_vjp
+def relpos_attention_diff(qu, qv, k, v, pos, lengths):
+    """Differentiable rel-pos attention: the Pallas kernel on the forward
+    pass (single-pass or blockwise by length), the XLA formulation's VJP on
+    the backward — training gets the kernel's forward speed (twice, under
+    remat) with autodiff-correct gradients."""
+    t = qu.shape[2]
+    kernel = relpos_attention if t <= 1024 else relpos_attention_blockwise
+    return kernel(qu, qv, k, v, pos, lengths)
+
+
+def _diff_fwd(qu, qv, k, v, pos, lengths):
+    return relpos_attention_diff(qu, qv, k, v, pos, lengths), (
+        qu, qv, k, v, pos, lengths,
+    )
+
+
+def _diff_bwd(res, g):
+    qu, qv, k, v, pos, lengths = res
+    _, vjp = jax.vjp(
+        lambda a, b_, c, d, e: _xla_reference(a, b_, c, d, e, lengths),
+        qu, qv, k, v, pos,
+    )
+    dqu, dqv, dk, dv, dpos = vjp(g.astype(jnp.float32))
+    dlengths = np.zeros(lengths.shape, dtype=jax.dtypes.float0)
+    return (
+        dqu.astype(qu.dtype), dqv.astype(qv.dtype), dk.astype(k.dtype),
+        dv.astype(v.dtype), dpos.astype(pos.dtype), dlengths,
+    )
+
+
+relpos_attention_diff.defvjp(_diff_fwd, _diff_bwd)

@@ -103,3 +103,38 @@ def test_blockwise_masking():
     v2 = v.at[:, :, 20:].set(-99.0)
     out2 = np.asarray(relpos_attention_blockwise(qu, qv, k2, v2, pos, lengths, block=16, interpret=True))
     np.testing.assert_allclose(out1[:, :, :20], out2[:, :, :20], atol=1e-6)
+
+
+def test_diff_wrapper_gradients_match_xla(monkeypatch):
+    """relpos_attention_diff: kernel forward (interpret), XLA-VJP backward —
+    gradients must equal differentiating the XLA formulation directly."""
+    from reazonspeech_tpu.ops import relpos_attention as ra
+
+    # route the forward through the interpret-mode kernel on CPU
+    orig = ra.relpos_attention
+    monkeypatch.setattr(
+        ra, "relpos_attention",
+        lambda *a, **kw: orig(*a, **{**kw, "interpret": True}),
+    )
+
+    b, h, t, dh = 1, 2, 24, 8
+    qu, qv, k, v, pos = make_inputs(b, h, t, dh, seed=7)
+    lengths = jnp.array([20])
+
+    def loss_kernel(args):
+        qu, qv, k, v, pos = args
+        out = ra.relpos_attention_diff(qu, qv, k, v, pos, lengths)
+        m = (jnp.arange(t) < 20)[None, None, :, None]
+        return jnp.sum(jnp.where(m, out, 0.0) ** 2)
+
+    def loss_xla(args):
+        qu, qv, k, v, pos = args
+        out = ra._xla_reference(qu, qv, k, v, pos, lengths)
+        m = (jnp.arange(t) < 20)[None, None, :, None]
+        return jnp.sum(jnp.where(m, out, 0.0) ** 2)
+
+    args = (qu, qv, k, v, pos)
+    g_kernel = jax.grad(loss_kernel)(args)
+    g_xla = jax.grad(loss_xla)(args)
+    for a, b_ in zip(g_kernel, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4, rtol=1e-4)
