@@ -56,6 +56,7 @@ def manifest_batches(
 
     if not rows:
         raise ValueError("empty manifest")
+    yielded = 0
     for _ in range(epochs):
         order = rng.permutation(len(rows)) if shuffle else np.arange(len(rows))
         for i in range(0, len(order), batch_size):
@@ -84,6 +85,7 @@ def manifest_batches(
                 labels.append(np.asarray(ids, np.int32))
             if not wavs:
                 continue
+            yielded += 1
             # keep the batch STATIC-SHAPE even when rows were dropped:
             # cycle valid rows to refill (sharding + compile-count both
             # depend on a stable leading dimension)
@@ -110,3 +112,9 @@ def manifest_batches(
                 "labels": lab,
                 "label_lengths": lab_len,
             }
+
+    if yielded == 0:
+        raise ValueError(
+            "no batch could be built: every transcription failed to "
+            "tokenize with the given tokenizer (vocabulary mismatch?)"
+        )

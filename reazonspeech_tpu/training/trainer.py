@@ -158,6 +158,8 @@ class Trainer:
         the metric history ([{step, loss, grad_norm, seconds}])."""
         if self.state is None:
             raise RuntimeError("call init(params) or restore_latest() first")
+        if log_file:
+            os.makedirs(os.path.dirname(os.path.abspath(log_file)), exist_ok=True)
         logf = open(log_file, "a") if log_file else None
         t0 = time.perf_counter()
         try:
