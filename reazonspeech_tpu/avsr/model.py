@@ -88,7 +88,10 @@ def init_avhubert(key, cfg: AVHubertConfig):
         "video_resnet": init_resnet3d(next(keys), cfg.resnet_relu_type),
         "video_proj": dense_init(next(keys), RESNET_OUT_DIM, d),
         "fuse_ln": layer_norm_init(cfg.fused_dim),
-        "conv_pos": depthwise_conv1d_init(next(keys), d, cfg.num_conv_pos_embeddings),
+        "conv_pos": _conv_pos_init(
+            next(keys), d, cfg.num_conv_pos_embeddings,
+            cfg.num_conv_pos_embedding_groups,
+        ),
         "enc_final_ln": layer_norm_init(d),
     }
     if cfg.fused_dim != d:
@@ -136,6 +139,34 @@ def _mha(p, q_in, kv_in, heads, mask=None, dtype=jnp.float32):
 # ---------------------------------------------------------------------------
 # encoder
 # ---------------------------------------------------------------------------
+
+
+def _conv_pos_init(key, d, kernel, groups):
+    k1, k2 = jax.random.split(key)
+    scale = 1.0 / np.sqrt(kernel * d / groups)
+    w = jax.random.uniform(k1, (kernel, d // groups, d), jnp.float32, -scale, scale)
+    b = jax.random.uniform(k2, (d,), jnp.float32, -scale, scale)
+    return {"w": w, "b": b}
+
+
+def _conv_pos_embed(p, x, groups, dtype):
+    """HubertPositionalConvEmbedding: grouped Conv1d with padding K//2 and
+    the even-kernel trailing-frame trim (HubertSamePadLayer)."""
+    w = p["w"]  # [K, in/groups, out]
+    k = w.shape[0]
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype),
+        w.astype(dtype),
+        window_strides=(1,),
+        padding=[(k // 2, k // 2)],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=groups,
+    )
+    if k % 2 == 0:
+        y = y[:, :-1]
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y
 
 
 def _sinusoid_pos(t, d):
@@ -191,9 +222,13 @@ def encode(params, cfg: AVHubertConfig, audio=None, video=None, lengths=None,
     mask = jnp.arange(t)[None, :] < lengths[:, None]
     x = jnp.where(mask[..., None], x, 0)
 
-    # HuBERT conv positional embedding (grouped conv ~ depthwise here; the
-    # converter folds group structure into the depthwise weights)
-    pos = depthwise_conv1d(params["conv_pos"], x.astype(dtype), padding="SAME", dtype=dtype)
+    # HuBERT conv positional embedding: GROUPED conv (exact semantics of
+    # HubertPositionalConvEmbedding: pad K//2 both sides, drop the trailing
+    # frame for even K, GELU) — the round-1 depthwise approximation would
+    # have been wrong for real weights
+    pos = _conv_pos_embed(
+        params["conv_pos"], x, cfg.num_conv_pos_embedding_groups, dtype
+    )
     x = x + jax.nn.gelu(pos)
 
     heads = cfg.num_attention_heads

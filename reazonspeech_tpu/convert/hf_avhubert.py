@@ -83,11 +83,26 @@ def convert_avhubert_state_dict(sd, cfg: AVHubertConfig, prefix="model."):
     if "post_extract_proj.weight" in sd:
         p["post_proj"] = _lin(sd, "post_extract_proj")
 
-    # conv positional embedding (grouped conv folded to depthwise layout)
-    w = sd["encoder.pos_conv_embed.conv.weight"]  # [out, in/g, K]
+    # conv positional embedding: exact grouped weight. HF checkpoints store
+    # it weight-normalized (dim=2): w[:, :, k] = g[..., k] · v[:, :, k] / ‖v[:, :, k]‖
+    # under either the legacy weight_g/weight_v names or the torch
+    # parametrizations names; merged plain weights also occur.
+    pc = "encoder.pos_conv_embed.conv"
+    if f"{pc}.weight_v" in sd:
+        g, v = sd[f"{pc}.weight_g"], sd[f"{pc}.weight_v"]
+    elif f"{pc}.parametrizations.weight.original1" in sd:
+        g = sd[f"{pc}.parametrizations.weight.original0"]
+        v = sd[f"{pc}.parametrizations.weight.original1"]
+    else:
+        g, v = None, sd[f"{pc}.weight"]
+    if g is not None:
+        norm = np.sqrt((v ** 2).sum(axis=(0, 1), keepdims=True))
+        w = (g * v / np.maximum(norm, 1e-12)).astype(np.float32)
+    else:
+        w = v
     p["conv_pos"] = {
-        "w": np.transpose(w.mean(axis=1, keepdims=True), (2, 1, 0)).copy(),
-        "b": sd.get("encoder.pos_conv_embed.conv.bias", np.zeros(w.shape[0])),
+        "w": np.transpose(w, (2, 1, 0)).copy(),  # torch [out, in/g, K] -> [K, in/g, out]
+        "b": sd.get(f"{pc}.bias", np.zeros(w.shape[0], np.float32)),
     }
 
     rp = "feature_extractor_video.resnet"

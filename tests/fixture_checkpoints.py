@@ -439,7 +439,12 @@ def synth_avhubert_state_dict(cfg):
         add("post_extract_proj.weight", d, cfg.fused_dim)
         add("post_extract_proj.bias", d)
     g = cfg.num_conv_pos_embedding_groups
-    add("encoder.pos_conv_embed.conv.weight", d, d // g, cfg.num_conv_pos_embeddings)
+    # stored weight-normalized (dim=2), like HF Hubert checkpoints
+    add("encoder.pos_conv_embed.conv.weight_g", 1, 1, cfg.num_conv_pos_embeddings)
+    sd["model.encoder.pos_conv_embed.conv.weight_g"] = (
+        sd["model.encoder.pos_conv_embed.conv.weight_g"].abs() + 0.1
+    )
+    add("encoder.pos_conv_embed.conv.weight_v", d, d // g, cfg.num_conv_pos_embeddings)
     add("encoder.pos_conv_embed.conv.bias", d)
     add("encoder.layer_norm.weight", d)
     add("encoder.layer_norm.bias", d)

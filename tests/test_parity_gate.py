@@ -22,10 +22,11 @@ def test_convert_and_gate_fixtures(tmp_path):
     report = json.loads(out.read_text())
     assert rc == 0, report
     assert report["pass"], report
-    for flavor in ("nemo", "espnet", "k2"):
+    for flavor in ("nemo", "espnet", "k2", "avsr"):
         assert report[flavor]["pass"], report[flavor]
     # encoder parity is numeric, not just structural
     assert report["nemo"]["encoder_logit_rel"] < 1e-5
     assert report["espnet"]["encoder_logit_rel"] < 1e-5
     assert report["nemo"]["token_match_vs_torch"] == 1.0
     assert report["k2"]["decoder_joiner_token_match"] == 1.0
+    assert report["avsr"]["greedy_token_match"] == 1.0

@@ -443,3 +443,143 @@ def zipformer_encoder_forward(sd, feats, cfg):
             out = torch.cat([out, out[-1:].expand(pad, out.shape[-1])], dim=0)
         out = out.view(t_out, ods, -1).mean(dim=1)
     return out
+
+
+# ---------------------------------------------------------------------------
+# AVHuBERT oracle
+# ---------------------------------------------------------------------------
+
+
+def _strip_model_prefix(sd):
+    return {(k[6:] if k.startswith("model.") else k): v for k, v in sd.items()}
+
+
+def _pos_conv_weight(sd):
+    """Reconstruct the weight-normalized positional conv weight (dim=2)."""
+    pc = "encoder.pos_conv_embed.conv"
+    if f"{pc}.weight_v" in sd:
+        g, v = sd[f"{pc}.weight_g"], sd[f"{pc}.weight_v"]
+    elif f"{pc}.parametrizations.weight.original1" in sd:
+        g = sd[f"{pc}.parametrizations.weight.original0"]
+        v = sd[f"{pc}.parametrizations.weight.original1"]
+    else:
+        return sd[f"{pc}.weight"]
+    norm = v.pow(2).sum(dim=(0, 1), keepdim=True).sqrt()
+    return g * v / norm.clamp_min(1e-12)
+
+
+def avhubert_encoder_forward(sd, cfg, audio=None, video_feat=None):
+    """AVHuBERT encoder on [T, audio_feat_dim] (audio-only path; the video
+    branch's ResNet is covered by conv3d/conv2d primitive parity and
+    ``video_feat`` may inject a precomputed [T, 512] trunk output).
+
+    Mirrors the HF Hubert stable-layer-norm encoder with the AVSR fusion
+    front (pkg/avsr/src/avhubert/modeling_avhubert.py:130-210): linear
+    feature projections, zeros for the missing modality, concat fusion,
+    fused layer_norm, post-projection, weight-normalized grouped positional
+    conv (pad K//2, trim for even K, GELU), pre-LN blocks, final LN.
+    """
+    sd = _strip_model_prefix(sd)
+    t = (audio if audio is not None else video_feat).shape[0]
+    a = (_lin(sd, "feature_extractor_audio.proj", audio)
+         if audio is not None else None)
+    v = (_lin(sd, "feature_extractor_video.proj", video_feat)
+         if video_feat is not None else None)
+    if a is None:
+        a = torch.zeros_like(v)
+    if v is None:
+        v = torch.zeros_like(a)
+    x = torch.cat([a, v], dim=-1) if cfg.modality_fuse == "concat" else a + v
+    x = _ln(sd, "layer_norm", x)
+    if "post_extract_proj.weight" in sd:
+        x = _lin(sd, "post_extract_proj", x)
+
+    w = _pos_conv_weight(sd)  # [out, in/g, K]
+    k = w.shape[-1]
+    pos = F.conv1d(
+        x.T[None], w, sd.get("encoder.pos_conv_embed.conv.bias"),
+        padding=k // 2, groups=cfg.num_conv_pos_embedding_groups,
+    )[0].T
+    if k % 2 == 0:
+        pos = pos[:-1]
+    x = x + F.gelu(pos)
+
+    h = cfg.num_attention_heads
+    d = cfg.hidden_size
+    dh = d // h
+    for n in range(cfg.num_hidden_layers):
+        p = f"encoder.layers.{n}"
+        y = _ln(sd, f"{p}.layer_norm", x)
+        q = _lin(sd, f"{p}.attention.q_proj", y).view(t, h, dh)
+        kk = _lin(sd, f"{p}.attention.k_proj", y).view(t, h, dh)
+        vv = _lin(sd, f"{p}.attention.v_proj", y).view(t, h, dh)
+        scores = torch.einsum("qhd,khd->hqk", q, kk) / math.sqrt(dh)
+        probs = torch.softmax(scores, dim=-1)
+        o = torch.einsum("hqk,khd->qhd", probs, vv).reshape(t, d)
+        x = x + _lin(sd, f"{p}.attention.out_proj", o)
+        y = _ln(sd, f"{p}.final_layer_norm", x)
+        y = _lin(sd, f"{p}.feed_forward.output_dense",
+                 F.gelu(_lin(sd, f"{p}.feed_forward.intermediate_dense", y)))
+        x = x + y
+    return _ln(sd, "encoder.layer_norm", x)
+
+
+def _avhubert_dec_sinusoid(t, d):
+    pos = np.arange(t, dtype=np.float64)
+    half = d // 2
+    inv = np.exp(np.arange(half, dtype=np.float64)
+                 * (-math.log(10000.0) / max(half - 1, 1)))
+    ang = pos[:, None] * inv[None, :]
+    pe = np.zeros((t, d), np.float32)
+    pe[:, 0:half] = np.sin(ang)
+    pe[:, half:2 * half] = np.cos(ang)
+    return torch.from_numpy(pe)
+
+
+def avhubert_decoder_logits(sd, cfg, tokens, enc):
+    """Teacher-forced decoder logits for token ids [U] against enc [T, D]."""
+    sd = _strip_model_prefix(sd)
+    u = len(tokens)
+    dd = cfg.decoder_hidden_size
+    h = cfg.decoder_attention_heads
+    dh = dd // h
+    emb = sd["decoder.embed_tokens.weight"][torch.as_tensor(tokens)]
+    x = emb * math.sqrt(dd) + _avhubert_dec_sinusoid(u, dd)
+    causal = torch.tril(torch.ones(u, u, dtype=torch.bool))
+    for n in range(cfg.decoder_layers):
+        p = f"decoder.layers.{n}"
+        y = _ln(sd, f"{p}.self_attn_layer_norm", x)
+        q = _lin(sd, f"{p}.self_attn.q_proj", y).view(u, h, dh)
+        k = _lin(sd, f"{p}.self_attn.k_proj", y).view(u, h, dh)
+        v = _lin(sd, f"{p}.self_attn.v_proj", y).view(u, h, dh)
+        s = torch.einsum("qhd,khd->hqk", q, k) / math.sqrt(dh)
+        s = s.masked_fill(~causal[None], float("-inf"))
+        o = torch.einsum("hqk,khd->qhd", torch.softmax(s, -1), v).reshape(u, dd)
+        x = x + _lin(sd, f"{p}.self_attn.out_proj", o)
+        y = _ln(sd, f"{p}.encoder_attn_layer_norm", x)
+        q = _lin(sd, f"{p}.encoder_attn.q_proj", y).view(u, h, dh)
+        k = _lin(sd, f"{p}.encoder_attn.k_proj", enc).view(-1, h, dh)
+        v = _lin(sd, f"{p}.encoder_attn.v_proj", enc).view(-1, h, dh)
+        s = torch.einsum("qhd,khd->hqk", q, k) / math.sqrt(dh)
+        o = torch.einsum("hqk,khd->qhd", torch.softmax(s, -1), v).reshape(u, dd)
+        x = x + _lin(sd, f"{p}.encoder_attn.out_proj", o)
+        y = _ln(sd, f"{p}.final_layer_norm", x)
+        y = _lin(sd, f"{p}.fc2", F.gelu(_lin(sd, f"{p}.fc1", y)))
+        x = x + y
+    x = _ln(sd, "decoder.layer_norm", x)
+    if cfg.tie_word_embeddings:
+        return x @ sd["decoder.embed_tokens.weight"].T
+    return F.linear(x, sd["lm_head.weight"])
+
+
+def avhubert_greedy_reference(sd, cfg, enc, max_length=16):
+    """Greedy seq2seq decode via repeated teacher forcing (oracle-simple)."""
+    tokens = [cfg.bos_token_id]
+    with torch.no_grad():
+        for _ in range(max_length - 1):
+            logits = avhubert_decoder_logits(sd, cfg, tokens, enc)
+            nxt = int(torch.argmax(logits[-1]))
+            tokens.append(nxt)
+            if nxt == cfg.eos_token_id:
+                break
+    return tokens
