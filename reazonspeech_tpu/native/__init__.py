@@ -12,7 +12,7 @@ import subprocess
 
 import numpy as np
 
-__all__ = ["available", "edit_distance", "ts_scan_pid", "pcm16_to_f32", "downmix_mean"]
+__all__ = ["available", "edit_distance", "ts_scan_pid", "pcm16_to_f32", "downmix_mean", "wav_info", "wav_batch_load"]
 
 _LIB_PATH = os.path.join(os.path.dirname(__file__), "librs_native.so")
 _lib = None
@@ -52,6 +52,15 @@ def _load():
         lib.rs_downmix_mean.restype = None
         lib.rs_downmix_mean.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
+        ]
+        lib.rs_wav_info.restype = ctypes.c_int32
+        lib.rs_wav_info.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.rs_wav_batch_load.restype = None
+        lib.rs_wav_batch_load.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int32,
         ]
         _lib = lib
     except OSError:
@@ -110,3 +119,35 @@ def downmix_mean(x: np.ndarray) -> np.ndarray:
     out = np.empty(frames, np.float32)
     lib.rs_downmix_mean(x.ctypes.data, frames, ch, out.ctypes.data)
     return out
+
+
+def wav_info(path):
+    """(sample_rate, mono_frames) from the WAV header only."""
+    lib = _load()
+    if not lib:
+        raise RuntimeError("native library unavailable")
+    sr = ctypes.c_int32()
+    n = ctypes.c_int64()
+    rc = lib.rs_wav_info(
+        str(path).encode(), ctypes.byref(sr), ctypes.byref(n)
+    )
+    if rc != 0:
+        raise OSError(f"not a readable PCM WAV: {path}")
+    return int(sr.value), int(n.value)
+
+
+def wav_batch_load(paths, stride, num_threads=8):
+    """Decode WAV files concurrently into a zero-padded [n, stride] float32
+    batch (mono mean-downmix). Returns (batch, lengths); a length of -1
+    marks a file the native decoder refused (caller falls back per-file)."""
+    lib = _load()
+    if not lib:
+        raise RuntimeError("native library unavailable")
+    n = len(paths)
+    out = np.zeros((n, stride), np.float32)
+    lengths = np.zeros(n, np.int64)
+    arr = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
+    lib.rs_wav_batch_load(
+        arr, n, out.ctypes.data, stride, lengths.ctypes.data, num_threads
+    )
+    return out, lengths

@@ -6,8 +6,11 @@
 // throughput (SURVEY.md §2.1 O1). Exposed via a plain C ABI for ctypes.
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -82,6 +85,162 @@ void rs_downmix_mean(const float* in, int64_t frames, int32_t channels,
     for (int32_t c = 0; c < channels; ++c) acc += p[c];
     out[i] = acc * inv;
   }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batched WAV loading (the training data loader's hot path).
+//
+// RIFF/WAVE parse for PCM16/PCM24/PCM32/IEEE-float32, any channel count
+// (downmixed to mono by mean). Two-phase API: rs_wav_info reads only the
+// header (cheap; the Python side sizes the padded batch buffer), then
+// rs_wav_batch_load decodes all files concurrently on a thread pool into
+// caller-provided rows. Errors are per-file: a failed row reports length -1
+// and the caller falls back to the Python decoder for that file.
+
+namespace {
+
+struct WavFmt {
+  uint16_t format = 0;
+  uint16_t channels = 0;
+  uint32_t sample_rate = 0;
+  uint16_t bits = 0;
+  long long data_off = -1;
+  long long data_len = 0;
+};
+
+bool read_wav_header(FILE* f, WavFmt* out) {
+  uint8_t hdr[12];
+  if (fread(hdr, 1, 12, f) != 12) return false;
+  if (memcmp(hdr, "RIFF", 4) != 0 || memcmp(hdr + 8, "WAVE", 4) != 0)
+    return false;
+  uint8_t ck[8];
+  while (fread(ck, 1, 8, f) == 8) {
+    uint32_t len = ck[4] | (ck[5] << 8) | (ck[6] << 16) |
+                   (static_cast<uint32_t>(ck[7]) << 24);
+    if (memcmp(ck, "fmt ", 4) == 0) {
+      uint8_t fmt[16];
+      if (len < 16 || fread(fmt, 1, 16, f) != 16) return false;
+      out->format = fmt[0] | (fmt[1] << 8);
+      out->channels = fmt[2] | (fmt[3] << 8);
+      out->sample_rate = fmt[4] | (fmt[5] << 8) | (fmt[6] << 16) |
+                         (static_cast<uint32_t>(fmt[7]) << 24);
+      out->bits = fmt[14] | (fmt[15] << 8);
+      if (len > 16 && fseek(f, len - 16 + (len & 1), SEEK_CUR) != 0)
+        return false;
+    } else if (memcmp(ck, "data", 4) == 0) {
+      out->data_off = ftell(f);
+      out->data_len = len;
+      if (fseek(f, len + (len & 1), SEEK_CUR) != 0) break;
+    } else {
+      if (fseek(f, len + (len & 1), SEEK_CUR) != 0) break;
+    }
+  }
+  return out->data_off >= 0 && out->channels > 0 && out->bits > 0;
+}
+
+long long wav_frames(const WavFmt& fmt) {
+  return fmt.data_len / (fmt.channels * (fmt.bits / 8));
+}
+
+// decode one file into out (mono mean-downmix); returns frame count or -1
+long long decode_wav(const char* path, float* out, long long cap) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  WavFmt fmt;
+  if (!read_wav_header(f, &fmt)) {
+    fclose(f);
+    return -1;
+  }
+  const long long frames = std::min<long long>(wav_frames(fmt), cap);
+  const int ch = fmt.channels;
+  const long long bytes = frames * ch * (fmt.bits / 8);
+  std::vector<uint8_t> raw(bytes);
+  if (fseek(f, fmt.data_off, SEEK_SET) != 0 ||
+      fread(raw.data(), 1, bytes, f) != static_cast<size_t>(bytes)) {
+    fclose(f);
+    return -1;
+  }
+  fclose(f);
+
+  const float inv_ch = 1.0f / ch;
+  if (fmt.format == 1 && fmt.bits == 16) {
+    const int16_t* p = reinterpret_cast<const int16_t*>(raw.data());
+    constexpr float kS = 1.0f / 32768.0f;
+    for (long long i = 0; i < frames; ++i) {
+      float acc = 0.0f;
+      for (int c = 0; c < ch; ++c) acc += p[i * ch + c];
+      out[i] = acc * kS * inv_ch;
+    }
+  } else if (fmt.format == 1 && fmt.bits == 24) {
+    constexpr float kS = 1.0f / 8388608.0f;
+    for (long long i = 0; i < frames; ++i) {
+      float acc = 0.0f;
+      for (int c = 0; c < ch; ++c) {
+        const uint8_t* b = raw.data() + 3 * (i * ch + c);
+        int32_t v = b[0] | (b[1] << 8) | (b[2] << 16);
+        if (v & 0x800000) v -= 0x1000000;
+        acc += static_cast<float>(v);
+      }
+      out[i] = acc * kS * inv_ch;
+    }
+  } else if (fmt.format == 1 && fmt.bits == 32) {
+    const int32_t* p = reinterpret_cast<const int32_t*>(raw.data());
+    constexpr float kS = 1.0f / 2147483648.0f;
+    for (long long i = 0; i < frames; ++i) {
+      float acc = 0.0f;
+      for (int c = 0; c < ch; ++c) acc += p[i * ch + c] * kS;
+      out[i] = acc * inv_ch;
+    }
+  } else if (fmt.format == 3 && fmt.bits == 32) {
+    const float* p = reinterpret_cast<const float*>(raw.data());
+    for (long long i = 0; i < frames; ++i) {
+      float acc = 0.0f;
+      for (int c = 0; c < ch; ++c) acc += p[i * ch + c];
+      out[i] = acc * inv_ch;
+    }
+  } else {
+    return -1;
+  }
+  return frames;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Header-only probe: sample rate + mono frame count (for batch sizing).
+int32_t rs_wav_info(const char* path, int32_t* sample_rate,
+                    int64_t* n_frames) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  WavFmt fmt;
+  const bool ok = read_wav_header(f, &fmt);
+  fclose(f);
+  if (!ok) return -1;
+  *sample_rate = static_cast<int32_t>(fmt.sample_rate);
+  *n_frames = wav_frames(fmt);
+  return 0;
+}
+
+// Decode n files concurrently into out rows (row i at out + i*stride,
+// zero-padded by the CALLER); lengths[i] = frames decoded or -1 on error.
+void rs_wav_batch_load(const char** paths, int32_t n, float* out,
+                       int64_t stride, int64_t* lengths,
+                       int32_t num_threads) {
+  std::atomic<int32_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      const int32_t i = next.fetch_add(1);
+      if (i >= n) return;
+      lengths[i] = decode_wav(paths[i], out + i * stride, stride);
+    }
+  };
+  const int32_t nt = std::max(1, std::min(num_threads, n));
+  std::vector<std::thread> pool;
+  for (int32_t t = 0; t < nt; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
 }
 
 }  // extern "C"

@@ -13,7 +13,7 @@ import json
 
 import numpy as np
 
-__all__ = ["read_manifest", "manifest_batches"]
+__all__ = ["read_manifest", "manifest_batches", "prefetch"]
 
 
 def read_manifest(path):
@@ -29,6 +29,33 @@ def read_manifest(path):
 
 def _bucket(n, step):
     return max(step, -(-n // step) * step)
+
+
+def _load_wavs(paths):
+    """Decode a list of WAV paths to float32 mono arrays — through the C++
+    thread-pool loader (native.wav_batch_load) when the shared library is
+    present, per-file Python otherwise; non-WAV or refused files fall back
+    individually."""
+    from ..core.audio import audio_from_path
+
+    def py_one(path):
+        return np.asarray(audio_from_path(path).waveform, np.float32)
+
+    if not paths:
+        return []
+    try:
+        from .. import native
+
+        if not native.available():
+            raise RuntimeError
+        stride = max(native.wav_info(p)[1] for p in paths)
+        batch, lengths = native.wav_batch_load(paths, max(stride, 1))
+        return [
+            batch[i, : lengths[i]] if lengths[i] >= 0 else py_one(p)
+            for i, p in enumerate(paths)
+        ]
+    except Exception:
+        return [py_one(p) for p in paths]
 
 
 def manifest_batches(
@@ -49,8 +76,6 @@ def manifest_batches(
     of compiled programs stays bounded. Rows whose transcription cannot be
     tokenized are skipped (drop_unknown) or raise.
     """
-    from ..core.audio import audio_from_path
-
     rows = read_manifest(manifest) if isinstance(manifest, str) else list(manifest)
     rng = np.random.default_rng(seed)
 
@@ -69,7 +94,7 @@ def manifest_batches(
                 idxs.append(order[k % len(order)])
                 k += 1
             chunk = [rows[j] for j in idxs]
-            wavs, labels = [], []
+            kept, labels = [], []
             for r in chunk:
                 try:
                     ids = tokenizer.text_to_ids(r["transcription"])
@@ -80,9 +105,9 @@ def manifest_batches(
                         raise
                 if ids is None or not ids:
                     continue
-                audio = audio_from_path(r["audio"])
-                wavs.append(np.asarray(audio.waveform, np.float32))
+                kept.append(r["audio"])
                 labels.append(np.asarray(ids, np.int32))
+            wavs = _load_wavs(kept)
             if not wavs:
                 continue
             yielded += 1
@@ -118,3 +143,32 @@ def manifest_batches(
             "no batch could be built: every transcription failed to "
             "tokenize with the given tokenizer (vocabulary mismatch?)"
         )
+
+
+def prefetch(batches, depth=2):
+    """Wrap a batch iterator with a background-thread producer so host-side
+    decode/padding overlaps device compute (the data-loader pipelining the
+    reference outsources to its toolkits' workers)."""
+    import queue
+    import threading
+
+    q = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def producer():
+        try:
+            for b in batches:
+                q.put(b)
+            q.put(_END)
+        except BaseException as e:  # surface errors on the consumer side
+            q.put(e)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item

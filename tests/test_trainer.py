@@ -126,3 +126,62 @@ def test_manifest_batches_tail_not_dropped(manifest):
     )
     assert len(batches) == 2  # one (refilled) batch per epoch
     assert all(b["waveform"].shape[0] == 4 for b in batches)
+
+
+def test_native_wav_batch_loader_matches_python(manifest):
+    """The C++ thread-pool WAV loader must produce byte-identical samples to
+    the Python decoder, and _load_wavs must route through it."""
+    from reazonspeech_tpu import native
+    from reazonspeech_tpu.core.audio import audio_from_path
+    from reazonspeech_tpu.training.data import _load_wavs
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    paths = [r["audio"] for r in read_manifest(manifest)[:4]]
+    sr, n = native.wav_info(paths[0])
+    assert sr == 16000 and n > 0
+
+    stride = max(native.wav_info(p)[1] for p in paths)
+    batch, lengths = native.wav_batch_load(paths, stride)
+    assert (lengths > 0).all()
+    for i, p in enumerate(paths):
+        want = np.asarray(audio_from_path(p).waveform, np.float32)
+        np.testing.assert_array_equal(batch[i, : lengths[i]], want)
+        # zero padding beyond the valid length
+        assert not batch[i, lengths[i]:].any()
+
+    out = _load_wavs(paths)
+    for arr, p in zip(out, paths):
+        want = np.asarray(audio_from_path(p).waveform, np.float32)
+        np.testing.assert_array_equal(arr, want)
+
+
+def test_prefetch_wrapper(manifest):
+    from reazonspeech_tpu.training.data import manifest_batches, prefetch
+
+    fe, enc, rnnt = _cfgs()
+    tok = default_ja_tokenizer(rnnt.vocab_size)
+    direct = list(manifest_batches(manifest, tok, batch_size=4, epochs=2,
+                                   shuffle=False))
+    fetched = list(prefetch(
+        manifest_batches(manifest, tok, batch_size=4, epochs=2, shuffle=False),
+        depth=2,
+    ))
+    assert len(fetched) == len(direct)
+    for a, b in zip(direct, fetched):
+        np.testing.assert_array_equal(a["waveform"], b["waveform"])
+        np.testing.assert_array_equal(a["labels"], b["labels"])
+
+
+def test_prefetch_propagates_errors():
+    from reazonspeech_tpu.training.data import prefetch
+
+    def boom():
+        yield {"ok": 1}
+        raise RuntimeError("decode failed")
+
+    it = prefetch(boom(), depth=1)
+    assert next(it)["ok"] == 1
+    with pytest.raises(RuntimeError, match="decode failed"):
+        list(it)
