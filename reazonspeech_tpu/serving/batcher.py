@@ -1,0 +1,115 @@
+"""Micro-batching executor for TPU ASR serving.
+
+Concurrent requests are coalesced into ONE jitted `decode_batch` call per
+tick: requests accumulate until `max_batch` are waiting or `max_wait_ms`
+elapses, waveforms are padded to the shared bucket grid (so the set of
+compiled programs stays bounded — identical policy to the offline
+`decode_single` bucketing), and results are fanned back out per request.
+
+Throughput rationale: one 30 s utterance decoded alone uses a few percent of
+a v5e chip; at B=64-128 the same chip sustains ~4000x realtime
+(BENCHMARKS.md). The batcher converts request concurrency into that batch
+dimension transparently.
+"""
+
+import queue
+import threading
+from concurrent.futures import Future
+
+import numpy as np
+
+__all__ = ["MicroBatcher"]
+
+
+class MicroBatcher:
+    """Coalesce transcription requests into batched decode calls.
+
+    Args:
+      model: any flavor container exposing ``decode_batch(waveforms, lengths)
+        -> (tokens, frames, counts, ...)`` (nemo/espnet/k2 all qualify)
+      max_batch: hard batch-size cap per tick
+      max_wait_ms: how long the first request in a tick waits for company
+      bucket_samples: waveforms pad to multiples of this (compile stability)
+    """
+
+    def __init__(self, model, max_batch=32, max_wait_ms=20.0,
+                 bucket_samples=4 * 16000):
+        self.model = model
+        self.max_batch = max_batch
+        self.max_wait_ms = max_wait_ms
+        self.bucket_samples = bucket_samples
+        self._queue = queue.Queue()
+        self._running = True
+        self.batch_sizes = []  # observability: size of every executed batch
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, waveform) -> Future:
+        """Enqueue one float32 waveform; resolves to (token_ids, frames)."""
+        fut = Future()
+        self._queue.put((np.asarray(waveform, np.float32), fut))
+        return fut
+
+    def transcribe(self, waveform):
+        """Blocking convenience wrapper around submit()."""
+        return self.submit(waveform).result()
+
+    def close(self):
+        self._running = False
+        self._queue.put(None)
+        self._thread.join(timeout=5)
+
+    # -- internals ---------------------------------------------------------
+
+    def _collect(self):
+        """Block for the first request, then soak up to max_batch for up to
+        max_wait_ms."""
+        first = self._queue.get()
+        if first is None:
+            return None
+        items = [first]
+        deadline = self.max_wait_ms / 1e3
+        import time
+
+        t0 = time.monotonic()
+        while len(items) < self.max_batch:
+            remaining = deadline - (time.monotonic() - t0)
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt is None:
+                self._queue.put(None)  # re-post the shutdown marker
+                break
+            items.append(nxt)
+        return items
+
+    def _loop(self):
+        while self._running:
+            items = self._collect()
+            if items is None:
+                return
+            try:
+                n_max = max(len(w) for w, _ in items)
+                padded = max(
+                    self.bucket_samples,
+                    -(-n_max // self.bucket_samples) * self.bucket_samples,
+                )
+                b = len(items)
+                buf = np.zeros((b, padded), np.float32)
+                lens = np.zeros((b,), np.int32)
+                for i, (w, _) in enumerate(items):
+                    buf[i, : len(w)] = w
+                    lens[i] = len(w)
+                out = self.model.decode_batch(buf, lens)
+                tokens, frames, counts = out[0], out[1], out[2]
+                self.batch_sizes.append(b)
+                for i, (_, fut) in enumerate(items):
+                    c = int(counts[i])
+                    fut.set_result((tokens[i, :c].tolist(), frames[i, :c].tolist()))
+            except Exception as e:  # pragma: no cover - fan the error out
+                for _, fut in items:
+                    if not fut.done():
+                        fut.set_exception(e)

@@ -1,0 +1,152 @@
+"""Minimal HTTP front for the micro-batching executor (stdlib only).
+
+POST /transcribe with a WAV body (or raw float32 PCM16k with
+Content-Type: application/octet-stream) returns JSON:
+
+    {"text": ..., "subwords": [{"token": ..., "seconds": ...}, ...]}
+
+GET /healthz reports readiness and batching stats. One process serves one
+chip; scale-out is one process per chip behind any load balancer (chip
+grants are exclusive, matching the reference's one-model-per-GPU pattern).
+
+Run: ``reazonspeech-serve --flavor nemo --port 8080`` (console script) or
+``python -m reazonspeech_tpu.serving.http``.
+"""
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from .batcher import MicroBatcher
+
+__all__ = ["serve", "make_app"]
+
+
+def _load_flavor(flavor, checkpoint=None):
+    if flavor == "nemo":
+        from ..nemo.asr.model import load_model
+
+        return load_model(checkpoint=checkpoint)
+    if flavor == "espnet":
+        from ..espnet.asr.model import load_model_container
+
+        return load_model_container(checkpoint=checkpoint)
+    if flavor == "k2":
+        from ..k2.asr.huggingface import load_model
+
+        return load_model(checkpoint=checkpoint)
+    raise ValueError(f"unknown flavor: {flavor}")
+
+
+def _decode_audio_body(body, content_type):
+    if content_type.startswith("application/octet-stream"):
+        return np.frombuffer(body, np.float32)
+    import tempfile
+
+    from ..core.audio import audio_from_path
+
+    with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+        f.write(body)
+        f.flush()
+        audio = audio_from_path(f.name)
+    return np.asarray(audio.waveform, np.float32)
+
+
+def _result_json(model, token_ids, frames, seconds_per_frame):
+    toks = model.tokenizer
+    text = toks.ids_to_text(token_ids)
+    subwords = [
+        {
+            "token": toks.ids_to_tokens([tid])[0]
+            if hasattr(toks, "ids_to_tokens")
+            else toks.ids_to_text([tid]),
+            "seconds": f * seconds_per_frame,
+        }
+        for tid, f in zip(token_ids, frames)
+    ]
+    return {"text": text, "subwords": subwords}
+
+
+def make_app(model, seconds_per_frame=0.08, **batcher_kw):
+    """Build (handler_class, batcher) for an HTTP server over ``model``."""
+    batcher = MicroBatcher(model, **batcher_kw)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet by default
+            pass
+
+        def _send(self, code, payload):
+            body = json.dumps(payload, ensure_ascii=False).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {
+                    "ok": True,
+                    "batches": len(batcher.batch_sizes),
+                    "mean_batch": (
+                        float(np.mean(batcher.batch_sizes))
+                        if batcher.batch_sizes else 0.0
+                    ),
+                })
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/transcribe":
+                self._send(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n)
+                wav = _decode_audio_body(
+                    body, self.headers.get("Content-Type", "")
+                )
+                tokens, frames = batcher.submit(wav).result(timeout=300)
+                self._send(200, _result_json(model, tokens, frames,
+                                             seconds_per_frame))
+            except Exception as e:
+                self._send(500, {"error": str(e)})
+
+    return Handler, batcher
+
+
+def serve(model, host="0.0.0.0", port=8080, seconds_per_frame=0.08,
+          **batcher_kw):
+    """Serve ``model`` until interrupted. Returns (server, batcher) when
+    started with block=False semantics via threading by the caller."""
+    handler, batcher = make_app(model, seconds_per_frame, **batcher_kw)
+    server = ThreadingHTTPServer((host, port), handler)
+    try:
+        server.serve_forever()
+    finally:
+        batcher.close()
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--flavor", default="nemo", choices=("nemo", "espnet", "k2"))
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--max-batch", type=int, default=32)
+    ap.add_argument("--max-wait-ms", type=float, default=20.0)
+    args = ap.parse_args(argv)
+
+    model = _load_flavor(args.flavor, args.checkpoint)
+    spf = {"nemo": 0.08, "espnet": 0.04, "k2": 0.04}[args.flavor]
+    print(f"serving {args.flavor} on {args.host}:{args.port}")
+    serve(model, args.host, args.port, seconds_per_frame=spf,
+          max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""Serving layer: micro-batching correctness + the HTTP front end-to-end."""
+
+import http.client
+import io
+import threading
+import wave
+
+import numpy as np
+import pytest
+
+from reazonspeech_tpu.models.fastconformer import FastConformerConfig
+from reazonspeech_tpu.models.rnnt import RNNTConfig
+from reazonspeech_tpu.nemo.asr.model import load_model
+from reazonspeech_tpu.serving import MicroBatcher
+from reazonspeech_tpu.serving.http import make_app
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    enc = FastConformerConfig.tiny(compute_dtype="float32")
+    rnnt = RNNTConfig.tiny(enc_dim=enc.d_model, compute_dtype="float32")
+    return load_model(checkpoint="random", enc_cfg=enc, rnnt_cfg=rnnt)
+
+
+def _wavs(n, seconds=0.6):
+    rng = np.random.default_rng(0)
+    return [
+        (rng.standard_normal(int(16000 * seconds)) * 0.1).astype(np.float32)
+        for _ in range(n)
+    ]
+
+
+def test_microbatcher_matches_single_decode(tiny_model):
+    """Batched execution must return exactly what decode_single returns for
+    each request, regardless of batch composition."""
+    batcher = MicroBatcher(tiny_model, max_batch=8, max_wait_ms=200.0)
+    try:
+        wavs = _wavs(5)
+        futs = [batcher.submit(w) for w in wavs]
+        got = [f.result(timeout=300) for f in futs]
+        for w, (tokens, frames) in zip(wavs, got):
+            want_tokens, want_frames = tiny_model.decode_single(w)
+            assert tokens == want_tokens
+            assert frames == want_frames
+        # the 5 concurrent submissions coalesced (fewer calls than requests)
+        assert sum(batcher.batch_sizes) == 5
+        assert len(batcher.batch_sizes) < 5
+    finally:
+        batcher.close()
+
+
+def test_microbatcher_serial_requests(tiny_model):
+    batcher = MicroBatcher(tiny_model, max_batch=4, max_wait_ms=1.0)
+    try:
+        for w in _wavs(3):
+            tokens, frames = batcher.transcribe(w)
+            want_tokens, _ = tiny_model.decode_single(w)
+            assert tokens == want_tokens
+    finally:
+        batcher.close()
+
+
+def test_http_server_end_to_end(tiny_model):
+    handler, batcher = make_app(tiny_model, max_batch=4, max_wait_ms=5.0)
+    from http.server import ThreadingHTTPServer
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        wav = _wavs(1)[0]
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes((wav * 32767).astype(np.int16).tobytes())
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        conn.request("POST", "/transcribe", body=buf.getvalue(),
+                     headers={"Content-Type": "audio/wav"})
+        resp = conn.getresponse()
+        assert resp.status == 200, resp.read()
+        import json
+
+        payload = json.loads(resp.read())
+        assert "text" in payload and "subwords" in payload
+
+        conn.request("GET", "/healthz")
+        resp = conn.getresponse()
+        health = json.loads(resp.read())
+        assert health["ok"] and health["batches"] >= 1
+    finally:
+        server.shutdown()
+        batcher.close()
