@@ -75,6 +75,12 @@ def rnnt_greedy_decode(
     b, t, _ = enc.shape
     blank = rnnt_cfg.blank_id
     u_max = decode_cfg.max_tokens or t
+    # per-element emission cap tied to the VALID length, so results are
+    # invariant to how much the batch was padded (an utterance cannot emit
+    # more than max_symbols_per_step per valid frame)
+    emit_cap = jnp.minimum(
+        u_max, enc_lengths * decode_cfg.max_symbols_per_step
+    ).astype(jnp.int32)
     # encoder-side joint projection hoisted out of the loop: [B, T, J]
     enc_proj = joint_precompute_enc(joint_params, enc, rnnt_cfg)
 
@@ -90,14 +96,14 @@ def rnnt_greedy_decode(
 
     def cond(state):
         time_idx, counts = state[3], state[2]
-        return jnp.any((time_idx < enc_lengths) & (counts < u_max))
+        return jnp.any((time_idx < enc_lengths) & (counts < emit_cap))
 
     w = max(int(decode_cfg.frame_window), 1)
 
     def body(state):
         tokens, frames, counts, time_idx, sym_at_frame, last_tok, pred_out, pred_state = state
 
-        active = (time_idx < enc_lengths) & (counts < u_max)
+        active = (time_idx < enc_lengths) & (counts < emit_cap)
         force_advance = sym_at_frame >= decode_cfg.max_symbols_per_step
 
         if w == 1:

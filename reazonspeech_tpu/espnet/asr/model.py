@@ -64,6 +64,8 @@ def encode_ctc(params, waveform, lengths, fe_cfg, enc_cfg):
 
 @dataclass
 class EspnetTPUModel:
+    # waveform padding grid (serving batches align to this)
+    bucket_samples = BUCKET_SAMPLES
     params: dict
     fe_cfg: FrontendConfig
     enc_cfg: FastConformerConfig
@@ -112,6 +114,32 @@ class EspnetTPUModel:
 
     def ids_to_text(self, ids):
         return self.tokenizer.ids_to_text(ids)
+
+    def decode_batch(self, waveforms: np.ndarray, lengths: np.ndarray):
+        """Padded-batch transducer decode (the serving/MicroBatcher
+        interface the other flavors expose): returns host numpy
+        (tokens, frames, counts, enc_lengths)."""
+        _, tokens, frames, counts, elens = encode_ctc_decode(
+            self.params,
+            jnp.asarray(waveforms, jnp.float32),
+            jnp.asarray(lengths, jnp.int32),
+            self.fe_cfg,
+            self.enc_cfg,
+            self.rnnt_cfg,
+            self.decode_cfg,
+        )
+        return (
+            np.asarray(tokens),
+            np.asarray(frames),
+            np.asarray(counts),
+            np.asarray(elens),
+        )
+
+    def decode_single(self, waveform: np.ndarray):
+        buf, lens = self._bucket(np.asarray(waveform, np.float32))
+        tokens, frames, counts, _ = self.decode_batch(buf, lens)
+        c = int(counts[0])
+        return tokens[0, :c].tolist(), frames[0, :c].tolist()
 
 
 def default_token_list(vocab_chars=None):

@@ -50,6 +50,8 @@ def k2_forward(params, waveform, lengths, fe_cfg, enc_cfg, rnnt_cfg, decode_cfg)
 
 @dataclass
 class K2TPUModel:
+    # waveform padding grid (serving batches align to this)
+    bucket_samples = BUCKET_SAMPLES
     params: dict
     fe_cfg: FrontendConfig
     enc_cfg: ZipformerConfig

@@ -84,6 +84,8 @@ def default_ja_tokenizer(vocab_size: int) -> CharTokenizer:
 
 @dataclass
 class NemoTPUModel:
+    # waveform padding grid (serving batches align to this)
+    bucket_samples = BUCKET_SAMPLES
     params: dict
     fe_cfg: FrontendConfig
     enc_cfg: FastConformerConfig

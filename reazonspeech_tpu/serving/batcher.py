@@ -33,11 +33,15 @@ class MicroBatcher:
     """
 
     def __init__(self, model, max_batch=32, max_wait_ms=20.0,
-                 bucket_samples=4 * 16000):
+                 bucket_samples=None):
         self.model = model
         self.max_batch = max_batch
         self.max_wait_ms = max_wait_ms
-        self.bucket_samples = bucket_samples
+        # default to the model's own padding grid so batched results match
+        # decode_single exactly even when worst-case emission caps bind
+        self.bucket_samples = bucket_samples or getattr(
+            model, "bucket_samples", 4 * 16000
+        )
         self._queue = queue.Queue()
         self._running = True
         self.batch_sizes = []  # observability: size of every executed batch

@@ -94,3 +94,34 @@ def test_http_server_end_to_end(tiny_model):
     finally:
         server.shutdown()
         batcher.close()
+
+
+def test_microbatcher_all_flavors():
+    """Every flavor container satisfies the serving interface."""
+    from reazonspeech_tpu.espnet.asr.model import (
+        load_model_container as load_espnet,
+    )
+    from reazonspeech_tpu.k2.asr.model import load_model_container as load_k2
+    from reazonspeech_tpu.models.conformer import espnet_encoder_config
+    from reazonspeech_tpu.models.zipformer import ZipformerConfig
+
+    models = [
+        load_espnet(
+            checkpoint="random",
+            enc_cfg=espnet_encoder_config(
+                num_layers=2, d_model=32, num_heads=4, subsampling_channels=32,
+                compute_dtype="float32",
+            ),
+        ),
+        load_k2(checkpoint="random",
+                enc_cfg=ZipformerConfig.tiny(compute_dtype="float32")),
+    ]
+    wav = _wavs(1)[0]
+    for model in models:
+        batcher = MicroBatcher(model, max_batch=2, max_wait_ms=1.0)
+        try:
+            tokens, frames = batcher.transcribe(wav)
+            want_tokens, _ = model.decode_single(wav)
+            assert tokens == want_tokens
+        finally:
+            batcher.close()
