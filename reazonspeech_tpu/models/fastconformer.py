@@ -238,6 +238,28 @@ def _mhsa_relpos(p, x, pos_emb, mask, cfg: FastConformerConfig):
     h, dh = cfg.num_heads, cfg.head_dim
     dt = cfg.dtype
 
+    # Serving-shape fast path: the layout-fused kernel reads q/k/v exactly as
+    # the denses produce them ([B, T, D]) and adds the u/v biases in-kernel —
+    # no [B, H, T, dh] transposes or full-tensor bias adds touch HBM. Falls
+    # through to the generic path for long-form T or odd head dims.
+    if cfg.attn_impl == "pallas":
+        from ..ops.relpos_attention import (
+            fused_supported,
+            relpos_attention_fused_diff,
+        )
+
+        if fused_supported(t, h, dh):
+            q3 = dense(p["attn_q"], x, dtype=dt)
+            k3 = dense(p["attn_k"], x, dtype=dt)
+            v3 = dense(p["attn_v"], x, dtype=dt)
+            pos = dense(p["attn_pos"], pos_emb, dtype=dt).reshape(-1, h, dh)
+            lengths = jnp.sum(mask.astype(jnp.int32), axis=-1)
+            out = relpos_attention_fused_diff(
+                q3, k3, v3, pos, p["attn_bias_u"], p["attn_bias_v"],
+                lengths, h,
+            )  # [B, T, D] in dt
+            return dense(p["attn_out"], out, dtype=dt)
+
     q = dense(p["attn_q"], x, dtype=dt).reshape(b, t, h, dh)
     k = dense(p["attn_k"], x, dtype=dt).reshape(b, t, h, dh)
     v = dense(p["attn_v"], x, dtype=dt).reshape(b, t, h, dh)

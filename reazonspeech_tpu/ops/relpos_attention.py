@@ -24,7 +24,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["relpos_attention", "relpos_attention_blockwise"]
+__all__ = [
+    "relpos_attention",
+    "relpos_attention_blockwise",
+    "relpos_attention_fused",
+    "relpos_attention_fused_diff",
+    "fused_supported",
+]
 
 
 def _kernel(lens_ref, qu_ref, qv_ref, k_ref, v_ref, pos_ref, out_ref, *, t, bq, dh, w):
@@ -257,6 +263,182 @@ def relpos_attention_blockwise(qu, qv, k, v, pos, lengths, block=256,
         interpret=interpret,
     )(lengths_rep, qu, qv, k, v, pos_h, pos_h)
     return out.reshape(b, h, t_pad, dh)[:, :, :t]
+
+
+# ---------------------------------------------------------------------------
+# layout-fused variant: [B, T, D] in/out, biases added in-kernel
+# ---------------------------------------------------------------------------
+#
+# The single-pass kernel above wants [B·H, T, dh] inputs, which costs the
+# caller four HBM transposes of [B, H, T, dh] plus two full-tensor bias adds
+# per layer — measured at B=32/T=375/D=1024 that wrapper traffic exceeds the
+# kernel itself (~55 ms vs ~40 ms over 24 layers). This variant reads q/k/v
+# exactly as the projection denses produce them ([B, T, D]) by blocking the
+# LANE dimension per head: block (1, t_pad, dh) at index (b, 0, h). One grid
+# step covers a head's whole query range (t_pad = T rounded up to 128), the
+# u/v biases are added in-kernel, and the output is written back as
+# [B, T, D] in the compute dtype — directly consumable by the out-projection.
+#
+# Lane-blocking requires the block's last dim to be a multiple of 128, so
+# heads are packed `hpb = 128 // dh` per block when dh < 128 (espnet's
+# dh=64) and the kernel loops over the packed sub-heads.
+
+
+def fused_supported(t, heads, dh):
+    """Shapes the fused kernel serves: lane-divisible head packing and a
+    single-q-block score tile within VMEM (t_pad <= 512)."""
+    if dh > 128 or 128 % dh != 0:
+        return False
+    if heads % (128 // dh) != 0:
+        return False
+    return -(-t // 128) * 128 <= 512
+
+
+def _fused_kernel(lens_ref, q_ref, k_ref, v_ref, pos_ref, bu_ref, bv_ref,
+                  out_ref, *, t, t_pad, dh, w, hpb):
+    valid = lens_ref[pl.program_id(1)]
+    row = jax.lax.broadcasted_iota(jnp.int32, (t_pad, 1), 0)
+    shift = jnp.maximum(t - 1 - row, 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (t_pad, t_pad), 1)
+    n_bits = max(int(np.ceil(np.log2(max(t, 2)))), 1)
+
+    outs = []
+    for s in range(hpb):  # packed sub-heads (static loop; hpb = 128/dh)
+        sl = slice(s * dh, (s + 1) * dh)
+        q = q_ref[0][:, sl]  # [t_pad, dh]
+        k = k_ref[0][:, sl]
+        v = v_ref[0][:, sl]
+        pos = pos_ref[0][:, sl]  # [W, dh]
+        qu = q + bu_ref[0][:, sl]
+        qv = q + bv_ref[0][:, sl]
+
+        ac = jnp.dot(qu, k.T, preferred_element_type=jnp.float32)
+        bd_all = jnp.dot(qv, pos.T, preferred_element_type=jnp.float32)
+
+        x = bd_all
+        for b in range(n_bits):
+            amount = 1 << b
+            rolled = pltpu.roll(x, w - amount, 1)
+            x = jnp.where((shift & amount) != 0, rolled, x)
+        bd = x[:, :t_pad]
+
+        scores = (ac + bd) * (1.0 / np.sqrt(dh))
+        scores = jnp.where(col < valid, scores, jnp.float32(-1e30))
+
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        probs = e / jnp.sum(e, axis=-1, keepdims=True)
+        outs.append(jnp.dot(probs.astype(v.dtype), v,
+                            preferred_element_type=jnp.float32))
+    out = outs[0] if hpb == 1 else jnp.concatenate(outs, axis=-1)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "interpret"))
+def relpos_attention_fused(q, k, v, pos, bias_u, bias_v, lengths, heads,
+                           interpret=False):
+    """Rel-pos attention on projection-layout tensors.
+
+    Args:
+      q, k, v: [B, T, D] (D = heads·dh), straight from the q/k/v denses
+      pos: [2T-1, H, dh] projected relative-position table
+      bias_u, bias_v: [H, dh] content/position biases (added to q in-kernel)
+      lengths: [B] int32 valid key counts
+
+    Returns: [B, T, D] in q.dtype. Requires fused_supported(T, dh).
+    """
+    b, tt, d = q.shape
+    h = heads
+    dh = d // h
+    # heads per lane block: dh·hpb == 128 on TPU (fused_supported gates
+    # h % (128//dh) == 0); interpret-mode tests with tiny dh just cap at h
+    hpb = min(128 // dh, h)
+    t_pad = -(-tt // 128) * 128
+    if t_pad != tt:
+        p3 = ((0, 0), (0, t_pad - tt), (0, 0))
+        q = jnp.pad(q, p3)
+        k = jnp.pad(k, p3)
+        v = jnp.pad(v, p3)
+    # [2T-1, H, dh] -> [H/hpb, W, hpb*dh]: packed heads side by side on lanes
+    w = pos.shape[0]
+    pos_h = jnp.transpose(pos, (1, 0, 2))  # [H, W, dh]
+    pos_h = pos_h.reshape(h // hpb, hpb, w, dh)
+    pos_h = jnp.transpose(pos_h, (0, 2, 1, 3)).reshape(h // hpb, w, hpb * dh)
+    w_pad = -(-w // 128) * 128
+    if w_pad != w:
+        pos_h = jnp.pad(pos_h, ((0, 0), (0, w_pad - w), (0, 0)))
+    bu = bias_u.astype(q.dtype).reshape(h // hpb, 1, hpb * dh)
+    bv = bias_v.astype(q.dtype).reshape(h // hpb, 1, hpb * dh)
+
+    grid = (h // hpb, b)  # head blocks outer: pos/bias cached across batch
+    out = pl.pallas_call(
+        functools.partial(_fused_kernel, t=tt, t_pad=t_pad, dh=dh, w=w_pad,
+                          hpb=hpb),
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, d), q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, t_pad, hpb * dh), lambda hi, bi, lens: (bi, 0, hi)),
+                pl.BlockSpec((1, t_pad, hpb * dh), lambda hi, bi, lens: (bi, 0, hi)),
+                pl.BlockSpec((1, t_pad, hpb * dh), lambda hi, bi, lens: (bi, 0, hi)),
+                pl.BlockSpec((1, w_pad, hpb * dh), lambda hi, bi, lens: (hi, 0, 0)),
+                pl.BlockSpec((1, 1, hpb * dh), lambda hi, bi, lens: (hi, 0, 0)),
+                pl.BlockSpec((1, 1, hpb * dh), lambda hi, bi, lens: (hi, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, t_pad, hpb * dh),
+                                   lambda hi, bi, lens: (bi, 0, hi)),
+        ),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), q, k, v, pos_h, bu, bv)
+    return out[:, :tt]
+
+
+def _fused_xla_reference(q, k, v, pos, bias_u, bias_v, lengths):
+    """[B, T, D]-layout XLA formulation (fp32), the fused kernel's backward."""
+    b, t, d = q.shape
+    h, dh = bias_u.shape
+    f32 = lambda x: x.astype(jnp.float32)
+    r = lambda x: jnp.transpose(f32(x).reshape(b, t, h, dh), (0, 2, 1, 3))
+    qu = r(q) + f32(bias_u)[None, :, None, :]
+    qv = r(q) + f32(bias_v)[None, :, None, :]
+    out = _xla_reference(qu, qv, r(k), r(v), pos, lengths)
+    return jnp.transpose(out, (0, 2, 1, 3)).reshape(b, t, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def relpos_attention_fused_diff(q, k, v, pos, bias_u, bias_v, lengths, heads):
+    """Differentiable fused attention: Pallas forward, XLA-VJP backward
+    (same contract as relpos_attention_diff, projection layout)."""
+    return relpos_attention_fused(q, k, v, pos, bias_u, bias_v, lengths,
+                                  heads=heads)
+
+
+def _fused_diff_fwd(q, k, v, pos, bias_u, bias_v, lengths, heads):
+    return (
+        relpos_attention_fused_diff(q, k, v, pos, bias_u, bias_v, lengths,
+                                    heads),
+        (q, k, v, pos, bias_u, bias_v, lengths),
+    )
+
+
+def _fused_diff_bwd(heads, res, g):
+    q, k, v, pos, bias_u, bias_v, lengths = res
+    _, vjp = jax.vjp(
+        lambda a, b_, c, d, e, f: _fused_xla_reference(a, b_, c, d, e, f,
+                                                       lengths),
+        q, k, v, pos, bias_u, bias_v,
+    )
+    dq, dk, dv, dpos, dbu, dbv = vjp(g.astype(jnp.float32))
+    dlengths = np.zeros(lengths.shape, dtype=jax.dtypes.float0)
+    return (
+        dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+        dpos.astype(pos.dtype), dbu.astype(bias_u.dtype),
+        dbv.astype(bias_v.dtype), dlengths,
+    )
+
+
+relpos_attention_fused_diff.defvjp(_fused_diff_fwd, _fused_diff_bwd)
 
 
 # ---------------------------------------------------------------------------

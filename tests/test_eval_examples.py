@@ -14,6 +14,19 @@ import sys
 import pytest
 
 EXAMPLES = os.path.join(os.path.dirname(__file__), "..", "examples", "evaluation")
+REPO_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _subprocess_env(**extra):
+    """Env for example subprocesses: CPU platform + the repo importable even
+    when the package isn't pip-installed (editable installs don't survive
+    environment resets here)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    env.update(extra)
+    return env
 
 
 @pytest.fixture(scope="module")
@@ -46,10 +59,7 @@ def nemo_checkpoint(tmp_path_factory):
 
 
 def test_rs_nemo_example_runs_offline(fixture_dir, nemo_checkpoint):
-    env = dict(os.environ)
-    env["REAZONSPEECH_TPU_NEMO_CHECKPOINT"] = nemo_checkpoint
-    env["JAX_PLATFORMS"] = "cpu"
-    env["PALLAS_AXON_POOL_IPS"] = ""
+    env = _subprocess_env(REAZONSPEECH_TPU_NEMO_CHECKPOINT=nemo_checkpoint)
     proc = subprocess.run(
         [sys.executable, os.path.join(EXAMPLES, "rs-nemo", "eval.py"),
          "--local-fixture", fixture_dir],
@@ -87,10 +97,7 @@ def test_rs_k2_example_runs_offline(fixture_dir, tmp_path):
         enc_cfg=enc_cfg,
     )
 
-    env = dict(os.environ)
-    env["REAZONSPEECH_TPU_K2_CHECKPOINT"] = out
-    env["JAX_PLATFORMS"] = "cpu"
-    env["PALLAS_AXON_POOL_IPS"] = ""
+    env = _subprocess_env(REAZONSPEECH_TPU_K2_CHECKPOINT=out)
     proc = subprocess.run(
         [sys.executable, os.path.join(EXAMPLES, "rs-k2", "eval.py"),
          "--local-fixture", fixture_dir],
@@ -126,10 +133,7 @@ def test_rs_espnet_example_runs_offline(fixture_dir, tmp_path):
     out = str(tmp_path / "converted")
     convert_espnet_checkpoint(pth, out, config_yaml=cfg_yaml)
 
-    env = dict(os.environ)
-    env["REAZONSPEECH_TPU_ESPNET_CHECKPOINT"] = out
-    env["JAX_PLATFORMS"] = "cpu"
-    env["PALLAS_AXON_POOL_IPS"] = ""
+    env = _subprocess_env(REAZONSPEECH_TPU_ESPNET_CHECKPOINT=out)
     proc = subprocess.run(
         [sys.executable, os.path.join(EXAMPLES, "rs-espnet", "eval.py"),
          "--local-fixture", fixture_dir],
