@@ -9,8 +9,8 @@ traffic. This kernel computes, per (batch·head, query-block):
 
 entirely in VMEM: the [BQ, T] score tile never touches HBM. The relative-
 position shift (row r of the block needs table index T-1-(t0+r)+s for key s)
-is applied with a binary decomposition of per-row left-shifts — log2(2T)
-full-tile rolls with row-mask selects, all vector ops.
+is linear in the row, so it lowers to a STRIDED hardware rotate — one
+uniform base roll plus one stride-1 per-row roll (tpu.dynamic_rotate).
 
 Numerics match the XLA reference (fp32 accumulation, fp32 softmax); parity
 gated in tests/test_pallas_attention.py.
@@ -46,19 +46,14 @@ def _kernel(lens_ref, qu_ref, qv_ref, k_ref, v_ref, pos_ref, out_ref, *, t, bq, 
     ac = jnp.dot(qu, k.T, preferred_element_type=jnp.float32)  # [BQ, T]
     bd_all = jnp.dot(qv, pos.T, preferred_element_type=jnp.float32)  # [BQ, W]
 
-    # per-row left shift: row r wants bd_all[r, (T-1-t0-r) + s]
-    row = jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
-    shift = jnp.maximum(t - 1 - t0 - row, 0)  # [BQ, 1]
-    x = bd_all
-    n_bits = max(int(np.ceil(np.log2(max(t, 2)))), 1)
-    for b in range(n_bits):
-        amount = 1 << b
-        # left-roll by `amount` == right-roll by (w - amount); pltpu.roll
-        # requires a non-negative shift
-        rolled = pltpu.roll(x, w - amount, 1)
-        take = (shift & amount) != 0  # [BQ, 1]
-        x = jnp.where(take, rolled, x)
-    bd = x[:, :t]  # [BQ, T]
+    # per-row left shift: row r wants bd_all[r, (T-1-t0-r) + s]. A left-roll
+    # by (T-1-t0-r) is a right-roll by w-(T-1-t0)+r — linear in the row, so
+    # ONE strided hardware rotate does all rows (rows past the valid length
+    # wrap to garbage and are cropped/masked by the caller).
+    # two rotates: a uniform base roll, then the per-row +r stride (Mosaic
+    # rejects some combined base+stride shift ranges)
+    bd = pltpu.roll(bd_all, w - (t - 1 - t0), 1)
+    bd = pltpu.roll(bd, 0, 1, stride=1, stride_axis=0)[:, :t]
 
     scores = (ac + bd) * (1.0 / np.sqrt(dh))
 
@@ -103,7 +98,11 @@ def relpos_attention(qu, qv, k, v, pos, lengths, block_q=256, interpret=False):
     k = k.reshape(bh, t, dh)
     v = v.reshape(bh, t, dh)
     pos_h = jnp.transpose(pos, (1, 0, 2))  # [H, 2T-1, dh]
-    w = pos_h.shape[1]
+    # strided rotate needs a 128-aligned lane width; zero rows at the table
+    # end never reach valid columns (wrap lands past column t)
+    w = -(-pos_h.shape[1] // 128) * 128
+    if w != pos_h.shape[1]:
+        pos_h = jnp.pad(pos_h, ((0, 0), (0, w - pos_h.shape[1]), (0, 0)))
     lengths_rep = jnp.repeat(lengths.astype(jnp.int32), h)  # [B*H]
 
     grid = (bh, t_pad // bq)
@@ -143,7 +142,7 @@ def relpos_attention(qu, qv, k, v, pos, lengths, block_q=256, interpret=False):
 # span exactly the 2·BLK-1 window starting at the BLOCK-ALIGNED offset
 # (T/BLK - 1 + j - i)·BLK — so two consecutive BLK-row slices of the (zero-
 # padded to 2T rows) table cover it, fetched by plain BlockSpec index maps;
-# bd[r, c] is then bd_full[r, (BLK-1-r) + c], the same per-row binary-roll
+# bd[r, c] is then bd_full[r, (BLK-1-r) + c], the same strided-rotate
 # shift as above with shift = BLK-1-r.
 
 
@@ -167,16 +166,10 @@ def _blockwise_kernel(lens_ref, qu_ref, qv_ref, k_ref, v_ref, pos1_ref,
     ac = jnp.dot(qu, k.T, preferred_element_type=jnp.float32)  # [BLK, BLK]
     bd_full = jnp.dot(qv, pos.T, preferred_element_type=jnp.float32)  # [BLK, 2BLK]
 
-    row = jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0)
-    shift = blk - 1 - row  # [BLK, 1], in [0, BLK-1]
-    x = bd_full
-    n_bits = max(int(np.ceil(np.log2(max(blk, 2)))), 1)
-    for b in range(n_bits):
-        amount = 1 << b
-        rolled = pltpu.roll(x, 2 * blk - amount, 1)
-        take = (shift & amount) != 0
-        x = jnp.where(take, rolled, x)
-    bd = x[:, :blk]
+    # left-roll row r by (blk-1-r) == right-roll by (blk+1)+r: one strided
+    # rotate (see the single-pass kernel note)
+    bd = pltpu.roll(bd_full, blk + 1, 1)
+    bd = pltpu.roll(bd, 0, 1, stride=1, stride_axis=0)[:, :blk]
 
     s = (ac + bd) * (1.0 / np.sqrt(dh))
     valid_len = lens_ref[pl.program_id(0)]
@@ -297,10 +290,7 @@ def fused_supported(t, heads, dh):
 def _fused_kernel(lens_ref, q_ref, k_ref, v_ref, pos_ref, bu_ref, bv_ref,
                   out_ref, *, t, t_pad, dh, w, hpb):
     valid = lens_ref[pl.program_id(1)]
-    row = jax.lax.broadcasted_iota(jnp.int32, (t_pad, 1), 0)
-    shift = jnp.maximum(t - 1 - row, 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (t_pad, t_pad), 1)
-    n_bits = max(int(np.ceil(np.log2(max(t, 2)))), 1)
 
     outs = []
     for s in range(hpb):  # packed sub-heads (static loop; hpb = 128/dh)
@@ -315,12 +305,9 @@ def _fused_kernel(lens_ref, q_ref, k_ref, v_ref, pos_ref, bu_ref, bv_ref,
         ac = jnp.dot(qu, k.T, preferred_element_type=jnp.float32)
         bd_all = jnp.dot(qv, pos.T, preferred_element_type=jnp.float32)
 
-        x = bd_all
-        for b in range(n_bits):
-            amount = 1 << b
-            rolled = pltpu.roll(x, w - amount, 1)
-            x = jnp.where((shift & amount) != 0, rolled, x)
-        bd = x[:, :t_pad]
+        # one strided rotate: left-roll row r by (t-1-r) (see _kernel note)
+        bd = pltpu.roll(bd_all, w - (t - 1), 1)
+        bd = pltpu.roll(bd, 0, 1, stride=1, stride_axis=0)[:, :t_pad]
 
         scores = (ac + bd) * (1.0 / np.sqrt(dh))
         scores = jnp.where(col < valid, scores, jnp.float32(-1e30))

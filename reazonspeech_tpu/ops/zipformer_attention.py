@@ -13,8 +13,8 @@ softmax·V in the same pass, so the [T, T] weights never touch HBM. Score
 recomputation costs ~T²·H·(qd+pd) MACs per application; the traffic saved is
 4·T²·H bytes per layer — bandwidth-bound wins at every stack shape.
 
-Same grid/shift machinery as ops/relpos_attention.py (binary-decomposition
-per-row rolls); inputs arrive pre-flattened as [G, T, ·] where G = B·H for
+Same grid/shift machinery as ops/relpos_attention.py (strided hardware
+rotates); inputs arrive pre-flattened as [G, T, ·] where G = B·H for
 the per-head applications and G = B for the single-head nonlin attention.
 Parity gated in tests/test_zipformer_attention.py.
 """
@@ -44,17 +44,11 @@ def _kernel(lens_ref, q_ref, k_ref, qp_ref, pos_ref, v_ref, out_ref,
     ac = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # [BQ, T]
     bd_all = jnp.dot(qp, pos.T, preferred_element_type=jnp.float32)  # [BQ, W]
 
-    # per-row left shift: row r wants bd_all[r, (T-1-t0-r) + s]
-    row = jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
-    shift = jnp.maximum(t - 1 - t0 - row, 0)
-    x = bd_all
-    n_bits = max(int(np.ceil(np.log2(max(t, 2)))), 1)
-    for b in range(n_bits):
-        amount = 1 << b
-        rolled = pltpu.roll(x, w - amount, 1)
-        take = (shift & amount) != 0
-        x = jnp.where(take, rolled, x)
-    bd = x[:, :t]
+    # per-row left shift: row r wants bd_all[r, (T-1-t0-r) + s] — linear in
+    # the row, so ONE strided hardware rotate covers the tile (rows past the
+    # valid length wrap to garbage; they are cropped/masked by the caller)
+    bd = pltpu.roll(bd_all, w - (t - 1 - t0), 1)
+    bd = pltpu.roll(bd, 0, 1, stride=1, stride_axis=0)[:, :t]
 
     scores = (ac + bd) * (1.0 / np.sqrt(qd))
 
@@ -95,7 +89,11 @@ def shared_rel_attention(q, k, qp, pos, v, lengths, heads=1, block_q=256,
         padq = ((0, 0), (0, t_pad - t), (0, 0))
         q = jnp.pad(q, padq)
         qp = jnp.pad(qp, padq)
-    w = pos.shape[1]
+    # strided rotate needs a 128-aligned lane width; zero rows at the table
+    # end never reach valid columns (wrap lands past column t)
+    w = -(-pos.shape[1] // 128) * 128
+    if w != pos.shape[1]:
+        pos = jnp.pad(pos, ((0, 0), (0, w - pos.shape[1]), (0, 0)))
     pd = pos.shape[2]
 
     grid = (g, t_pad // bq)
@@ -146,16 +144,10 @@ def _blockwise_kernel(lens_ref, q_ref, k_ref, qp_ref, pos1_ref, pos2_ref,
     ac = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
     bd_full = jnp.dot(qp, pos.T, preferred_element_type=jnp.float32)
 
-    row = jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0)
-    shift = blk - 1 - row
-    x = bd_full
-    n_bits = max(int(np.ceil(np.log2(max(blk, 2)))), 1)
-    for b in range(n_bits):
-        amount = 1 << b
-        rolled = pltpu.roll(x, 2 * blk - amount, 1)
-        take = (shift & amount) != 0
-        x = jnp.where(take, rolled, x)
-    bd = x[:, :blk]
+    # left-roll row r by (blk-1-r) == right-roll by (blk+1)+r: one strided
+    # rotate (see _kernel note)
+    bd = pltpu.roll(bd_full, blk + 1, 1)
+    bd = pltpu.roll(bd, 0, 1, stride=1, stride_axis=0)[:, :blk]
 
     s = (ac + bd) * (1.0 / np.sqrt(qd))
     valid_len = lens_ref[pl.program_id(0)]
