@@ -22,3 +22,20 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Release compiled executables between test modules.
+
+    The full suite compiles thousands of XLA:CPU programs in one process;
+    keeping every executable alive eventually segfaults LLVM's JIT inside
+    backend_compile (reproduced deterministically at ~96% of the suite,
+    independent of which test lands there). Dropping the jit caches after
+    each module keeps the live-executable count bounded; modules re-trace
+    their own functions anyway.
+    """
+    yield
+    jax.clear_caches()
