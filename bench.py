@@ -55,6 +55,7 @@ def main():
     enc_cfg = FastConformerConfig.xlarge(
         attn_impl="pallas",
         conv_impl="pallas",
+        lnd_impl="pallas",
         residual_dtype=os.environ.get("REAZONSPEECH_TPU_RESIDUAL_DTYPE", "float32"),
     )
     rnnt_cfg = RNNTConfig(enc_dim=enc_cfg.d_model)

@@ -70,6 +70,12 @@ class FastConformerConfig:
     # conv module implementation: "xla" or "pallas"
     # (ops/conformer_conv.py: whole module fused, time axis VMEM-resident)
     conv_impl: str = "xla"
+    # pre-sub-block LayerNorm placement: "xla" (separate reduce+normalize
+    # fusions; the normalized [B,T,D] round-trips HBM in fp32 at every site)
+    # or "pallas" (ops/ln_dense.py: LN computed in VMEM inside the following
+    # projection — FFN-in with fused swish, one packed qkv emitting the
+    # attention kernel's 128-aligned layout, conv module in-kernel)
+    lnd_impl: str = "xla"
     # dtype of the residual stream BETWEEN blocks; bf16 halves the
     # elementwise/HBM traffic of the norm/residual chain at some numeric risk
     residual_dtype: str = "float32"
@@ -228,15 +234,58 @@ def _rel_shift(x):
     return x[..., :t]
 
 
-def _mhsa_relpos(p, x, pos_emb, mask, cfg: FastConformerConfig):
+def _packed_attn_ok(cfg: FastConformerConfig, t):
+    """Gate for the ln_dense-packed-qkv attention path (serving shapes)."""
+    from ..ops.ln_dense import ln_dense_supported
+    from ..ops.relpos_attention import fused_supported
+
+    d = cfg.d_model
+    return (
+        cfg.attn_impl == "pallas"
+        and cfg.lnd_impl == "pallas"
+        and fused_supported(t, cfg.num_heads, cfg.head_dim)
+        and ln_dense_supported(d, 3 * d)
+    )
+
+
+def _mhsa_relpos(p, x_raw, pos_emb, mask, cfg: FastConformerConfig):
     """Relative-position multi-head attention (Transformer-XL form).
 
-    x: [B, T, D] (already layer-normed), pos_emb: [2T-1, D],
-    mask: [B, T] validity. Returns [B, T, D].
+    x_raw: [B, T, D] residual stream BEFORE the pre-attention LayerNorm
+    (applied here so the ln_dense path can fuse it), pos_emb: [2T'-1, D]
+    where T' is T or its 128-aligned pad (packed path), mask: [B, T]
+    validity. Returns [B, T, D].
     """
-    b, t, d = x.shape
+    b, t, d = x_raw.shape
     h, dh = cfg.num_heads, cfg.head_dim
     dt = cfg.dtype
+
+    # ln_dense fast path: LayerNorm fused into ONE packed qkv projection that
+    # emits the attention kernel's 128-aligned [B, T', 3D] layout directly —
+    # the normalized tensor, the three separate projections, and the
+    # alignment pads never touch HBM.
+    if _packed_attn_ok(cfg, t):
+        from ..ops.ln_dense import ln_dense_diff
+        from ..ops.relpos_attention import relpos_attention_fused_packed_diff
+
+        # the table length encodes the T the attention internals run at
+        t_pad = (pos_emb.shape[0] + 1) // 2
+        if t_pad >= t:
+            w_qkv = jnp.concatenate(
+                [p["attn_q"]["w"], p["attn_k"]["w"], p["attn_v"]["w"]],
+                axis=1).astype(dt)
+            c_qkv = jnp.concatenate(
+                [p["attn_q"]["b"], p["attn_k"]["b"], p["attn_v"]["b"]])
+            qkv = ln_dense_diff(x_raw, p["attn_ln"]["scale"],
+                                p["attn_ln"]["bias"], w_qkv, c_qkv, None,
+                                t_pad if t_pad != t else None)
+            pos = dense(p["attn_pos"], pos_emb, dtype=dt).reshape(-1, h, dh)
+            lengths = jnp.sum(mask.astype(jnp.int32), axis=-1)
+            out = relpos_attention_fused_packed_diff(
+                qkv, pos, p["attn_bias_u"], p["attn_bias_v"], lengths, h)
+            return dense(p["attn_out"], out[:, :t], dtype=dt)
+
+    x = layer_norm(p["attn_ln"], x_raw).astype(dt)
 
     # Serving-shape fast path: the layout-fused kernel reads q/k/v exactly as
     # the denses produce them ([B, T, D]) and adds the u/v biases in-kernel —
@@ -307,12 +356,14 @@ def _mhsa_relpos(p, x, pos_emb, mask, cfg: FastConformerConfig):
     return dense(p["attn_out"], out, dtype=dt)
 
 
-def _conv_module(p, x, mask, cfg: FastConformerConfig):
-    """Conformer conv module: pointwise(2d)+GLU -> depthwise(k) -> norm ->
-    swish -> pointwise. Padded frames are zeroed before the depthwise conv so
-    padding never leaks into valid frames."""
+def _conv_module(p, x_raw, mask, cfg: FastConformerConfig):
+    """Conformer conv module: LN -> pointwise(2d)+GLU -> depthwise(k) ->
+    norm -> swish -> pointwise. Padded frames are zeroed before the depthwise
+    conv so padding never leaks into valid frames. ``x_raw`` is the residual
+    stream BEFORE the pre-module LayerNorm (applied here, in-kernel on the
+    lnd_impl="pallas" path)."""
     dt = cfg.dtype
-    b, t, d = x.shape
+    b, t, d = x_raw.shape
     # the fused kernel holds the whole [T, 2D] GLU input in VMEM per grid
     # step; beyond ~0.5M elements that overflows, so long-form utterances
     # take the XLA path (same pattern as the attention kernel)
@@ -326,14 +377,26 @@ def _conv_module(p, x, mask, cfg: FastConformerConfig):
         else:
             scale, bias = p["conv_bn"]["scale"], p["conv_bn"]["bias"]
             norm = "layer"
+        if cfg.lnd_impl == "pallas":
+            return fused_conv_module(
+                x_raw, lengths,
+                p["conv_in"]["w"][0], p["conv_in"]["b"],
+                p["conv_dw"]["w"], p["conv_dw"]["b"],
+                scale, bias,
+                p["conv_out"]["w"][0], p["conv_out"]["b"],
+                norm=norm,
+                ln_scale=p["conv_ln"]["scale"], ln_bias=p["conv_ln"]["bias"],
+                compute_dtype=dt,
+            )
         return fused_conv_module(
-            x.astype(dt), lengths,
+            layer_norm(p["conv_ln"], x_raw).astype(dt), lengths,
             p["conv_in"]["w"][0], p["conv_in"]["b"],
             p["conv_dw"]["w"], p["conv_dw"]["b"],
             scale, bias,
             p["conv_out"]["w"][0], p["conv_out"]["b"],
             norm=norm,
         )
+    x = layer_norm(p["conv_ln"], x_raw).astype(dt)
     x = conv1d(p["conv_in"], x, dtype=dt)
     x = glu(x, axis=-1)
     x = jnp.where(mask[..., None], x, 0)
@@ -347,16 +410,25 @@ def _conv_module(p, x, mask, cfg: FastConformerConfig):
 
 
 def _block(p, x, pos_emb, mask, cfg: FastConformerConfig):
-    dt = cfg.dtype
     x = x + 0.5 * _ffn(p, "ffn1", x, cfg)
-    x = x + _mhsa_relpos(p, layer_norm(p["attn_ln"], x).astype(dt), pos_emb, mask, cfg)
-    x = x + _conv_module(p, layer_norm(p["conv_ln"], x).astype(dt), mask, cfg)
+    x = x + _mhsa_relpos(p, x, pos_emb, mask, cfg)
+    x = x + _conv_module(p, x, mask, cfg)
     x = x + 0.5 * _ffn(p, "ffn2", x, cfg)
     return layer_norm(p["final_ln"], x)
 
 
 def _ffn(p, name, x, cfg: FastConformerConfig):
     dt = cfg.dtype
+    if cfg.lnd_impl == "pallas":
+        from ..ops.ln_dense import ln_dense_diff, ln_dense_supported
+
+        dff = cfg.d_model * cfg.ff_expansion
+        if ln_dense_supported(cfg.d_model, dff):
+            y = ln_dense_diff(x, p[f"{name}_ln"]["scale"],
+                              p[f"{name}_ln"]["bias"],
+                              p[f"{name}_in"]["w"].astype(dt),
+                              p[f"{name}_in"]["b"], "swish", None)
+            return dense(p[f"{name}_out"], y, dtype=dt)
     y = layer_norm(p[f"{name}_ln"], x).astype(dt)
     y = swish(dense(p[f"{name}_in"], y, dtype=dt))
     return dense(p[f"{name}_out"], y, dtype=dt)
@@ -380,7 +452,11 @@ def fastconformer_encode(params, feats, feat_lengths, cfg: FastConformerConfig):
     if cfg.xscaling:
         x = x * np.sqrt(cfg.d_model).astype(np.float32)
 
-    pos_emb = _sinusoid_rel_pos(t, cfg.d_model)
+    # the packed ln_dense+attention path runs the attention internals at the
+    # 128-aligned T; the table is offset-indexed, so building it at the
+    # padded length only widens it (same values at every used offset)
+    t_att = -(-t // 128) * 128 if _packed_attn_ok(cfg, t) else t
+    pos_emb = _sinusoid_rel_pos(t_att, cfg.d_model)
     mask = jnp.arange(t)[None, :] < lengths[:, None]  # [B, T']
     res_dt = jnp.dtype(cfg.residual_dtype)
     x = jnp.where(mask[..., None], x, 0).astype(res_dt)

@@ -158,7 +158,7 @@ def _tpu_serving_overrides(enc_cfg: FastConformerConfig) -> FastConformerConfig:
         residual = os.environ.get("REAZONSPEECH_TPU_RESIDUAL_DTYPE", "float32")
         return replace(
             enc_cfg, attn_impl="pallas", conv_impl="pallas",
-            residual_dtype=residual,
+            lnd_impl="pallas", residual_dtype=residual,
         )
     return enc_cfg
 

@@ -37,10 +37,20 @@ def fold_batch_norm(p, eps=1e-5):
     return inv.astype(jnp.float32), (p["bias"] - p["mean"] * inv).astype(jnp.float32)
 
 
-def _kernel(lens_ref, x_ref, w_in_ref, b_in_ref, dw_ref, b_dw_ref,
-            scale_ref, bias_ref, w_out_ref, b_out_ref, out_ref, *, t, d, k,
-            norm):
-    x = x_ref[0]  # [T, D] compute dtype
+def _kernel(lens_ref, x_ref, ln_g_ref, ln_b_ref, w_in_ref, b_in_ref, dw_ref,
+            b_dw_ref, scale_ref, bias_ref, w_out_ref, b_out_ref, out_ref, *,
+            t, d, k, norm, in_ln, cdt):
+    x = x_ref[0]  # [T, D] compute dtype (or residual dtype when in_ln)
+    if in_ln:
+        # pre-module LayerNorm fused in: read the raw fp32 residual tile,
+        # normalize in VMEM, cast to the compute dtype — the LN output never
+        # touches HBM (same contract as ops/ln_dense.py)
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        cent = x32 - mean
+        var = jnp.mean(jnp.square(cent), axis=-1, keepdims=True)
+        x32 = cent * jax.lax.rsqrt(var + 1e-5)
+        x = (x32 * ln_g_ref[:] + ln_b_ref[:]).astype(cdt)
 
     h2 = jnp.dot(x, w_in_ref[:], preferred_element_type=jnp.float32)
     h2 = h2 + b_in_ref[:].astype(jnp.float32)
@@ -83,36 +93,49 @@ def _kernel(lens_ref, x_ref, w_in_ref, b_in_ref, dw_ref, b_dw_ref,
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("norm", "interpret"))
+@functools.partial(jax.jit, static_argnames=("norm", "compute_dtype",
+                                              "interpret"))
 def fused_conv_module(x, lengths, w_in, b_in, dw, b_dw, bn_scale, bn_bias,
-                      w_out, b_out, norm="folded", interpret=False):
+                      w_out, b_out, norm="folded", ln_scale=None,
+                      ln_bias=None, compute_dtype=None, interpret=False):
     """Fused Conformer conv module.
 
     Args:
-      x: [B, T, D] layer-normed input (compute dtype, bf16 on TPU)
+      x: [B, T, D] layer-normed input (compute dtype, bf16 on TPU) — or the
+        RAW residual stream (fp32) when ``ln_scale``/``ln_bias`` are given,
+        in which case the pre-module LayerNorm runs inside the kernel
       lengths: [B] int32 valid frame counts
       w_in: [D, 2D], b_in: [2D]  (pointwise expansion; GLU halves it)
       dw: [K, D], b_dw: [D]      (depthwise kernel taps)
       bn_scale, bn_bias: [D] fp32 folded batch-norm (fold_batch_norm)
       w_out: [D, D], b_out: [D]
+      ln_scale, ln_bias: [D] pre-module LayerNorm affine params, or None
+      compute_dtype: matmul dtype when in-kernel LN is used (default x.dtype)
 
-    Returns: [B, T, D] in x.dtype.
+    Returns: [B, T, D] in the compute dtype.
     """
     b, t, d = x.shape
     k = dw.shape[0]
-    dt = x.dtype
+    in_ln = ln_scale is not None
+    dt = jnp.dtype(compute_dtype) if compute_dtype is not None else x.dtype
+    if ln_scale is None:
+        ln_scale = jnp.ones((d,))
+        ln_bias = jnp.zeros((d,))
     w_in = w_in.astype(dt)
     dw = dw.reshape(k, d).astype(jnp.float32)  # [K, 1, D] (conv layout) or [K, D]
     w_out = w_out.astype(dt)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, t=t, d=d, k=k, norm=norm),
+        functools.partial(_kernel, t=t, d=d, k=k, norm=norm, in_ln=in_ln,
+                          cdt=dt),
         out_shape=jax.ShapeDtypeStruct((b, t, d), dt),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b,),
             in_specs=[
                 pl.BlockSpec((1, t, d), lambda g, lens: (g, 0, 0)),
+                pl.BlockSpec((d,), lambda g, lens: (0,)),
+                pl.BlockSpec((d,), lambda g, lens: (0,)),
                 pl.BlockSpec((d, 2 * d), lambda g, lens: (0, 0)),
                 pl.BlockSpec((2 * d,), lambda g, lens: (0,)),
                 pl.BlockSpec((k, d), lambda g, lens: (0, 0)),
@@ -127,7 +150,8 @@ def fused_conv_module(x, lengths, w_in, b_in, dw, b_dw, bn_scale, bn_bias,
         interpret=interpret,
     )(
         lengths.astype(jnp.int32),
-        x, w_in, b_in.astype(jnp.float32), dw, b_dw.astype(jnp.float32),
+        x, ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32),
+        w_in, b_in.astype(jnp.float32), dw, b_dw.astype(jnp.float32),
         bn_scale.astype(jnp.float32), bn_bias.astype(jnp.float32),
         w_out, b_out.astype(jnp.float32),
     )

@@ -1,0 +1,154 @@
+"""Pallas TPU kernel: LayerNorm fused into the following dense projection.
+
+Every Conformer sub-block starts with ``dense(layer_norm(x))`` (the pre-norm
+arrangement NeMo/ESPnet use — pkg/nemo-asr via NeMo's ConformerLayer, see
+models/fastconformer.py). On the XLA path the LayerNorm output round-trips
+HBM in fp32 between the reduce fusion and the matmul: at the 619M serving
+shape that is ~190 MB written + read per LN site, four sites per layer.
+
+This kernel reads a [BT, D] tile of the raw residual stream (fp32), computes
+the LayerNorm statistics in VMEM, casts the normalized rows to the compute
+dtype and immediately multiplies with the weight block — the normalized
+tensor never exists in HBM. The weight matrix has a constant BlockSpec index,
+so Pallas keeps it VMEM-resident across all (batch, time) grid steps.
+
+The optional ``t_out`` pads the TIME axis of the output with zero rows
+(128-alignment for the attention kernel downstream) at no extra cost — the
+store is masked, replacing the explicit jnp.pad copies the attention wrapper
+would otherwise pay per layer.
+
+Numerics match ``dense(layer_norm(x), dtype)``: fp32 statistics, the cast to
+the compute dtype happens at the same point as the XLA path, matmul
+accumulates fp32. Parity gated in tests/test_ln_dense.py.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["ln_dense", "ln_dense_diff", "ln_dense_supported"]
+
+_VMEM_W_BYTES = 10 * 2**20  # weight residency budget
+
+
+def ln_dense_supported(d, n, dtype_bytes=2):
+    """Shapes the kernel serves: lane-aligned dims and a VMEM-resident W."""
+    return d % 128 == 0 and n % 128 == 0 and d * n * dtype_bytes <= _VMEM_W_BYTES
+
+
+def _kernel(x_ref, g_ref, b_ref, w_ref, c_ref, out_ref, *, t, bt, eps, act):
+    x = x_ref[0].astype(jnp.float32)  # [BT, D]
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    cent = x - mean
+    var = jnp.mean(jnp.square(cent), axis=-1, keepdims=True)
+    xn = cent * jax.lax.rsqrt(var + eps)
+    xn = xn * g_ref[0] + b_ref[0]
+    y = jnp.dot(xn.astype(w_ref.dtype), w_ref[:],
+                preferred_element_type=jnp.float32)
+    y = y + c_ref[0]
+    if act == "swish":
+        y = y * jax.nn.sigmoid(y)
+    # zero rows past the true sequence end (t_out padding; also covers the
+    # partial tail block whose x rows were out-of-bounds garbage)
+    row = jax.lax.broadcasted_iota(jnp.int32, y.shape, 0) + pl.program_id(1) * bt
+    y = jnp.where(row < t, y, 0.0)
+    out_ref[0] = y.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("activation", "t_out", "eps",
+                                              "block_t", "interpret"))
+def ln_dense(x, ln_scale, ln_bias, w, c=None, *, activation=None, t_out=None,
+             eps=1e-5, block_t=None, interpret=False):
+    """dense(layer_norm(x)) with the normalized tensor kept in VMEM.
+
+    Args:
+      x: [B, T, D] residual stream (any float dtype; stats in fp32)
+      ln_scale, ln_bias: [D] LayerNorm affine params
+      w: [D, N] projection weights — cast to the compute dtype by the caller
+      c: [N] projection bias or None
+      activation: None | "swish" (fused epilogue)
+      t_out: output time size ≥ T; rows T..t_out are zeros (128-aligned
+        output for the fused attention kernel, replacing explicit pads)
+
+    Returns: [B, t_out or T, N] in w.dtype.
+    """
+    b, t, d = x.shape
+    n = w.shape[1]
+    to = t if t_out is None else t_out
+    # t_out must be the 128-aligned pad of t so the (possibly partial) tail
+    # block always overlaps x's valid rows — a fully out-of-bounds input
+    # block would be undefined
+    assert to >= t and (t_out is None or (to % 128 == 0 and to - t < 128))
+    if block_t is None:
+        block_t = 256 if to % 256 == 0 else 128
+    bt = min(block_t, to)
+    if c is None:
+        c = jnp.zeros((n,), jnp.float32)
+
+    grid = (b, -(-to // bt))  # partial tail block: masked by the row guard
+    out = pl.pallas_call(
+        functools.partial(_kernel, t=t, bt=bt, eps=eps, act=activation),
+        out_shape=jax.ShapeDtypeStruct((b, to, n), w.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bt, d), lambda bi, ti: (bi, ti, 0)),
+            pl.BlockSpec((1, d), lambda bi, ti: (0, 0)),
+            pl.BlockSpec((1, d), lambda bi, ti: (0, 0)),
+            pl.BlockSpec((d, n), lambda bi, ti: (0, 0)),
+            pl.BlockSpec((1, n), lambda bi, ti: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bt, n), lambda bi, ti: (bi, ti, 0)),
+        interpret=interpret,
+    )(
+        x,
+        ln_scale.astype(jnp.float32).reshape(1, d),
+        ln_bias.astype(jnp.float32).reshape(1, d),
+        w,
+        c.astype(jnp.float32).reshape(1, n),
+    )
+    return out
+
+
+def _xla_reference(x, ln_scale, ln_bias, w, c, activation, t_out):
+    """The formulation the kernel replaces (and its backward for the VJP)."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    xn = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+    xn = xn * ln_scale + ln_bias
+    y = jnp.dot(xn.astype(w.dtype), w, preferred_element_type=jnp.float32)
+    if c is not None:
+        y = y + c
+    if activation == "swish":
+        y = y * jax.nn.sigmoid(y)
+    y = y.astype(w.dtype)
+    if t_out is not None and t_out != x.shape[1]:
+        y = jnp.pad(y, ((0, 0), (0, t_out - x.shape[1]), (0, 0)))
+    return y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def ln_dense_diff(x, ln_scale, ln_bias, w, c, activation=None, t_out=None):
+    """Differentiable ln_dense: Pallas forward, XLA-formulation backward
+    (same pattern as ops/relpos_attention.relpos_attention_diff)."""
+    return ln_dense(x, ln_scale, ln_bias, w, c, activation=activation,
+                    t_out=t_out)
+
+
+def _fwd(x, ln_scale, ln_bias, w, c, activation, t_out):
+    return ln_dense_diff(x, ln_scale, ln_bias, w, c, activation, t_out), (
+        x, ln_scale, ln_bias, w, c)
+
+
+def _bwd(activation, t_out, res, ct):
+    x, ln_scale, ln_bias, w, c = res
+    _, vjp = jax.vjp(
+        lambda *a: _xla_reference(*a, activation, t_out), x, ln_scale,
+        ln_bias, w, c)
+    return vjp(ct)
+
+
+ln_dense_diff.defvjp(_fwd, _bwd)

@@ -29,6 +29,8 @@ __all__ = [
     "relpos_attention_blockwise",
     "relpos_attention_fused",
     "relpos_attention_fused_diff",
+    "relpos_attention_fused_packed",
+    "relpos_attention_fused_packed_diff",
     "fused_supported",
 ]
 
@@ -379,6 +381,99 @@ def relpos_attention_fused(q, k, v, pos, bias_u, bias_v, lengths, heads,
         interpret=interpret,
     )(lengths.astype(jnp.int32), q, k, v, pos_h, bu, bv)
     return out[:, :tt]
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "interpret"))
+def relpos_attention_fused_packed(qkv, pos, bias_u, bias_v, lengths, heads,
+                                  interpret=False):
+    """Fused attention reading q/k/v straight out of ONE packed [B, T, 3D]
+    projection (the ln_dense qkv output, ops/ln_dense.py): three BlockSpecs
+    at different lane offsets on the same array, so no slice/pad copies ever
+    touch HBM. T must already be 128-aligned (ln_dense ``t_out``) and rows
+    past the true length zero; ``pos`` is the [2T-1, H, dh] table built at
+    this T (offset-indexed, so padding T only widens the table).
+    """
+    b, t_pad, d3 = qkv.shape
+    d = d3 // 3
+    h = heads
+    dh = d // h
+    hpb = min(128 // dh, h)
+    w = pos.shape[0]
+    pos_h = jnp.transpose(pos, (1, 0, 2))
+    pos_h = pos_h.reshape(h // hpb, hpb, w, dh)
+    pos_h = jnp.transpose(pos_h, (0, 2, 1, 3)).reshape(h // hpb, w, hpb * dh)
+    w_pad = -(-w // 128) * 128
+    if w_pad != w:
+        pos_h = jnp.pad(pos_h, ((0, 0), (0, w_pad - w), (0, 0)))
+    bu = bias_u.astype(qkv.dtype).reshape(h // hpb, 1, hpb * dh)
+    bv = bias_v.astype(qkv.dtype).reshape(h // hpb, 1, hpb * dh)
+
+    nlb = d // (hpb * dh)  # lane blocks per tensor within the packed axis
+    grid = (h // hpb, b)
+    lane = hpb * dh
+    out = pl.pallas_call(
+        functools.partial(_fused_kernel, t=t_pad, t_pad=t_pad, dh=dh,
+                          w=w_pad, hpb=hpb),
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, d), qkv.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, t_pad, lane), lambda hi, bi, lens: (bi, 0, hi)),
+                pl.BlockSpec((1, t_pad, lane),
+                             lambda hi, bi, lens: (bi, 0, hi + nlb)),
+                pl.BlockSpec((1, t_pad, lane),
+                             lambda hi, bi, lens: (bi, 0, hi + 2 * nlb)),
+                pl.BlockSpec((1, w_pad, lane), lambda hi, bi, lens: (hi, 0, 0)),
+                pl.BlockSpec((1, 1, lane), lambda hi, bi, lens: (hi, 0, 0)),
+                pl.BlockSpec((1, 1, lane), lambda hi, bi, lens: (hi, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, t_pad, lane),
+                                   lambda hi, bi, lens: (bi, 0, hi)),
+        ),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), qkv, qkv, qkv, pos_h, bu, bv)
+    return out
+
+
+def _fused_packed_xla_reference(qkv, pos, bias_u, bias_v, lengths):
+    d = qkv.shape[-1] // 3
+    return _fused_xla_reference(qkv[..., :d], qkv[..., d:2 * d],
+                                qkv[..., 2 * d:], pos, bias_u, bias_v,
+                                lengths)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def relpos_attention_fused_packed_diff(qkv, pos, bias_u, bias_v, lengths,
+                                       heads):
+    """Differentiable packed fused attention: Pallas forward, XLA-VJP
+    backward (same pattern as relpos_attention_fused_diff)."""
+    return relpos_attention_fused_packed(qkv, pos, bias_u, bias_v, lengths,
+                                         heads=heads)
+
+
+def _fused_packed_fwd(qkv, pos, bias_u, bias_v, lengths, heads):
+    return (
+        relpos_attention_fused_packed_diff(qkv, pos, bias_u, bias_v, lengths,
+                                           heads),
+        (qkv, pos, bias_u, bias_v, lengths),
+    )
+
+
+def _fused_packed_bwd(heads, res, g):
+    qkv, pos, bias_u, bias_v, lengths = res
+    _, vjp = jax.vjp(
+        lambda a, b_, c, d: _fused_packed_xla_reference(a, b_, c, d, lengths),
+        qkv, pos, bias_u, bias_v,
+    )
+    dqkv, dpos, dbu, dbv = vjp(g.astype(jnp.float32))
+    dlengths = np.zeros(lengths.shape, dtype=jax.dtypes.float0)
+    return (dqkv.astype(qkv.dtype), dpos.astype(pos.dtype),
+            dbu.astype(bias_u.dtype), dbv.astype(bias_v.dtype), dlengths)
+
+
+relpos_attention_fused_packed_diff.defvjp(_fused_packed_fwd,
+                                          _fused_packed_bwd)
 
 
 def _fused_xla_reference(q, k, v, pos, bias_u, bias_v, lengths):

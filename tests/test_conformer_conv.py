@@ -11,6 +11,7 @@ from reazonspeech_tpu.models.layers import (
     batch_norm_init,
     conv1d_init,
     depthwise_conv1d_init,
+    layer_norm_init,
 )
 from reazonspeech_tpu.ops.conformer_conv import fold_batch_norm, fused_conv_module
 
@@ -18,32 +19,47 @@ from reazonspeech_tpu.ops.conformer_conv import fold_batch_norm, fused_conv_modu
 def _params(key, d, k):
     k1, k2, k3 = jax.random.split(key, 3)
     p = {
+        "conv_ln": layer_norm_init(d),
         "conv_in": conv1d_init(k1, d, 2 * d, 1),
         "conv_dw": depthwise_conv1d_init(k2, d, k),
         "conv_out": conv1d_init(k3, d, d, 1),
         "conv_bn": batch_norm_init(d),
     }
-    # non-trivial batch-norm statistics
+    # non-trivial pre-module LayerNorm and batch-norm statistics
+    p["conv_ln"]["scale"] = jax.random.normal(k2, (d,)) * 0.1 + 1.0
+    p["conv_ln"]["bias"] = jax.random.normal(k3, (d,)) * 0.1
     p["conv_bn"]["mean"] = jax.random.normal(k1, (d,)) * 0.1
     p["conv_bn"]["var"] = jax.random.uniform(k2, (d,), minval=0.5, maxval=2.0)
     p["conv_bn"]["scale"] = jax.random.normal(k3, (d,)) * 0.2 + 1.0
     return p
 
 
-def _run_kernel(p, x, lengths):
+def _run_kernel(p, x, lengths, in_ln=False):
+    """x is the raw residual stream; in_ln=True exercises the in-kernel
+    LayerNorm, else the caller-side LN is applied first (original contract)."""
+    from reazonspeech_tpu.models.layers import layer_norm
+
     scale, bias = fold_batch_norm(p["conv_bn"])
+    ln_kw = (
+        dict(ln_scale=p["conv_ln"]["scale"], ln_bias=p["conv_ln"]["bias"],
+             compute_dtype=x.dtype)
+        if in_ln else {}
+    )
+    xin = x if in_ln else layer_norm(p["conv_ln"], x)
     return fused_conv_module(
-        x, lengths,
+        xin, lengths,
         p["conv_in"]["w"][0], p["conv_in"]["b"],
         p["conv_dw"]["w"], p["conv_dw"]["b"],
         scale, bias,
         p["conv_out"]["w"][0], p["conv_out"]["b"],
         interpret=True,
+        **ln_kw,
     )
 
 
 @pytest.mark.parametrize("t,k", [(64, 9), (48, 31)])
-def test_fused_conv_module_matches_xla(t, k):
+@pytest.mark.parametrize("in_ln", [False, True])
+def test_fused_conv_module_matches_xla(t, k, in_ln):
     d = 128
     cfg = FastConformerConfig.tiny(d_model=d, conv_kernel=k, compute_dtype="float32")
     p = _params(jax.random.PRNGKey(0), d, k)
@@ -51,8 +67,8 @@ def test_fused_conv_module_matches_xla(t, k):
     lengths = jnp.array([t, t - 7, 5], jnp.int32)
     mask = jnp.arange(t)[None, :] < lengths[:, None]
 
-    want = _conv_module(p, x, mask, cfg)
-    got = _run_kernel(p, x, lengths)
+    want = _conv_module(p, x, mask, cfg)  # XLA path incl. the pre-module LN
+    got = _run_kernel(p, x, lengths, in_ln=in_ln)
 
     m = np.asarray(mask)[..., None]
     diff = np.abs(np.asarray(got) - np.asarray(want)) * m
