@@ -85,10 +85,12 @@ def _interpret_all(monkeypatch):
         monkeypatch.setattr(mod, name, patched)
 
 
-def test_model_lnd_impl_pallas_wiring(monkeypatch):
+@pytest.mark.parametrize("style", ["nemo", "espnet"])
+def test_model_lnd_impl_pallas_wiring(monkeypatch, style):
     """fastconformer_encode with lnd_impl="pallas" (fused-LN FFN, packed qkv
     attention at the 128-aligned T, in-kernel conv LN) against the all-XLA
-    path, fp32 compute, interpret mode on CPU."""
+    path, fp32 compute, interpret mode on CPU. The espnet variant exercises
+    layer-norm conv, encoder final_norm, and conv2d subsampling."""
     from dataclasses import replace
 
     from reazonspeech_tpu.models.fastconformer import (
@@ -99,8 +101,11 @@ def test_model_lnd_impl_pallas_wiring(monkeypatch):
 
     _interpret_all(monkeypatch)
 
+    extra = {} if style == "nemo" else dict(
+        conv_norm="layer_norm", final_norm=True, subsampling_style="conv2d",
+        subsampling_factor=4)
     cfg = FastConformerConfig.tiny(
-        d_model=128, num_heads=4, compute_dtype="float32")
+        d_model=128, num_heads=4, compute_dtype="float32", **extra)
     params = init_fastconformer(jax.random.PRNGKey(0), cfg)
     # T_mel=200 -> T=25: NOT 128-aligned, so the packed path pads to 128
     feats = jax.random.normal(jax.random.PRNGKey(1), (2, 200, cfg.feat_in))
