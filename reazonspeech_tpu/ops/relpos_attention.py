@@ -290,37 +290,41 @@ def fused_supported(t, heads, dh):
 
 
 def _fused_kernel(lens_ref, q_ref, k_ref, v_ref, pos_ref, bu_ref, bv_ref,
-                  out_ref, *, t, t_pad, dh, w, hpb):
-    valid = lens_ref[pl.program_id(1)]
+                  out_ref, *, t, t_pad, dh, w, hpb, nb=1):
     col = jax.lax.broadcasted_iota(jnp.int32, (t_pad, t_pad), 1)
 
-    outs = []
-    for s in range(hpb):  # packed sub-heads (static loop; hpb = 128/dh)
-        sl = slice(s * dh, (s + 1) * dh)
-        q = q_ref[0][:, sl]  # [t_pad, dh]
-        k = k_ref[0][:, sl]
-        v = v_ref[0][:, sl]
-        pos = pos_ref[0][:, sl]  # [W, dh]
-        qu = q + bu_ref[0][:, sl]
-        qv = q + bv_ref[0][:, sl]
+    # nb batch items per grid step (static loop): serving tiles are small
+    # ([t_pad, 128] per tensor), so per-step pipeline overhead dominates a
+    # one-item grid — batching items amortizes it
+    for j in range(nb):
+        valid = lens_ref[pl.program_id(1) * nb + j]
+        outs = []
+        for s in range(hpb):  # packed sub-heads (static loop; hpb = 128/dh)
+            sl = slice(s * dh, (s + 1) * dh)
+            q = q_ref[j][:, sl]  # [t_pad, dh]
+            k = k_ref[j][:, sl]
+            v = v_ref[j][:, sl]
+            pos = pos_ref[0][:, sl]  # [W, dh]
+            qu = q + bu_ref[0][:, sl]
+            qv = q + bv_ref[0][:, sl]
 
-        ac = jnp.dot(qu, k.T, preferred_element_type=jnp.float32)
-        bd_all = jnp.dot(qv, pos.T, preferred_element_type=jnp.float32)
+            ac = jnp.dot(qu, k.T, preferred_element_type=jnp.float32)
+            bd_all = jnp.dot(qv, pos.T, preferred_element_type=jnp.float32)
 
-        # one strided rotate: left-roll row r by (t-1-r) (see _kernel note)
-        bd = pltpu.roll(bd_all, w - (t - 1), 1)
-        bd = pltpu.roll(bd, 0, 1, stride=1, stride_axis=0)[:, :t_pad]
+            # one strided rotate: left-roll row r by (t-1-r) (see _kernel note)
+            bd = pltpu.roll(bd_all, w - (t - 1), 1)
+            bd = pltpu.roll(bd, 0, 1, stride=1, stride_axis=0)[:, :t_pad]
 
-        scores = (ac + bd) * (1.0 / np.sqrt(dh))
-        scores = jnp.where(col < valid, scores, jnp.float32(-1e30))
+            scores = (ac + bd) * (1.0 / np.sqrt(dh))
+            scores = jnp.where(col < valid, scores, jnp.float32(-1e30))
 
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores - m)
-        probs = e / jnp.sum(e, axis=-1, keepdims=True)
-        outs.append(jnp.dot(probs.astype(v.dtype), v,
-                            preferred_element_type=jnp.float32))
-    out = outs[0] if hpb == 1 else jnp.concatenate(outs, axis=-1)
-    out_ref[0] = out.astype(out_ref.dtype)
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            e = jnp.exp(scores - m)
+            probs = e / jnp.sum(e, axis=-1, keepdims=True)
+            outs.append(jnp.dot(probs.astype(v.dtype), v,
+                                preferred_element_type=jnp.float32))
+        out = outs[0] if hpb == 1 else jnp.concatenate(outs, axis=-1)
+        out_ref[j] = out.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "interpret"))
@@ -359,23 +363,24 @@ def relpos_attention_fused(q, k, v, pos, bias_u, bias_v, lengths, heads,
     bu = bias_u.astype(q.dtype).reshape(h // hpb, 1, hpb * dh)
     bv = bias_v.astype(q.dtype).reshape(h // hpb, 1, hpb * dh)
 
-    grid = (h // hpb, b)  # head blocks outer: pos/bias cached across batch
+    nb = next(x for x in (8, 4, 2, 1) if b % x == 0)
+    grid = (h // hpb, b // nb)  # head blocks outer: pos/bias cached across batch
     out = pl.pallas_call(
         functools.partial(_fused_kernel, t=tt, t_pad=t_pad, dh=dh, w=w_pad,
-                          hpb=hpb),
+                          hpb=hpb, nb=nb),
         out_shape=jax.ShapeDtypeStruct((b, t_pad, d), q.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, t_pad, hpb * dh), lambda hi, bi, lens: (bi, 0, hi)),
-                pl.BlockSpec((1, t_pad, hpb * dh), lambda hi, bi, lens: (bi, 0, hi)),
-                pl.BlockSpec((1, t_pad, hpb * dh), lambda hi, bi, lens: (bi, 0, hi)),
+                pl.BlockSpec((nb, t_pad, hpb * dh), lambda hi, bi, lens: (bi, 0, hi)),
+                pl.BlockSpec((nb, t_pad, hpb * dh), lambda hi, bi, lens: (bi, 0, hi)),
+                pl.BlockSpec((nb, t_pad, hpb * dh), lambda hi, bi, lens: (bi, 0, hi)),
                 pl.BlockSpec((1, w_pad, hpb * dh), lambda hi, bi, lens: (hi, 0, 0)),
                 pl.BlockSpec((1, 1, hpb * dh), lambda hi, bi, lens: (hi, 0, 0)),
                 pl.BlockSpec((1, 1, hpb * dh), lambda hi, bi, lens: (hi, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, t_pad, hpb * dh),
+            out_specs=pl.BlockSpec((nb, t_pad, hpb * dh),
                                    lambda hi, bi, lens: (bi, 0, hi)),
         ),
         interpret=interpret,
@@ -409,26 +414,27 @@ def relpos_attention_fused_packed(qkv, pos, bias_u, bias_v, lengths, heads,
     bv = bias_v.astype(qkv.dtype).reshape(h // hpb, 1, hpb * dh)
 
     nlb = d // (hpb * dh)  # lane blocks per tensor within the packed axis
-    grid = (h // hpb, b)
+    nb = next(x for x in (8, 4, 2, 1) if b % x == 0)
+    grid = (h // hpb, b // nb)
     lane = hpb * dh
     out = pl.pallas_call(
         functools.partial(_fused_kernel, t=t_pad, t_pad=t_pad, dh=dh,
-                          w=w_pad, hpb=hpb),
+                          w=w_pad, hpb=hpb, nb=nb),
         out_shape=jax.ShapeDtypeStruct((b, t_pad, d), qkv.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, t_pad, lane), lambda hi, bi, lens: (bi, 0, hi)),
-                pl.BlockSpec((1, t_pad, lane),
+                pl.BlockSpec((nb, t_pad, lane), lambda hi, bi, lens: (bi, 0, hi)),
+                pl.BlockSpec((nb, t_pad, lane),
                              lambda hi, bi, lens: (bi, 0, hi + nlb)),
-                pl.BlockSpec((1, t_pad, lane),
+                pl.BlockSpec((nb, t_pad, lane),
                              lambda hi, bi, lens: (bi, 0, hi + 2 * nlb)),
                 pl.BlockSpec((1, w_pad, lane), lambda hi, bi, lens: (hi, 0, 0)),
                 pl.BlockSpec((1, 1, lane), lambda hi, bi, lens: (hi, 0, 0)),
                 pl.BlockSpec((1, 1, lane), lambda hi, bi, lens: (hi, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, t_pad, lane),
+            out_specs=pl.BlockSpec((nb, t_pad, lane),
                                    lambda hi, bi, lens: (bi, 0, hi)),
         ),
         interpret=interpret,
