@@ -244,7 +244,7 @@ def _packed_attn_ok(cfg: FastConformerConfig, t):
         cfg.attn_impl == "pallas"
         and cfg.lnd_impl == "pallas"
         and fused_supported(t, cfg.num_heads, cfg.head_dim)
-        and ln_dense_supported(d, 3 * d)
+        and ln_dense_supported(d, 3 * d, jnp.dtype(cfg.dtype).itemsize)
     )
 
 
@@ -271,11 +271,11 @@ def _mhsa_relpos(p, x_raw, pos_emb, mask, cfg: FastConformerConfig):
         # the table length encodes the T the attention internals run at
         t_pad = (pos_emb.shape[0] + 1) // 2
         if t_pad >= t:
-            w_qkv = jnp.concatenate(
-                [p["attn_q"]["w"], p["attn_k"]["w"], p["attn_v"]["w"]],
-                axis=1).astype(dt)
-            c_qkv = jnp.concatenate(
-                [p["attn_q"]["b"], p["attn_k"]["b"], p["attn_v"]["b"]])
+            # three weight segments share one LN pass and pack along the
+            # output lane axis in-kernel — no concatenated weight copy
+            w_qkv = tuple(p[k]["w"].astype(dt)
+                          for k in ("attn_q", "attn_k", "attn_v"))
+            c_qkv = tuple(p[k]["b"] for k in ("attn_q", "attn_k", "attn_v"))
             qkv = ln_dense_diff(x_raw, p["attn_ln"]["scale"],
                                 p["attn_ln"]["bias"], w_qkv, c_qkv, None,
                                 t_pad if t_pad != t else None)
@@ -423,7 +423,7 @@ def _ffn(p, name, x, cfg: FastConformerConfig):
         from ..ops.ln_dense import ln_dense_diff, ln_dense_supported
 
         dff = cfg.d_model * cfg.ff_expansion
-        if ln_dense_supported(cfg.d_model, dff):
+        if ln_dense_supported(cfg.d_model, dff, jnp.dtype(dt).itemsize):
             y = ln_dense_diff(x, p[f"{name}_ln"]["scale"],
                               p[f"{name}_ln"]["bias"],
                               p[f"{name}_in"]["w"].astype(dt),

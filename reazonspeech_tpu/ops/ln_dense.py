@@ -39,23 +39,34 @@ def ln_dense_supported(d, n, dtype_bytes=2):
     return d % 128 == 0 and n % 128 == 0 and d * n * dtype_bytes <= _VMEM_W_BYTES
 
 
-def _kernel(x_ref, g_ref, b_ref, w_ref, c_ref, out_ref, *, t, bt, eps, act):
+def _kernel(x_ref, g_ref, b_ref, *rest, t, bt, eps, act, nseg):
+    # rest = w_0..w_{nseg-1}, c_0..c_{nseg-1}, out_ref. Multiple weight
+    # segments (the packed qkv projection) share one LN pass and write to
+    # lane slices of the same output — no concatenated weight copy in HBM.
+    w_refs = rest[:nseg]
+    c_refs = rest[nseg:2 * nseg]
+    out_ref = rest[2 * nseg]
     x = x_ref[0].astype(jnp.float32)  # [BT, D]
     mean = jnp.mean(x, axis=-1, keepdims=True)
     cent = x - mean
     var = jnp.mean(jnp.square(cent), axis=-1, keepdims=True)
     xn = cent * jax.lax.rsqrt(var + eps)
     xn = xn * g_ref[0] + b_ref[0]
-    y = jnp.dot(xn.astype(w_ref.dtype), w_ref[:],
-                preferred_element_type=jnp.float32)
-    y = y + c_ref[0]
-    if act == "swish":
-        y = y * jax.nn.sigmoid(y)
+    xnc = xn.astype(w_refs[0].dtype)
     # zero rows past the true sequence end (t_out padding; also covers the
     # partial tail block whose x rows were out-of-bounds garbage)
-    row = jax.lax.broadcasted_iota(jnp.int32, y.shape, 0) + pl.program_id(1) * bt
-    y = jnp.where(row < t, y, 0.0)
-    out_ref[0] = y.astype(out_ref.dtype)
+    row = jax.lax.broadcasted_iota(jnp.int32, (xn.shape[0], 1), 0) \
+        + pl.program_id(1) * bt
+    off = 0
+    for w_ref, c_ref in zip(w_refs, c_refs):
+        y = jnp.dot(xnc, w_ref[:], preferred_element_type=jnp.float32)
+        y = y + c_ref[0]
+        if act == "swish":
+            y = y * jax.nn.sigmoid(y)
+        y = jnp.where(row < t, y, 0.0)
+        ni = y.shape[1]
+        out_ref[0, :, off:off + ni] = y.astype(out_ref.dtype)
+        off += ni
 
 
 @functools.partial(jax.jit, static_argnames=("activation", "t_out", "eps",
@@ -67,16 +78,22 @@ def ln_dense(x, ln_scale, ln_bias, w, c=None, *, activation=None, t_out=None,
     Args:
       x: [B, T, D] residual stream (any float dtype; stats in fp32)
       ln_scale, ln_bias: [D] LayerNorm affine params
-      w: [D, N] projection weights — cast to the compute dtype by the caller
-      c: [N] projection bias or None
+      w: [D, N] projection weights (cast to the compute dtype by the
+        caller) — or a tuple of [D, Ni] segments that share the LN pass and
+        pack along the output's lane axis (the qkv projection; no
+        concatenated weight copy ever exists in HBM)
+      c: [N] projection bias, a matching tuple, or None
       activation: None | "swish" (fused epilogue)
       t_out: output time size ≥ T; rows T..t_out are zeros (128-aligned
         output for the fused attention kernel, replacing explicit pads)
 
-    Returns: [B, t_out or T, N] in w.dtype.
+    Returns: [B, t_out or T, sum(Ni)] in w.dtype.
     """
+    ws = w if isinstance(w, (tuple, list)) else (w,)
+    cs = c if isinstance(c, (tuple, list)) else (c,) * len(ws)
     b, t, d = x.shape
-    n = w.shape[1]
+    ns = [wi.shape[1] for wi in ws]
+    n = sum(ns)
     to = t if t_out is None else t_out
     # t_out must be the 128-aligned pad of t so the (possibly partial) tail
     # block always overlaps x's valid rows — a fully out-of-bounds input
@@ -85,46 +102,52 @@ def ln_dense(x, ln_scale, ln_bias, w, c=None, *, activation=None, t_out=None,
     if block_t is None:
         block_t = 256 if to % 256 == 0 else 128
     bt = min(block_t, to)
-    if c is None:
-        c = jnp.zeros((n,), jnp.float32)
+    cs = tuple(jnp.zeros((ni,), jnp.float32) if ci is None else ci
+               for ni, ci in zip(ns, cs))
 
     grid = (b, -(-to // bt))  # partial tail block: masked by the row guard
     out = pl.pallas_call(
-        functools.partial(_kernel, t=t, bt=bt, eps=eps, act=activation),
-        out_shape=jax.ShapeDtypeStruct((b, to, n), w.dtype),
+        functools.partial(_kernel, t=t, bt=bt, eps=eps, act=activation,
+                          nseg=len(ws)),
+        out_shape=jax.ShapeDtypeStruct((b, to, n), ws[0].dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bt, d), lambda bi, ti: (bi, ti, 0)),
             pl.BlockSpec((1, d), lambda bi, ti: (0, 0)),
             pl.BlockSpec((1, d), lambda bi, ti: (0, 0)),
-            pl.BlockSpec((d, n), lambda bi, ti: (0, 0)),
-            pl.BlockSpec((1, n), lambda bi, ti: (0, 0)),
-        ],
+        ] + [pl.BlockSpec((d, ni), lambda bi, ti: (0, 0)) for ni in ns]
+          + [pl.BlockSpec((1, ni), lambda bi, ti: (0, 0)) for ni in ns],
         out_specs=pl.BlockSpec((1, bt, n), lambda bi, ti: (bi, ti, 0)),
         interpret=interpret,
     )(
         x,
         ln_scale.astype(jnp.float32).reshape(1, d),
         ln_bias.astype(jnp.float32).reshape(1, d),
-        w,
-        c.astype(jnp.float32).reshape(1, n),
+        *ws,
+        *(ci.astype(jnp.float32).reshape(1, -1) for ci in cs),
     )
     return out
 
 
 def _xla_reference(x, ln_scale, ln_bias, w, c, activation, t_out):
     """The formulation the kernel replaces (and its backward for the VJP)."""
+    ws = w if isinstance(w, (tuple, list)) else (w,)
+    cs = c if isinstance(c, (tuple, list)) else (c,) * len(ws)
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
     xn = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
     xn = xn * ln_scale + ln_bias
-    y = jnp.dot(xn.astype(w.dtype), w, preferred_element_type=jnp.float32)
-    if c is not None:
-        y = y + c
-    if activation == "swish":
-        y = y * jax.nn.sigmoid(y)
-    y = y.astype(w.dtype)
+    outs = []
+    for wi, ci in zip(ws, cs):
+        y = jnp.dot(xn.astype(wi.dtype), wi, preferred_element_type=jnp.float32)
+        if ci is not None:
+            y = y + ci
+        if activation == "swish":
+            y = y * jax.nn.sigmoid(y)
+        outs.append(y)
+    y = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+    y = y.astype(ws[0].dtype)
     if t_out is not None and t_out != x.shape[1]:
         y = jnp.pad(y, ((0, 0), (0, t_out - x.shape[1]), (0, 0)))
     return y

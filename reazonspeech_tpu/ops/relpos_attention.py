@@ -203,7 +203,12 @@ def relpos_attention_blockwise(qu, qv, k, v, pos, lengths, block=256,
     kernel's VMEM budget (long-form unchunked audio).
     """
     b, h, t, dh = qu.shape
+    # the in-kernel strided rotate runs on a [blk, 2*blk] tile, which needs a
+    # 128-aligned lane width -> blk must be a multiple of 64 (interpret mode
+    # keeps tiny test blocks as-is)
     blk = min(block, t)
+    if not interpret:
+        blk = -(-blk // 64) * 64
     t_pad = -(-t // blk) * blk
     padq = ((0, 0), (0, 0), (0, t_pad - t), (0, 0))
     if t_pad != t:

@@ -176,7 +176,11 @@ def shared_rel_attention_blockwise(q, k, qp, pos, v, lengths, heads=1,
     g, t, qd = q.shape
     dv = v.shape[-1]
     pd = pos.shape[2]
+    # strided rotate on the [blk, 2*blk] tile needs 128-aligned lanes ->
+    # blk multiple of 64 on hardware (interpret keeps tiny test blocks)
     blk = min(block, t)
+    if not interpret:
+        blk = -(-blk // 64) * 64
     t_pad = -(-t // blk) * blk
     pad3 = ((0, 0), (0, t_pad - t), (0, 0))
     if t_pad != t:

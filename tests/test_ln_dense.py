@@ -67,22 +67,11 @@ def test_supported_gate():
 
 
 def _interpret_all(monkeypatch):
-    """Route every kernel the lnd path uses through interpret mode."""
-    import reazonspeech_tpu.ops.ln_dense as lnd
-    import reazonspeech_tpu.ops.relpos_attention as ra
-    import reazonspeech_tpu.ops.conformer_conv as cc
+    """Route every serving kernel through interpret mode (shared registry in
+    reazonspeech_tpu/ops/testing.py)."""
+    from reazonspeech_tpu.ops.testing import patch_interpret
 
-    for mod, name in [(lnd, "ln_dense"),
-                      (ra, "relpos_attention_fused_packed"),
-                      (ra, "relpos_attention_fused"),
-                      (cc, "fused_conv_module")]:
-        orig = getattr(mod, name)
-
-        def patched(*args, _orig=orig, **kwargs):
-            kwargs.setdefault("interpret", True)
-            return _orig(*args, **kwargs)
-
-        monkeypatch.setattr(mod, name, patched)
+    patch_interpret(monkeypatch)
 
 
 @pytest.mark.parametrize("style", ["nemo", "espnet"])

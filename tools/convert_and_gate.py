@@ -61,37 +61,13 @@ BF16_FLIP_MAX = 0.02
 MAX_SYMBOLS = 1
 
 
-import contextlib
-
-
-@contextlib.contextmanager
 def _interpret_kernels_on_cpu():
     """Route the serving Pallas kernels through interpret mode when the gate
-    runs off-TPU (fixtures under pytest); on a real chip they run natively."""
-    import jax
+    runs off-TPU (fixtures under pytest); on a real chip they run natively.
+    Shared kernel registry: reazonspeech_tpu/ops/testing.py."""
+    from reazonspeech_tpu.ops.testing import interpret_serving_kernels
 
-    if jax.default_backend() != "cpu":
-        yield
-        return
-    import reazonspeech_tpu.ops.conformer_conv as cc
-    import reazonspeech_tpu.ops.ln_dense as lnd
-    import reazonspeech_tpu.ops.relpos_attention as ra
-
-    targets = [(lnd, "ln_dense"), (ra, "relpos_attention_fused_packed"),
-               (ra, "relpos_attention_fused"), (ra, "relpos_attention"),
-               (ra, "relpos_attention_blockwise"), (cc, "fused_conv_module")]
-    saved = [(m, n, getattr(m, n)) for m, n in targets]
-    try:
-        for m, n, f in saved:
-            def patched(*a, _f=f, **kw):
-                kw.setdefault("interpret", True)
-                return _f(*a, **kw)
-
-            setattr(m, n, patched)
-        yield
-    finally:
-        for m, n, f in saved:
-            setattr(m, n, f)
+    return interpret_serving_kernels(only_off_tpu=True)
 
 
 def _mel_clips(n_clips, t, feat, seed=0):

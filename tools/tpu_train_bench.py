@@ -67,10 +67,12 @@ def main():
     print(f"compile+step0: {time.perf_counter()-t0:.1f}s loss={float(loss):.3f}",
           flush=True)
 
+    # steps chain on device state; materialize ONLY the last loss so the
+    # tunnel's fixed dispatch round-trip is paid once, not per step
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = step_fn(state, batch_data)
-        loss = np.asarray(metrics["loss"])
+    loss = np.asarray(metrics["loss"])
     dt = (time.perf_counter() - t0) / iters
     audio_per_s = batch * seconds / dt
     print(f"step: {dt*1e3:.0f} ms  ({1/dt:.2f} steps/s, "
