@@ -45,6 +45,7 @@ class MicroBatcher:
         self._queue = queue.Queue()
         self._running = True
         self.batch_sizes = []  # observability: size of every executed batch
+        self.batch_shapes = []  # (b_pad, samples) actually dispatched
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -102,11 +103,17 @@ class MicroBatcher:
                     -(-n_max // self.bucket_samples) * self.bucket_samples,
                 )
                 b = len(items)
-                buf = np.zeros((b, padded), np.float32)
-                lens = np.zeros((b,), np.int32)
+                # bucket the BATCH dimension too (next power of two): a
+                # variable b would compile one program per distinct size
+                # under organic load; zero-length pad rows emit count 0
+                # (padding-invariant caps, tests/test_serving.py)
+                b_pad = 1 << (b - 1).bit_length()
+                buf = np.zeros((b_pad, padded), np.float32)
+                lens = np.zeros((b_pad,), np.int32)
                 for i, (w, _) in enumerate(items):
                     buf[i, : len(w)] = w
                     lens[i] = len(w)
+                self.batch_shapes.append((b_pad, padded))
                 out = self.model.decode_batch(buf, lens)
                 tokens, frames, counts = out[0], out[1], out[2]
                 self.batch_sizes.append(b)

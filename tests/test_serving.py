@@ -125,3 +125,23 @@ def test_microbatcher_all_flavors():
             assert tokens == want_tokens
         finally:
             batcher.close()
+
+
+def test_microbatcher_batch_dim_bucketing(tiny_model):
+    """Dispatched batch shapes are power-of-two bucketed so the compiled
+    program set stays bounded under organic (variable-concurrency) load."""
+    from reazonspeech_tpu.serving.batcher import MicroBatcher
+
+    mb = MicroBatcher(tiny_model, max_batch=8, max_wait_ms=40.0)
+    try:
+        rng = np.random.default_rng(5)
+        futs = [mb.submit(rng.standard_normal(16000).astype(np.float32) * 0.1)
+                for _ in range(3)]
+        for f in futs:
+            f.result(timeout=120)
+        mb.transcribe(rng.standard_normal(16000).astype(np.float32) * 0.1)
+    finally:
+        mb.close()
+    assert mb.batch_shapes, "no batches dispatched"
+    for b_pad, _ in mb.batch_shapes:
+        assert b_pad & (b_pad - 1) == 0, mb.batch_shapes
