@@ -513,16 +513,33 @@ class AVHubertModel:
     def __call__(self, audio=None, video=None, lengths=None):
         audio = jnp.asarray(audio) if audio is not None else None
         video = jnp.asarray(video) if video is not None else None
-        hidden, mask = encode(self.params, self.config, audio, video, lengths)
-        return hidden, mask
+        cache = self.__dict__.setdefault("_jit_cache", {})
+        fn = cache.get("encode")
+        if fn is None:
+            fn = jax.jit(partial(encode, cfg=self.config))
+            cache["encode"] = fn
+        return fn(self.params, audio=audio, video=video, lengths=lengths)
 
 
 @dataclass
 class AVHubertForConditionalGeneration:
-    """Seq2seq model with generate()."""
+    """Seq2seq model with generate().
+
+    The compute methods route through per-instance cached ``jax.jit``
+    wrappers: the encode + fixed-shape generate loop compile to ONE device
+    program (eager execution would pay a host->device dispatch per
+    primitive — catastrophic behind a tunneled TPU)."""
 
     config: AVHubertConfig
     params: dict
+
+    def _jitted(self, key, build):
+        cache = self.__dict__.setdefault("_jit_cache", {})
+        fn = cache.get(key)
+        if fn is None:
+            fn = jax.jit(build())
+            cache[key] = fn
+        return fn
 
     @classmethod
     def init(cls, key, config: AVHubertConfig):
@@ -539,13 +556,18 @@ class AVHubertForConditionalGeneration:
         return _load_pretrained(cls, path, config)
 
     def encoder(self, audio=None, video=None, lengths=None):
-        return encode(self.params, self.config, audio, video, lengths)
+        fn = self._jitted("encode", lambda: partial(encode, cfg=self.config))
+        return fn(self.params, audio=audio, video=video, lengths=lengths)
 
     def forward_logits(self, decoder_input_ids, audio=None, video=None, lengths=None):
-        enc, mask = self.encoder(audio, video, lengths)
-        return decode_logits(
-            self.params, self.config, jnp.asarray(decoder_input_ids), enc, mask
-        )
+        def build():
+            def f(params, ids, audio, video, lengths):
+                enc, mask = encode(params, self.config, audio, video, lengths)
+                return decode_logits(params, self.config, ids, enc, mask)
+            return f
+        fn = self._jitted("forward_logits", build)
+        return fn(self.params, jnp.asarray(decoder_input_ids), audio, video,
+                  lengths)
 
     def loss(self, decoder_input_ids, labels, audio=None, video=None, lengths=None):
         """Label-smoothed cross-entropy (reference modeling_avhubert.py:314-316),
@@ -581,9 +603,14 @@ class AVHubertForConditionalGeneration:
 
     def generate(self, audio=None, video=None, lengths=None, num_beams=5,
                  max_length=128):
-        enc, mask = self.encoder(audio, video, lengths)
-        if num_beams <= 1:
-            return greedy_generate(self.params, self.config, enc, mask, max_length)
-        return beam_generate(
-            self.params, self.config, enc, mask, num_beams, max_length
-        )
+        def build():
+            def f(params, audio, video, lengths):
+                enc, mask = encode(params, self.config, audio, video, lengths)
+                if num_beams <= 1:
+                    return greedy_generate(params, self.config, enc, mask,
+                                           max_length)
+                return beam_generate(params, self.config, enc, mask,
+                                     num_beams, max_length)
+            return f
+        fn = self._jitted(("generate", num_beams, max_length), build)
+        return fn(self.params, audio, video, lengths)

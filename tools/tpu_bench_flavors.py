@@ -86,10 +86,47 @@ def bench_espnet(batch=32, seconds=20.0, iters=4):
     return _measure("espnet conformer-CTC+T", run, wavs, batch, seconds, iters)
 
 
+def bench_avsr(batch=8, seconds=4.0, num_beams=5):
+    """AVSR seq2seq: audio+video encode + beam generate (base 12-layer/768
+    config, 25 fps, 88x88 mouth ROIs) at production feature shapes."""
+    from reazonspeech_tpu.avsr.configuration_avhubert import AVHubertConfig
+    from reazonspeech_tpu.avsr.model import AVHubertForConditionalGeneration
+
+    cfg = AVHubertConfig(vocab_size=1000)
+    model = AVHubertForConditionalGeneration.init(jax.random.PRNGKey(0), cfg)
+    t = int(seconds * cfg.sample_rate)  # 25 fps frames
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(
+        rng.standard_normal((batch, t, cfg.audio_feat_dim), dtype=np.float32))
+    video = jnp.asarray(
+        rng.standard_normal((batch, t, 88, 88), dtype=np.float32))
+
+    def run(a):
+        toks = model.generate(audio=a, video=video, num_beams=num_beams,
+                              max_length=64)
+        return np.asarray(toks)
+
+    t0 = time.perf_counter()
+    run(audio)
+    compile_s = time.perf_counter() - t0
+    iters = 4
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        run(audio)
+    dt = (time.perf_counter() - t0) / iters
+    rtfx = batch * seconds / dt
+    print(f"avsr AV-HuBERT base (beam={num_beams}): {dt*1e3:.0f} ms for "
+          f"B={batch}x{seconds:.0f}s AV -> RTFx {rtfx:.0f} "
+          f"(compile {compile_s:.1f}s)", flush=True)
+    return rtfx
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     print(f"device: {jax.devices()[0].device_kind}", flush=True)
+    if which == "avsr":
+        bench_avsr(batch if len(sys.argv) > 2 else 8)
     if which in ("k2", "all"):
         bench_k2(batch, attn_impl="xla")
         bench_k2(batch, attn_impl="pallas")
