@@ -43,7 +43,7 @@ def main():
     from reazonspeech_tpu.models.rnnt import RNNTConfig
     from reazonspeech_tpu.nemo.asr.model import asr_forward, init_params
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 144
     chunk_seconds = 30.0
     iters = 4
 
