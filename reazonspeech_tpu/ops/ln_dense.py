@@ -100,7 +100,10 @@ def ln_dense(x, ln_scale, ln_bias, w, c=None, *, activation=None, t_out=None,
     # block would be undefined
     assert to >= t and (t_out is None or (to % 128 == 0 and to - t < 128))
     if block_t is None:
-        block_t = 256 if to % 256 == 0 else 128
+        # largest divisor block: fewer, fatter grid steps (bt=192 at the
+        # serving t_out=384 measures ~2x faster than 128 for the
+        # multi-segment qkv call)
+        block_t = next((bt for bt in (256, 192, 128) if to % bt == 0), 128)
     bt = min(block_t, to)
     cs = tuple(jnp.zeros((ni,), jnp.float32) if ci is None else ci
                for ni, ci in zip(ns, cs))
