@@ -5,8 +5,14 @@ same constructor/evaluate() signatures, polymorphic dataset loading, map()-
 based process parallelism with spawn for multi-accelerator runs, CER
 aggregation printed as ``CER: x.xx%``, and optional JSONL dump. The GPU
 pinning story becomes device pinning over jax.devices() in subclasses.
+
+The implementation is restructured around small helpers: loading is a chain
+of ``_coerce_*`` converters, prediction/scoring are separate passes, and the
+spawn/forkserver start-method flip around multi-accelerator maps lives in a
+context manager.
 """
 
+import contextlib
 import os
 from abc import ABC, abstractmethod
 from pathlib import Path
@@ -27,6 +33,43 @@ class EvaluationResultBatch(TypedDict):
     """Result of evaluating a batch of examples."""
 
     predictions: list[str]
+
+
+@contextlib.contextmanager
+def _spawned_workers(enabled: bool):
+    """Force 'spawn' workers for the enclosed dataset.map (accelerator
+    handles don't survive fork), restoring 'forkserver' afterwards — the
+    reference's start-method dance around its multi-GPU map."""
+    if not enabled:
+        yield
+        return
+    from multiprocess import set_start_method
+
+    set_start_method("spawn", force=True)
+    try:
+        yield
+    finally:
+        set_start_method("forkserver", force=True)
+
+
+def _dataset_from_path(path, num_proc):
+    """A file loads via its extension's HF builder (jsonl -> json); a
+    directory loads as a dataset script/tree, train split."""
+    from datasets import load_dataset
+
+    path = Path(path)
+    if path.is_file():
+        builder = path.suffix.removeprefix(".")
+        if builder == "jsonl":
+            builder = "json"
+        files = {"train": path.as_posix()}
+        return load_dataset(builder, data_files=files, num_proc=num_proc)["train"]
+    if path.is_dir():
+        return load_dataset(
+            path.as_posix(), split="train", trust_remote_code=True,
+            num_proc=num_proc,
+        )
+    raise ValueError(f"Invalid dataset path: {path}")
 
 
 class BaseEvaluator(ABC):
@@ -55,44 +98,74 @@ class BaseEvaluator(ABC):
         self.num_proc = num_proc
         self.num_gpus = num_gpus
         self.text_column = text_column
-        self.dataset = self._load_dataset(dataset) if dataset is not None else None
+        self.dataset = None if dataset is None else self._load_dataset(dataset)
+
+    # -- dataset coercion ---------------------------------------------------
 
     def _load_dataset(self, dataset):
-        """Load a dataset from a Dataset, dict, generator callable, or path
-        (file .jsonl/.json/... or directory)."""
-        from datasets import Dataset, load_dataset
+        """Coerce a Dataset / dict / generator callable / path into a
+        Dataset (same polymorphism as the reference loader)."""
+        from datasets import Dataset
 
-        if isinstance(dataset, Dataset):
-            return dataset
-        elif isinstance(dataset, dict):
-            return Dataset.from_dict(dataset)
-        elif isinstance(dataset, Callable):
-            return Dataset.from_generator(dataset)
-        elif isinstance(dataset, (os.PathLike, str)):
-            if not isinstance(dataset, Path):
-                dataset = Path(dataset)
-            if dataset.is_file():
-                ext = dataset.suffix
-                if ext == ".jsonl":
-                    ext = ".json"
-                ext = ext.removeprefix(".")
-                return load_dataset(
-                    ext, data_files={"train": dataset.as_posix()}, num_proc=self.num_proc
-                )["train"]
-            elif dataset.is_dir():
-                return load_dataset(
-                    dataset.as_posix(),
-                    split="train",
-                    trust_remote_code=True,
-                    num_proc=self.num_proc,
-                )
-            else:
-                raise ValueError(f"Invalid dataset path: {dataset}")
-        else:
-            raise ValueError(f"Invalid dataset type: {type(dataset)}")
+        converters = (
+            (Dataset, lambda d: d),
+            (dict, Dataset.from_dict),
+            (Callable, Dataset.from_generator),
+            (
+                (os.PathLike, str),
+                lambda d: _dataset_from_path(d, self.num_proc),
+            ),
+        )
+        for kinds, convert in converters:
+            if isinstance(dataset, kinds):
+                return convert(dataset)
+        raise ValueError(f"Invalid dataset type: {type(dataset)}")
+
+    # -- scoring ------------------------------------------------------------
 
     def _calculate_cer(self, example: dict[str, Any], text_column: str) -> CERResult:
         return calculate_cer(example[text_column], example["prediction"])
+
+    def _score(self, dataset, text_column, num_proc):
+        """Attach distance/length columns; return (dataset, cer_fraction)."""
+        scored = dataset.map(
+            self._calculate_cer,
+            num_proc=num_proc,
+            fn_kwargs={"text_column": text_column},
+        )
+        cer = sum(scored["distance"]) / sum(scored["length"])
+        return scored, cer
+
+    # -- prediction ---------------------------------------------------------
+
+    def _predict(self, dataset, batch_size, num_proc, num_gpus, with_rank):
+        """Map the subclass model hook over the dataset, producing the
+        'prediction' column. ``batch_size=None`` runs row-wise."""
+        hook_kwargs = {"num_gpus": num_gpus, "num_proc": num_proc}
+        if batch_size is None:
+            return dataset.map(
+                self._evaluate,
+                with_rank=with_rank,
+                num_proc=num_proc,
+                fn_kwargs=hook_kwargs,
+            )
+
+        # note: the reference forgets batched=True on this branch (its batch
+        # path feeds single rows to _evaluate_batch); fixed here, with the
+        # 'predictions' list mapped onto the per-row 'prediction' column.
+        def rows_from_batch(batch, *args, **kwargs):
+            return {"prediction": self._evaluate_batch(batch, *args, **kwargs)["predictions"]}
+
+        return dataset.map(
+            rows_from_batch,
+            batched=True,
+            batch_size=batch_size,
+            with_rank=with_rank,
+            num_proc=num_proc,
+            fn_kwargs=hook_kwargs,
+        )
+
+    # -- public API ---------------------------------------------------------
 
     def evaluate(
         self,
@@ -108,76 +181,38 @@ class BaseEvaluator(ABC):
 
         Returns the evaluated Dataset.
         """
-        dataset = self._load_dataset(dataset) if dataset is not None else self.dataset
+        if dataset is None:
+            dataset = self.dataset
+        else:
+            dataset = self._load_dataset(dataset)
+        if dataset is None:
+            raise ValueError("No dataset provided and self.dataset is None.")
+
         batch_size = batch_size or self.batch_size
         num_proc = num_proc or self.num_proc
         num_gpus = num_gpus or self.num_gpus
         text_column = text_column or self.text_column
         output_file = output_file or self.output_file
 
-        if dataset is None:
-            raise ValueError("No dataset provided and self.dataset is None.")
-
-        use_gpus = num_gpus is not None and num_proc is not None and num_gpus > 1
-        if use_gpus:
-            from multiprocess import set_start_method
-
-            set_start_method("spawn", force=True)
-
-        if batch_size is None:
-            evaluated = dataset.map(
-                self._evaluate,
-                with_rank=use_gpus,
-                num_proc=num_proc,
-                fn_kwargs={"num_gpus": num_gpus, "num_proc": num_proc},
-            )
-        else:
-            # note: the reference forgets batched=True here (its batch path
-            # feeds single rows to _evaluate_batch); fixed, with the
-            # 'predictions' list mapped onto the per-row 'prediction' column.
-            def batch_fn(batch, *args, **kwargs):
-                out = self._evaluate_batch(batch, *args, **kwargs)
-                return {"prediction": out["predictions"]}
-
-            evaluated = dataset.map(
-                batch_fn,
-                batched=True,
-                batch_size=batch_size,
-                with_rank=use_gpus,
-                num_proc=num_proc,
-                fn_kwargs={"num_gpus": num_gpus, "num_proc": num_proc},
+        multi_accel = bool(num_gpus and num_proc and num_gpus > 1)
+        with _spawned_workers(multi_accel):
+            predicted = self._predict(
+                dataset, batch_size, num_proc, num_gpus, with_rank=multi_accel
             )
 
-        if use_gpus:
-            from multiprocess import set_start_method
-
-            set_start_method("forkserver", force=True)
-
-        evaluated = evaluated.map(
-            self._calculate_cer,
-            num_proc=num_proc,
-            fn_kwargs={"text_column": text_column},
-        )
-
-        dist = sum(evaluated["distance"])
-        length = sum(evaluated["length"])
-        print(f"CER: {dist / length * 100:.2f}%")
+        evaluated, cer = self._score(predicted, text_column, num_proc)
+        print(f"CER: {cer * 100:.2f}%")
 
         if output_file is not None:
             evaluated.to_json(output_file, num_proc=num_proc, force_ascii=False)
-
         return evaluated
 
     def calculate_cer(self, dataset, text_column=None, num_proc=None) -> float:
         """Aggregate CER over a dataset that already has predictions."""
-        text_column = text_column or self.text_column
-        num_proc = num_proc or self.num_proc
-        evaluated = dataset.map(
-            self._calculate_cer, num_proc=num_proc, fn_kwargs={"text_column": text_column}
+        _, cer = self._score(
+            dataset, text_column or self.text_column, num_proc or self.num_proc
         )
-        dist = sum(evaluated["distance"])
-        length = sum(evaluated["length"])
-        return dist / length
+        return cer
 
     @abstractmethod
     def _evaluate(self, example: dict[str, Any], *args, **kwargs) -> EvaluationResult:

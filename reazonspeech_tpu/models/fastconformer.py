@@ -364,10 +364,19 @@ def _conv_module(p, x_raw, mask, cfg: FastConformerConfig):
     lnd_impl="pallas" path)."""
     dt = cfg.dtype
     b, t, d = x_raw.shape
-    # the fused kernel holds the whole [T, 2D] GLU input in VMEM per grid
-    # step; beyond ~0.5M elements that overflows, so long-form utterances
-    # take the XLA path (same pattern as the attention kernel)
-    if cfg.conv_impl == "pallas" and t * d <= 512 * 1024:
+    # the fused kernel holds the whole input tile + [T, 2D] GLU buffer in
+    # VMEM per grid step; the budget is in BYTES because the lnd_impl=pallas
+    # path feeds the fp32 residual (4 B/elem) where the plain path feeds the
+    # compute dtype (2 B at bf16) — beyond ~2 MB of input tile the kernel
+    # overflows, so long-form utterances take the XLA path (same pattern as
+    # the attention kernel). The gate is byte-based: per element the kernel
+    # holds the input tile (x dtype — fp32 on the lnd_impl=pallas path, the
+    # compute dtype otherwise), the [T, 2D] fp32 GLU buffer (8 B) and the
+    # output tile (2 B); the budget equals the previously hardware-validated
+    # 512K-element bf16 ceiling, so fp32 inputs get a proportionally lower
+    # element cap (~448K; the B=128 serving shape at 393K stays fused).
+    x_bytes = 4 if cfg.lnd_impl == "pallas" else jnp.dtype(dt).itemsize
+    if cfg.conv_impl == "pallas" and t * d * (x_bytes + 10) <= 512 * 1024 * 12:
         from ..ops.conformer_conv import fold_batch_norm, fused_conv_module
 
         lengths = jnp.sum(mask.astype(jnp.int32), axis=-1)

@@ -3,9 +3,15 @@
 Japanese 1seg broadcast captions are EUC-JP with broadcaster gaiji
 (out-of-code-table glyphs). Behavior parity with the reference decoder
 (pkg/espnet-oneseg/src/encoding.py:26-53): two-byte EUC-JP sequences decode
-normally, failures fall back to the gaiji table (ARIB standard symbol
-mappings, shipped as data/gaiji.tsv), single-byte control/whitespace bytes
-are dropped.
+normally, failures fall back to the gaiji table, single-byte
+control/whitespace bytes are dropped.
+
+Provenance of data/gaiji.tsv: the 449 code->glyph entries are the
+reference's ``_GAIJI_TABLE`` (pkg/espnet-oneseg/src/encoding.py:55-511),
+reformatted as a data file. A code-point table has exactly one correct
+content and decode parity requires reproducing it entry for entry, so the
+values are necessarily identical to the reference's (which in turn encodes
+ARIB STD-B24 broadcast glyph assignments).
 """
 
 from importlib import resources

@@ -132,14 +132,14 @@ def ln_dense(x, ln_scale, ln_bias, w, c=None, *, activation=None, t_out=None,
     return out
 
 
-def _xla_reference(x, ln_scale, ln_bias, w, c, activation, t_out):
+def _xla_reference(x, ln_scale, ln_bias, w, c, activation, t_out, eps=1e-5):
     """The formulation the kernel replaces (and its backward for the VJP)."""
     ws = w if isinstance(w, (tuple, list)) else (w,)
     cs = c if isinstance(c, (tuple, list)) else (c,) * len(ws)
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
-    xn = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+    xn = (x32 - mean) * jax.lax.rsqrt(var + eps)
     xn = xn * ln_scale + ln_bias
     outs = []
     for wi, ci in zip(ws, cs):
@@ -156,23 +156,24 @@ def _xla_reference(x, ln_scale, ln_bias, w, c, activation, t_out):
     return y
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def ln_dense_diff(x, ln_scale, ln_bias, w, c, activation=None, t_out=None):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def ln_dense_diff(x, ln_scale, ln_bias, w, c, activation=None, t_out=None,
+                  eps=1e-5):
     """Differentiable ln_dense: Pallas forward, XLA-formulation backward
     (same pattern as ops/relpos_attention.relpos_attention_diff)."""
     return ln_dense(x, ln_scale, ln_bias, w, c, activation=activation,
-                    t_out=t_out)
+                    t_out=t_out, eps=eps)
 
 
-def _fwd(x, ln_scale, ln_bias, w, c, activation, t_out):
-    return ln_dense_diff(x, ln_scale, ln_bias, w, c, activation, t_out), (
-        x, ln_scale, ln_bias, w, c)
+def _fwd(x, ln_scale, ln_bias, w, c, activation, t_out, eps):
+    return ln_dense_diff(x, ln_scale, ln_bias, w, c, activation, t_out,
+                         eps), (x, ln_scale, ln_bias, w, c)
 
 
-def _bwd(activation, t_out, res, ct):
+def _bwd(activation, t_out, eps, res, ct):
     x, ln_scale, ln_bias, w, c = res
     _, vjp = jax.vjp(
-        lambda *a: _xla_reference(*a, activation, t_out), x, ln_scale,
+        lambda *a: _xla_reference(*a, activation, t_out, eps), x, ln_scale,
         ln_bias, w, c)
     return vjp(ct)
 

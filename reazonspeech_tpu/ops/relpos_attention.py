@@ -194,9 +194,10 @@ def _blockwise_kernel(lens_ref, qu_ref, qv_ref, k_ref, v_ref, pos1_ref,
         out_ref[0] = (acc_ref[:] / l_ref[:]).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block", "interpret",
+                                             "round_lanes"))
 def relpos_attention_blockwise(qu, qv, k, v, pos, lengths, block=256,
-                               interpret=False):
+                               interpret=False, round_lanes=None):
     """Rel-pos attention with streamed KV blocks (any T; see module notes).
 
     Same contract as relpos_attention; use for T beyond the single-pass
@@ -204,10 +205,14 @@ def relpos_attention_blockwise(qu, qv, k, v, pos, lengths, block=256,
     """
     b, h, t, dh = qu.shape
     # the in-kernel strided rotate runs on a [blk, 2*blk] tile, which needs a
-    # 128-aligned lane width -> blk must be a multiple of 64 (interpret mode
-    # keeps tiny test blocks as-is)
+    # 128-aligned lane width -> blk must be a multiple of 64 on hardware.
+    # ``round_lanes`` defaults to the hardware behavior (interpret mode keeps
+    # tiny test blocks as-is) but can be forced on so interpret-mode tests
+    # cover the real rounded geometry, incl. blk > t when t < 64.
+    if round_lanes is None:
+        round_lanes = not interpret
     blk = min(block, t)
-    if not interpret:
+    if round_lanes:
         blk = -(-blk // 64) * 64
     t_pad = -(-t // blk) * blk
     padq = ((0, 0), (0, 0), (0, t_pad - t), (0, 0))

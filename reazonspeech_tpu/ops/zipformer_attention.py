@@ -169,17 +169,24 @@ def _blockwise_kernel(lens_ref, q_ref, k_ref, qp_ref, pos1_ref, pos2_ref,
         out_ref[0] = (acc_ref[:] / l_ref[:]).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("heads", "block", "interpret"))
+@functools.partial(jax.jit, static_argnames=("heads", "block", "interpret",
+                                             "round_lanes"))
 def shared_rel_attention_blockwise(q, k, qp, pos, v, lengths, heads=1,
-                                   block=256, interpret=False):
+                                   block=256, interpret=False,
+                                   round_lanes=None):
     """shared_rel_attention with streamed KV blocks (any T)."""
     g, t, qd = q.shape
     dv = v.shape[-1]
     pd = pos.shape[2]
     # strided rotate on the [blk, 2*blk] tile needs 128-aligned lanes ->
-    # blk multiple of 64 on hardware (interpret keeps tiny test blocks)
+    # blk multiple of 64 on hardware. ``round_lanes`` defaults to the
+    # hardware behavior (interpret keeps tiny test blocks) but can be forced
+    # on so interpret-mode tests cover the real rounded geometry, incl.
+    # blk > t when t < 64.
+    if round_lanes is None:
+        round_lanes = not interpret
     blk = min(block, t)
-    if not interpret:
+    if round_lanes:
         blk = -(-blk // 64) * 64
     t_pad = -(-t // blk) * blk
     pad3 = ((0, 0), (0, t_pad - t), (0, 0))

@@ -106,8 +106,10 @@ class MicroBatcher:
                 # bucket the BATCH dimension too (next power of two): a
                 # variable b would compile one program per distinct size
                 # under organic load; zero-length pad rows emit count 0
-                # (padding-invariant caps, tests/test_serving.py)
-                b_pad = 1 << (b - 1).bit_length()
+                # (padding-invariant caps, tests/test_serving.py). Clamped to
+                # max_batch so a non-power-of-two cap (say 24) never
+                # dispatches a batch shape (32) the cap was meant to preclude.
+                b_pad = min(1 << (b - 1).bit_length(), self.max_batch)
                 buf = np.zeros((b_pad, padded), np.float32)
                 lens = np.zeros((b_pad,), np.int32)
                 for i, (w, _) in enumerate(items):

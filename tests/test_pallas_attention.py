@@ -84,6 +84,25 @@ def test_blockwise_matches_xla(t, block):
         np.testing.assert_allclose(got[i, :, :L], want[i, :, :L], atol=2e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("t", [23, 40, 150])
+def test_blockwise_rounded_lane_geometry(t):
+    """The hardware path rounds blk up to a multiple of 64 — force that
+    rounding in interpret mode so the real geometry (incl. blk > t when
+    t < 64, and the pos re-pad that it relies on) is test-covered."""
+    b, h, dh = 2, 3, 8
+    qu, qv, k, v, pos = make_inputs(b, h, t, dh, seed=7)
+    lengths = jnp.array([t, max(t - 5, 1)])
+    want = np.asarray(xla_reference(qu, qv, k, v, pos, lengths))
+    got = np.asarray(
+        relpos_attention_blockwise(
+            qu, qv, k, v, pos, lengths, block=64, interpret=True,
+            round_lanes=True,
+        )
+    )
+    for i, L in enumerate([t, max(t - 5, 1)]):
+        np.testing.assert_allclose(got[i, :, :L], want[i, :, :L], atol=2e-5, rtol=1e-5)
+
+
 def test_blockwise_matches_single_pass():
     """Both kernels agree with each other (valid rows)."""
     b, h, t, dh = 1, 2, 48, 8

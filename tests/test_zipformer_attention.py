@@ -96,6 +96,36 @@ def test_blockwise_shared_attention_matches_single_pass():
         np.testing.assert_allclose(a[i, :L], b[i, :L], atol=2e-5, rtol=1e-5)
 
 
+def test_blockwise_shared_attention_rounded_lanes():
+    """Force the hardware blk round-up (multiple of 64) in interpret mode —
+    covers the blk > t geometry (t < 64) the real device always runs."""
+    import numpy as np
+
+    rng = np.random.default_rng(6)
+    for t in (23, 50, 130):
+        g, qd, pd, dv, h = 4, 8, 2, 4, 2
+        mk = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32)
+        q, k = mk(g, t, qd), mk(g, t, qd)
+        qp = mk(g, t, pd)
+        pos = mk(h, 2 * t - 1, pd)
+        v = mk(g, t, dv)
+        lens = [t, max(t - 9, 1), min(17, t), 1]
+        lengths = jnp.array(lens)
+
+        from reazonspeech_tpu.ops.zipformer_attention import (
+            shared_rel_attention,
+            shared_rel_attention_blockwise,
+        )
+
+        a = np.asarray(shared_rel_attention(
+            q, k, qp, pos, v, lengths, heads=h, block_q=16, interpret=True))
+        b = np.asarray(shared_rel_attention_blockwise(
+            q, k, qp, pos, v, lengths, heads=h, block=64, interpret=True,
+            round_lanes=True))
+        for i, L in enumerate(lens):
+            np.testing.assert_allclose(a[i, :L], b[i, :L], atol=2e-5, rtol=1e-5)
+
+
 def test_encode_long_form_blockwise_path():
     """attn_impl=pallas beyond the single-pass cap routes to the blockwise
     kernel and matches the XLA path (forced via a tiny dispatch threshold)."""
