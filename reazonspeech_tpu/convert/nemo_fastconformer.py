@@ -221,6 +221,20 @@ def convert_nemo_checkpoint(nemo_path, out_path, enc_cfg=None, rnnt_cfg=None):
         "enc_cfg": {k: getattr(enc_cfg, k) for k in enc_cfg.__dataclass_fields__},
         "rnnt_cfg": {k: getattr(rnnt_cfg, k) for k in rnnt_cfg.__dataclass_fields__},
     }
+    # preserve the checkpoint's own decoding section (strategy/beam size):
+    # the published reazonspeech-nemo-v2 serves ALSD beam search
+    # (pkg/nemo-asr/src/decode.py:33-40 strips its artifact), and load_model
+    # mirrors whatever the archive pins
+    decoding = config.get("decoding") or {}
+    if decoding:
+        beam = decoding.get("beam") or {}
+        meta["decoding"] = {
+            "strategy": decoding.get("strategy", "alsd"),
+            "beam_size": beam.get("beam_size", 4),
+            "alsd_max_target_len": beam.get("alsd_max_target_len", 1.0),
+            "score_norm": beam.get(
+                "score_norm", decoding.get("score_norm", True)),
+        }
     if tok_bytes:
         tok_path = out_path + ".tokenizer.model"
         with open(tok_path, "wb") as f:

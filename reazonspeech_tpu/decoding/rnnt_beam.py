@@ -1,14 +1,42 @@
-"""Beam search for transducers (ALSD-style, TPU-native).
+"""ALSD beam search for transducers (NeMo-faithful, TPU-native).
 
-Replaces NeMo's ALSD beam search (the decode strategy behind the reference's
-transcribe, SURVEY.md §3.1) with an alignment-length-synchronous beam kept in
-fixed-shape arrays: every hypothesis advances one alignment step per loop
-iteration — either a blank (consume one encoder frame) or a label emission —
-so hypotheses stay synchronized by total steps t+u, as in ALSD. One
-``lax.while_loop`` drives the whole batch; beams are reordered with gathers.
+The reference's nemo flavor decodes with NeMo's Alignment-Length Synchronous
+Decoding beam search (pkg/nemo-asr/src/transcribe.py:48-53 reaches
+``model.transcribe`` whose decoding strategy is ALSD — pkg/nemo-asr/src/decode.py:33-40
+documents and strips its leading-blank artifact). This module reproduces the
+semantics of NeMo's ``BeamRNNTInfer.align_length_sync_decoding`` (our serial
+reading of it is the oracle in tools/torch_reference.py:rnnt_alsd_reference;
+the two are gated token-for-token by tools/convert_and_gate.py):
 
-Emissions carry (token, frame) pairs on the same 0.08 s grid as the greedy
-decoder, so decode_hypothesis timestamp math is unchanged.
+- every hypothesis advances one alignment step per loop iteration — blank
+  (consume one encoder frame) or a label emission — so all live hypotheses
+  share total steps t+u, exactly ALSD's length synchronisation;
+- per step, each hypothesis proposes its blank extension plus its top
+  ``beam_size`` label extensions; the best ``beam_size`` of all proposals
+  survive (NeMo: ``B = sorted(A)[:beam]``);
+- a blank extension that consumes the LAST encoder frame becomes a *final*
+  hypothesis: it is recorded (kept as a snapshot copy) and leaves the beam
+  on the next step, exactly like NeMo's ``t > T-1`` filter; the best final
+  under length-normalised score (``score_norm``) is the result, falling back
+  to the best live hypothesis when nothing finalised (NeMo returns ``B``);
+- hypotheses with identical label sequences are recombined each step by
+  log-sum-exp score merging into the earliest (best-ranked) occurrence.
+  ``recombine_dedup`` selects between the two published behaviors: NeMo's
+  ``recombine_hypotheses`` merges scores but returns the *un-deduplicated*
+  list (the duplicate keeps its slot and own score), while the
+  ESPnet/ALSD-paper formulation drops the duplicates. The default matches
+  NeMo. (Known divergence risk, documented for tools/run_real_parity.py:
+  NeMo appends the same hypothesis *object* to its final list and to the
+  beam, so a later recombination can mutate an already-recorded final's
+  score; we record finals as value snapshots.)
+- the per-utterance alignment budget is ``T + int(alsd_max_target_len * T)``
+  steps (NeMo's ``u_max``), with T the utterance's true encoder length.
+
+One ``lax.while_loop`` drives the whole batch; beams are reordered with
+gathers; all state is fixed-shape. Emissions carry (token, frame) pairs on
+the same 0.08 s grid as the greedy decoder, so decode_hypothesis timestamp
+math is unchanged (nemo/asr/decode.py reconstructs the ALSD timestamp
+artifact convention from them).
 """
 
 from dataclasses import dataclass
@@ -27,16 +55,28 @@ from ..models.rnnt import (
 
 __all__ = ["BeamDecodeConfig", "rnnt_beam_decode"]
 
-_NEG = -1e30
+_DEAD = -1.0e30  # score of an empty/killed beam slot
+_ALIVE = -1.0e25  # scores above this are live hypotheses (real scores are
+#                   bounded below by max_steps * min_logp >> -1e25)
 
 
 @dataclass(frozen=True)
 class BeamDecodeConfig:
     beam_size: int = 4
-    # label candidates considered per hypothesis per step (besides blank)
-    expand_labels: int = 4
-    max_tokens: int = 0  # 0 -> T
-    # ALSD length cap: alignment steps = T + max_tokens
+    # NeMo alsd_max_target_len: emission budget as a fraction of T (float)
+    # — u_max = int(alsd_max_target_len * T) per utterance.
+    alsd_max_target_len: float = 1.0
+    # select the result by score / len(y_sequence) (NeMo score_norm=True;
+    # the length includes ALSD's leading blank, hence counts + 1)
+    score_norm: bool = True
+    # False = NeMo recombine_hypotheses (merge scores into the first
+    # occurrence, keep the duplicate); True = drop merged duplicates
+    # (the ESPnet/paper formulation)
+    recombine_dedup: bool = False
+    # emission buffer capacity; 0 -> T + u_max (the ALSD alignment bound, so
+    # even never-advancing degenerate paths match the serial oracle exactly;
+    # a FINAL hypothesis has at most u_max <= T emissions)
+    max_tokens: int = 0
 
 
 def _tree_take_beams(state, idx):
@@ -57,34 +97,50 @@ def rnnt_beam_decode(
     rnnt_cfg: RNNTConfig,
     cfg: BeamDecodeConfig = BeamDecodeConfig(),
 ):
-    """Beam-search decode a batch.
+    """ALSD beam-search decode a batch.
 
     Args:
       enc: [B, T, E] fp32; enc_lengths: [B]
 
     Returns:
       (tokens [B, U] int32 of the best hypothesis, frames [B, U] int32,
-       counts [B] int32, scores [B] fp32)
+       counts [B] int32, scores [B] fp32 — raw, unnormalised)
     """
     b, t, e = enc.shape
     enc_proj = joint_precompute_enc(joint_params, enc, rnnt_cfg)  # [B, T, J]
     k = cfg.beam_size
-    m = min(cfg.expand_labels, rnnt_cfg.num_classes - 1)
+    m = min(k, rnnt_cfg.num_classes - 1)  # label expansions per hypothesis
     blank = rnnt_cfg.blank_id
-    u_max = cfg.max_tokens or t
+    u_buf = cfg.max_tokens or (t + int(cfg.alsd_max_target_len * t))
     bk = b * k
+
+    # per-utterance alignment budget (NeMo: int(ratio * T) emissions)
+    u_max_el = jnp.floor(cfg.alsd_max_target_len * enc_lengths).astype(jnp.int32)
+    max_steps = t + int(cfg.alsd_max_target_len * t)
 
     def flat(x):  # [B, K, ...] -> [B*K, ...]
         return x.reshape((bk,) + x.shape[2:])
 
-    # beam state
-    scores = jnp.tile(jnp.array([0.0] + [_NEG] * (k - 1)), (b, 1))  # [B, K]
+    def norm_key(score, counts):
+        if not cfg.score_norm:
+            return score
+        return score / (counts.astype(jnp.float32) + 1.0)
+
+    # beam state: slot 0 is the initial hypothesis, the rest are dead
+    scores = jnp.tile(jnp.array([0.0] + [_DEAD] * (k - 1), jnp.float32), (b, 1))
     time_idx = jnp.zeros((b, k), jnp.int32)
     counts = jnp.zeros((b, k), jnp.int32)
-    tokens = jnp.full((b, k, u_max), blank, jnp.int32)
-    frames = jnp.zeros((b, k, u_max), jnp.int32)
+    tokens = jnp.full((b, k, u_buf), blank, jnp.int32)
+    frames = jnp.zeros((b, k, u_buf), jnp.int32)
     last_tok = jnp.full((b, k), blank, jnp.int32)
-    done = jnp.zeros((b, k), bool)
+
+    # recorded best final per element (value snapshots; see module notes)
+    fin_key = jnp.full((b,), _DEAD, jnp.float32)  # in the selection metric
+    fin_raw = jnp.full((b,), _DEAD, jnp.float32)
+    fin_tokens = jnp.full((b, u_buf), blank, jnp.int32)
+    fin_frames = jnp.zeros((b, u_buf), jnp.int32)
+    fin_count = jnp.zeros((b,), jnp.int32)
+    fin_any = jnp.zeros((b,), bool)
 
     pred_state0 = predictor_zero_state(bk, rnnt_cfg)
     pred_out0, pred_state0 = predictor_step(
@@ -100,15 +156,21 @@ def rnnt_beam_decode(
             jnp.transpose(s, (1, 0, 2)).reshape(b, k, -1, h) for s in pred_state0
         )
 
-    max_steps = t + u_max
+    def el_active(step, scores):
+        """Elements still inside their ALSD budget with a live hypothesis."""
+        return (step < enc_lengths + u_max_el) & jnp.any(scores > _ALIVE, axis=1)
 
     def cond(state):
-        step, scores, time_idx, done = state[0], state[1], state[2], state[8]
-        return (step < max_steps) & ~jnp.all(done)
+        step, scores = state[0], state[1]
+        return (step < max_steps) & jnp.any(el_active(step, scores))
 
     def body(state):
         (step, scores, time_idx, counts, tokens, frames, last_tok,
-         pred_out, done, pred_state) = state
+         pred_out, pred_state,
+         fin_key, fin_raw, fin_tokens, fin_frames, fin_count, fin_any) = state
+
+        active_el = el_active(step, scores)  # [B] — frozen elements keep state
+        alive = scores > _ALIVE  # [B, K]
 
         safe_t = jnp.minimum(time_idx, t - 1)  # [B, K]
         enc_frames = jnp.take_along_axis(
@@ -119,19 +181,31 @@ def rnnt_beam_decode(
         ).reshape(b, k, -1)
         logp = jax.nn.log_softmax(logits, axis=-1)
 
-        active = ~done
-        lp_blank = jnp.where(active, logp[..., blank], 0.0)
-        # mask blank from label candidates
-        label_logp = logp.at[..., blank].set(_NEG)
+        lp_blank = logp[..., blank]
+        blank_scores = jnp.where(alive, scores + lp_blank, _DEAD)  # [B, K]
+        label_logp = logp.at[..., blank].set(_DEAD)
         top_lp, top_tok = jax.lax.top_k(label_logp, m)  # [B, K, M]
-
-        # candidate 0: blank/advance; candidates 1..M: emissions
-        can_emit = active & (counts < u_max) & (time_idx < enc_lengths[:, None])
+        can_emit = alive & (counts < u_buf)
         emit_scores = jnp.where(
-            can_emit[..., None], scores[..., None] + top_lp, _NEG
+            can_emit[..., None], scores[..., None] + top_lp, _DEAD
         )  # [B, K, M]
-        blank_scores = scores + lp_blank  # [B, K] (done hyps keep score)
 
+        # --- finals: blank extension of a hypothesis at its last frame ----
+        finalize = alive & (time_idx == enc_lengths[:, None] - 1)  # [B, K]
+        f_key = jnp.where(finalize, norm_key(blank_scores, counts), _DEAD)
+        best_k = jnp.argmax(f_key, axis=1)  # [B]
+        best_key = jnp.take_along_axis(f_key, best_k[:, None], axis=1)[:, 0]
+        improved = active_el & (best_key > fin_key)
+        g1 = lambda x: jnp.take_along_axis(x, best_k[:, None], axis=1)[:, 0]
+        g2 = lambda x: jnp.take_along_axis(x, best_k[:, None, None], axis=1)[:, 0]
+        fin_key = jnp.where(improved, best_key, fin_key)
+        fin_raw = jnp.where(improved, g1(blank_scores), fin_raw)
+        fin_tokens = jnp.where(improved[:, None], g2(tokens), fin_tokens)
+        fin_frames = jnp.where(improved[:, None], g2(frames), fin_frames)
+        fin_count = jnp.where(improved, g1(counts), fin_count)
+        fin_any = fin_any | (improved & jnp.any(finalize, axis=1))
+
+        # --- beam selection: top-K of all blank + label proposals ---------
         all_scores = jnp.concatenate(
             [blank_scores[..., None], emit_scores], axis=-1
         )  # [B, K, M+1]
@@ -140,7 +214,6 @@ def rnnt_beam_decode(
         src_beam = flat_idx // (m + 1)
         cand = flat_idx % (m + 1)  # 0 = blank, >=1 = label index
 
-        # gather beam state from source beams
         gathered = _tree_take_beams(
             {
                 "time_idx": time_idx,
@@ -149,81 +222,132 @@ def rnnt_beam_decode(
                 "frames": frames,
                 "last_tok": last_tok,
                 "pred_out": pred_out,
-                "done": done,
                 "top_tok": top_tok,
                 "pred_state": pred_state,
             },
             src_beam,
         )
-        time_idx = gathered["time_idx"]
-        counts = gathered["counts"]
-        tokens = gathered["tokens"]
-        frames = gathered["frames"]
-        last_tok = gathered["last_tok"]
-        pred_out = gathered["pred_out"]
-        done = gathered["done"]
-        pred_state = gathered["pred_state"]
+        n_time = gathered["time_idx"]
+        n_counts = gathered["counts"]
+        n_tokens = gathered["tokens"]
+        n_frames = gathered["frames"]
+        n_last = gathered["last_tok"]
+        n_pred_out = gathered["pred_out"]
+        n_pred_state = gathered["pred_state"]
 
+        sel_alive = new_scores > _ALIVE
         is_blank = cand == 0
         new_tok = jnp.take_along_axis(
             gathered["top_tok"], jnp.maximum(cand - 1, 0)[..., None], axis=-1
         )[..., 0].astype(jnp.int32)
 
-        emit = ~is_blank & ~done
-        advance = is_blank & ~done
+        emit = ~is_blank & sel_alive
+        advance = is_blank & sel_alive
 
-        slot = jnp.arange(u_max)[None, None, :] == counts[..., None]
+        slot = jnp.arange(u_buf)[None, None, :] == n_counts[..., None]
         put = slot & emit[..., None]
-        tokens = jnp.where(put, new_tok[..., None], tokens)
-        frames = jnp.where(put, time_idx[..., None], frames)
-        counts = counts + emit.astype(jnp.int32)
+        n_tokens = jnp.where(put, new_tok[..., None], n_tokens)
+        n_frames = jnp.where(put, n_time[..., None], n_frames)
+        n_counts = n_counts + emit.astype(jnp.int32)
+        n_time = n_time + advance.astype(jnp.int32)
 
-        time_idx = time_idx + advance.astype(jnp.int32)
-        # NOTE: a full emission buffer only blocks further emissions
-        # (can_emit above); the hypothesis stays live and must still pay the
-        # blank cost of every remaining frame — marking it done here would
-        # inflate emission-heavy paths' scores.
-        done = done | (time_idx >= enc_lengths[:, None])
+        # a hypothesis that consumed its last frame finalised above — it
+        # leaves the beam (NeMo's t > T-1 filter on the next step)
+        new_scores = jnp.where(
+            n_time >= enc_lengths[:, None], _DEAD, new_scores
+        )
 
-        # advance prediction network where a label was emitted
-        stepped_tok = jnp.where(emit, new_tok, last_tok)
+        # --- recombination (identical label sequences merge) --------------
+        valid = new_scores > _ALIVE
+        tok_eq = jnp.all(
+            n_tokens[:, :, None, :] == n_tokens[:, None, :, :], axis=-1
+        )  # [B, K, K]
+        eq = (
+            tok_eq
+            & (n_counts[:, :, None] == n_counts[:, None, :])
+            & valid[:, :, None]
+            & valid[:, None, :]
+        )
+        jidx = jnp.arange(k)
+        leader = jnp.min(
+            jnp.where(eq, jidx[None, None, :], k), axis=-1
+        )  # [B, K] — earliest equal slot (top_k output is sorted by score)
+        leader = jnp.where(valid, leader, jidx[None, :])
+        is_leader = leader == jidx[None, :]
+        member = leader[:, :, None] == jidx[None, None, :]  # [B, K(i), K(j)]
+        member_scores = jnp.where(member, new_scores[:, :, None], _DEAD)
+        mmax = jnp.max(member_scores, axis=1)  # [B, K(j)]
+        merged = mmax + jnp.log(
+            jnp.sum(jnp.exp(member_scores - mmax[:, None, :]), axis=1)
+        )
+        if cfg.recombine_dedup:
+            new_scores = jnp.where(is_leader, merged, _DEAD)
+        else:  # NeMo: merge into the first occurrence, keep the duplicate
+            new_scores = jnp.where(is_leader, merged, new_scores)
+
+        # --- prediction network advances where a label was emitted --------
+        stepped_tok = jnp.where(emit, new_tok, n_last)
         if rnnt_cfg.predictor_kind == "stateless":
-            ps_flat = flat(pred_state)
+            ps_flat = flat(n_pred_state)
         else:
             ps_flat = tuple(
-                jnp.transpose(flat(s), (1, 0, 2)) for s in pred_state
+                jnp.transpose(flat(s), (1, 0, 2)) for s in n_pred_state
             )
         new_out, new_state = predictor_step(
             pred_params, flat(stepped_tok), ps_flat, rnnt_cfg
         )
         new_out = new_out.reshape(b, k, h)
-        pred_out = jnp.where(emit[..., None], new_out, pred_out)
+        n_pred_out = jnp.where(emit[..., None], new_out, n_pred_out)
         if rnnt_cfg.predictor_kind == "stateless":
             new_state = new_state.reshape(b, k, -1)
-            pred_state = jnp.where(emit[..., None], new_state, pred_state)
+            n_pred_state = jnp.where(emit[..., None], new_state, n_pred_state)
         else:
             new_state = tuple(
                 jnp.transpose(s, (1, 0, 2)).reshape(b, k, -1, h) for s in new_state
             )
-            pred_state = tuple(
+            n_pred_state = tuple(
                 jnp.where(emit[..., None, None], n, o)
-                for n, o in zip(new_state, pred_state)
+                for n, o in zip(new_state, n_pred_state)
             )
-        last_tok = stepped_tok
+        n_last = stepped_tok
 
-        return (step + 1, new_scores, time_idx, counts, tokens, frames,
-                last_tok, pred_out, done, pred_state)
+        # --- freeze elements outside their budget -------------------------
+        keep = lambda new, old: jnp.where(
+            active_el.reshape((b,) + (1,) * (new.ndim - 1)), new, old
+        )
+        scores = keep(new_scores, scores)
+        time_idx = keep(n_time, time_idx)
+        counts = keep(n_counts, counts)
+        tokens = keep(n_tokens, tokens)
+        frames = keep(n_frames, frames)
+        last_tok = keep(n_last, last_tok)
+        pred_out = keep(n_pred_out, pred_out)
+        if rnnt_cfg.predictor_kind == "stateless":
+            pred_state = keep(n_pred_state, pred_state)
+        else:
+            pred_state = tuple(
+                keep(n, o) for n, o in zip(n_pred_state, pred_state)
+            )
+
+        return (step + 1, scores, time_idx, counts, tokens, frames, last_tok,
+                pred_out, pred_state,
+                fin_key, fin_raw, fin_tokens, fin_frames, fin_count, fin_any)
 
     init = (jnp.int32(0), scores, time_idx, counts, tokens, frames, last_tok,
-            pred_out, done, pred_state)
-    (_, scores, _, counts, tokens, frames, _, _, _, _) = jax.lax.while_loop(
-        cond, body, init
-    )
+            pred_out, pred_state,
+            fin_key, fin_raw, fin_tokens, fin_frames, fin_count, fin_any)
+    (_, scores, _, counts, tokens, frames, _, _, _,
+     fin_key, fin_raw, fin_tokens, fin_frames, fin_count, fin_any
+     ) = jax.lax.while_loop(cond, body, init)
 
-    best = jnp.argmax(scores, axis=1)  # [B]
-    take = lambda x: jnp.take_along_axis(
-        x, best.reshape((b, 1) + (1,) * (x.ndim - 2)), axis=1
-    )[:, 0]
-    return take(tokens), take(frames), take(counts), jnp.take_along_axis(
-        scores, best[:, None], axis=1
-    )[:, 0]
+    # fall back to the best live hypothesis when nothing finalised
+    beam_key = jnp.where(scores > _ALIVE, norm_key(scores, counts), _DEAD)
+    best = jnp.argmax(beam_key, axis=1)  # [B]
+    take1 = lambda x: jnp.take_along_axis(x, best[:, None], axis=1)[:, 0]
+    take2 = lambda x: jnp.take_along_axis(x, best[:, None, None], axis=1)[:, 0]
+
+    out_tokens = jnp.where(fin_any[:, None], fin_tokens, take2(tokens))
+    out_frames = jnp.where(fin_any[:, None], fin_frames, take2(frames))
+    out_counts = jnp.where(fin_any, fin_count, take1(counts))
+    out_scores = jnp.where(fin_any, fin_raw, take1(scores))
+    return out_tokens, out_frames, out_counts, out_scores

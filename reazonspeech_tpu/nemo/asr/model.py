@@ -170,8 +170,8 @@ def load_model(
     enc_cfg: Optional[FastConformerConfig] = None,
     rnnt_cfg: Optional[RNNTConfig] = None,
     decode_cfg: Optional[GreedyDecodeConfig] = None,
-    decoding: str = "greedy",
-    beam_size: int = 4,
+    decoding: Optional[str] = None,
+    beam_size: Optional[int] = None,
     tokenizer=None,
     seed: int = 0,
 ) -> NemoTPUModel:
@@ -179,8 +179,13 @@ def load_model(
 
     API parity with the reference loader (pkg/nemo-asr/src/transcribe.py:9-28);
     ``device`` is accepted for compatibility but placement is JAX's (the
-    default TPU backend). ``decoding`` selects "greedy" (label-looping) or
-    "beam" (ALSD-style, ``beam_size``).
+    default TPU backend). ``decoding`` selects the decode strategy:
+    "alsd"/"beam" (the DEFAULT — NeMo's ALSD beam search, what the
+    reference's published checkpoint serves; oracle-gated in
+    tools/convert_and_gate.py) or "greedy" (label-looping, the fast path).
+    ``beam_size`` defaults to the checkpoint's own decoding config (4 when
+    absent). A converted checkpoint whose config pins a greedy strategy is
+    honored unless ``decoding`` is passed explicitly.
 
     Weight resolution (offline-first, like the reference's from_pretrained):
     ``checkpoint=`` path > $REAZONSPEECH_TPU_NEMO_CHECKPOINT > the converted-
@@ -223,11 +228,17 @@ def load_model(
         rnnt_cfg = RNNTConfig(**meta["rnnt_cfg"])
     rnnt_cfg = rnnt_cfg or RNNTConfig(enc_dim=enc_cfg.d_model)
     if decode_cfg is None:
-        decode_cfg = (
-            BeamDecodeConfig(beam_size=beam_size)
-            if decoding == "beam"
-            else GreedyDecodeConfig()
-        )
+        ck_dec = meta.get("decoding") or {}
+        if decoding is None:
+            decoding = ck_dec.get("strategy", "alsd")
+        if decoding in ("alsd", "beam"):
+            decode_cfg = BeamDecodeConfig(
+                beam_size=beam_size or ck_dec.get("beam_size", 4),
+                alsd_max_target_len=ck_dec.get("alsd_max_target_len", 1.0),
+                score_norm=ck_dec.get("score_norm", True),
+            )
+        else:
+            decode_cfg = GreedyDecodeConfig()
 
     if params is None:
         params = init_params(seed, enc_cfg, rnnt_cfg)

@@ -328,6 +328,12 @@ def write_nemo_archive(path, enc_cfg, rnnt_cfg, sd=None):
                 "activation": rnnt_cfg.joint_activation,
             },
         },
+        # the published model pins ALSD beam decoding (the reference's
+        # decode.py strips its leading-blank artifact)
+        "decoding": {
+            "strategy": "alsd",
+            "beam": {"beam_size": 4, "score_norm": True},
+        },
     }
     ckpt = io.BytesIO()
     torch.save(sd, ckpt)

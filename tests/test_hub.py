@@ -129,6 +129,17 @@ def test_nemo_hub_resolution_end_to_end(offline_env):
     assert model.enc_cfg.num_layers == enc_cfg.num_layers
     assert model.enc_cfg.d_model == enc_cfg.d_model
     assert model.rnnt_cfg.vocab_size == rnnt_cfg.vocab_size
+    # the archive's decoding section drives the serving decode strategy
+    # (ALSD beam, the reference default)
+    from reazonspeech_tpu.decoding.rnnt_beam import BeamDecodeConfig
+
+    assert isinstance(model.decode_cfg, BeamDecodeConfig)
+    assert model.decode_cfg.beam_size == 4
+    # explicit override still wins
+    greedy = load_model(decoding="greedy")
+    from reazonspeech_tpu.decoding.rnnt_greedy import GreedyDecodeConfig
+
+    assert isinstance(greedy.decode_cfg, GreedyDecodeConfig)
     # the converted tree was cached
     assert os.path.exists(converted_path(HF_REPO_ID, "model") + ".npz")
 

@@ -17,22 +17,31 @@ def make_model(kind="lstm", seed=1):
             compute_dtype="float32", predictor_kind="stateless",
         )
     k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
-    return cfg, init_predictor(k1, cfg), init_joint(k2, cfg)
+    pred, joint = init_predictor(k1, cfg), init_joint(k2, cfg)
+    # bias the blank logit up so random-weight decodes emit sparsely and
+    # terminate naturally — otherwise every frame spins to the emission cap
+    # and greedy/ALSD compare their (structurally different) caps instead of
+    # their search semantics
+    joint["out"]["b"] = joint["out"]["b"].at[cfg.blank_id].add(5.0)
+    return cfg, pred, joint
 
 
 @pytest.mark.parametrize("kind", ["lstm", "stateless"])
 def test_beam1_matches_greedy(kind):
-    """beam_size=1 is exactly greedy (same candidate set, same argmax)."""
+    """beam_size=1 ALSD is exactly greedy (same candidate set, same argmax);
+    greedy gets the same emission budget as the ALSD alignment bound."""
     cfg, pred, joint = make_model(kind)
+    t = 15
     enc = jnp.asarray(
-        np.random.default_rng(0).standard_normal((2, 15, cfg.enc_dim)), jnp.float32
+        np.random.default_rng(0).standard_normal((2, t, cfg.enc_dim)), jnp.float32
     )
     lens = jnp.array([15, 9])
     gt, gf, gc = rnnt_greedy_decode(
-        pred, joint, enc, lens, cfg, GreedyDecodeConfig(max_symbols_per_step=10_000)
+        pred, joint, enc, lens, cfg,
+        GreedyDecodeConfig(max_symbols_per_step=10_000, max_tokens=2 * t),
     )
     bt, bf, bc, _ = rnnt_beam_decode(
-        pred, joint, enc, lens, cfg, BeamDecodeConfig(beam_size=1, expand_labels=1)
+        pred, joint, enc, lens, cfg, BeamDecodeConfig(beam_size=1)
     )
     for i in range(2):
         c = int(gc[i])
@@ -42,17 +51,19 @@ def test_beam1_matches_greedy(kind):
 
 
 def test_beam_scores_not_worse_than_greedy():
-    """The best beam path's log-prob must be >= the greedy path's."""
+    """With raw-score selection and deduplicating recombination, a wider beam
+    must not return a lower-probability result."""
     cfg, pred, joint = make_model()
     enc = jnp.asarray(
         np.random.default_rng(2).standard_normal((3, 12, cfg.enc_dim)), jnp.float32
     )
     lens = jnp.array([12, 12, 7])
+    base = dict(score_norm=False, recombine_dedup=True)
     _, _, _, s1 = rnnt_beam_decode(
-        pred, joint, enc, lens, cfg, BeamDecodeConfig(beam_size=1, expand_labels=1)
+        pred, joint, enc, lens, cfg, BeamDecodeConfig(beam_size=1, **base)
     )
     _, _, _, s8 = rnnt_beam_decode(
-        pred, joint, enc, lens, cfg, BeamDecodeConfig(beam_size=8, expand_labels=8)
+        pred, joint, enc, lens, cfg, BeamDecodeConfig(beam_size=8, **base)
     )
     assert (np.asarray(s8) >= np.asarray(s1) - 1e-4).all()
 
@@ -66,7 +77,7 @@ def test_beam_structure():
     tokens, frames, counts, scores = rnnt_beam_decode(
         pred, joint, enc, lens, cfg, BeamDecodeConfig(beam_size=4)
     )
-    assert tokens.shape == frames.shape == (2, 10)
+    assert tokens.shape == frames.shape == (2, 20)  # T + u_max buffer
     for i in range(2):
         c = int(counts[i])
         fr = frames[i, :c].tolist()
@@ -76,10 +87,32 @@ def test_beam_structure():
     assert np.isfinite(np.asarray(scores)).all()
 
 
-def test_beam_finds_optimal_alignment_bruteforce():
-    """On a tiny problem, an exhaustive beam must return the max-probability
-    alignment found by brute-force enumeration over all (blank|label)
-    decision sequences."""
+def test_beam_zero_length_rows():
+    """Padding rows (enc_length 0) decode to zero emissions — serving
+    batches rely on this invariance."""
+    cfg, pred, joint = make_model()
+    enc = jnp.asarray(
+        np.random.default_rng(4).standard_normal((3, 8, cfg.enc_dim)), jnp.float32
+    )
+    lens = jnp.array([8, 0, 5])
+    tokens, frames, counts, _ = rnnt_beam_decode(
+        pred, joint, enc, lens, cfg, BeamDecodeConfig(beam_size=4)
+    )
+    assert int(counts[1]) == 0
+
+    # and the populated rows are invariant to the padding row's contents
+    enc2 = enc.at[1].set(99.0)
+    tokens2, _, counts2, _ = rnnt_beam_decode(
+        pred, joint, enc2, lens, cfg, BeamDecodeConfig(beam_size=4)
+    )
+    for i in (0, 2):
+        c = int(counts[i])
+        assert int(counts2[i]) == c
+        assert tokens[i, :c].tolist() == tokens2[i, :c].tolist()
+
+
+def _enumerate_paths(pred, joint, cfg, enc, t, u_max):
+    """All alignments with <= u_max emissions: {label_seq: [path log probs]}."""
     import itertools
 
     from reazonspeech_tpu.models.rnnt import (
@@ -88,6 +121,46 @@ def test_beam_finds_optimal_alignment_bruteforce():
         predictor_zero_state,
     )
 
+    def score_path(labels_by_frame):
+        state = predictor_zero_state(1, cfg)
+        g, state = predictor_step(pred, jnp.array([cfg.blank_id]), state, cfg)
+        total = 0.0
+        for f in range(t):
+            for lab in labels_by_frame[f]:
+                logits = joint_step(joint, enc[:, f], g, cfg)
+                lp = jax.nn.log_softmax(logits, -1)
+                total += float(lp[0, lab])
+                g, state = predictor_step(pred, jnp.array([lab]), state, cfg)
+            logits = joint_step(joint, enc[:, f], g, cfg)
+            lp = jax.nn.log_softmax(logits, -1)
+            total += float(lp[0, cfg.blank_id])
+        return total
+
+    labels = [i for i in range(cfg.num_classes) if i != cfg.blank_id]
+    per_frame_opts = [()]
+    for r in range(1, u_max + 1):
+        per_frame_opts += list(itertools.product(labels, repeat=r))
+    seq_paths = {}
+    for combo in itertools.product(per_frame_opts, repeat=t):
+        if sum(len(c) for c in combo) > u_max:
+            continue
+        seq = tuple(x for c in combo for x in c)
+        seq_paths.setdefault(seq, []).append(score_path(combo))
+    return seq_paths
+
+
+def test_beam_finds_best_sequence_posterior_bruteforce():
+    """On a tiny problem with an exhaustive beam and deduplicating
+    recombination, ALSD computes each label sequence's full posterior
+    (log-sum over its alignments) and returns the sequence with the best
+    length-normalised posterior — verified against brute-force enumeration.
+
+    The beam must be wide enough for ZERO pruning: live sequences can grow
+    to T + u_max = 6 tokens (only finals are bounded by u_max), so at the
+    last step up to 3^3+3^4+3^5 = 351 sequences are alive, each proposing 3
+    candidates -> beam 1100 keeps everything. (At practical widths ALSD is
+    approximate by design; faithfulness at width 4 is covered by the serial
+    oracle test below.)"""
     cfg = RNNTConfig(
         vocab_size=3, enc_dim=8, pred_hidden=8, joint_hidden=8,
         compute_dtype="float32",
@@ -99,45 +172,67 @@ def test_beam_finds_optimal_alignment_bruteforce():
         np.random.default_rng(5).standard_normal((1, t, cfg.enc_dim)), jnp.float32
     )
     lens = jnp.array([t])
-    u_max = t  # buffer cap
 
-    def score_path(labels_by_frame):
-        """labels_by_frame: tuple of per-frame label tuples (emitted before
-        the frame's closing blank). Returns total log prob."""
-        state = predictor_zero_state(1, cfg)
-        g, state = predictor_step(pred, jnp.array([cfg.blank_id]), state, cfg)
-        total = 0.0
-        n_emitted = 0
-        for f in range(t):
-            for lab in labels_by_frame[f]:
-                logits = joint_step(joint, enc[:, f], g, cfg)
-                lp = jax.nn.log_softmax(logits, -1)
-                total += float(lp[0, lab])
-                g, state = predictor_step(pred, jnp.array([lab]), state, cfg)
-                n_emitted += 1
-            logits = joint_step(joint, enc[:, f], g, cfg)
-            lp = jax.nn.log_softmax(logits, -1)
-            total += float(lp[0, cfg.blank_id])
-        return total
+    seq_paths = _enumerate_paths(pred, joint, cfg, enc, t, u_max=t)
+    from scipy.special import logsumexp
 
-    # enumerate all alignments with <= u_max total emissions
-    best = (-1e30, None)
-    labels = [i for i in range(cfg.num_classes) if i != cfg.blank_id]
-    per_frame_opts = [()]
-    for r in range(1, u_max + 1):
-        per_frame_opts += list(itertools.product(labels, repeat=r))
-    for combo in itertools.product(per_frame_opts, repeat=t):
-        if sum(len(c) for c in combo) > u_max:
-            continue
-        s = score_path(combo)
-        if s > best[0]:
-            best = (s, tuple(x for c in combo for x in c))
+    posts = {s: float(logsumexp(p)) for s, p in seq_paths.items()}
+    want_seq = max(posts, key=lambda s: posts[s] / (len(s) + 1))
 
     tokens, frames, counts, scores = rnnt_beam_decode(
         pred, joint, enc, lens, cfg,
-        BeamDecodeConfig(beam_size=64, expand_labels=len(labels)),
+        BeamDecodeConfig(beam_size=1100, recombine_dedup=True),
     )
     c = int(counts[0])
     got_seq = tuple(tokens[0, :c].tolist())
-    np.testing.assert_allclose(float(scores[0]), best[0], atol=1e-3)
-    assert got_seq == best[1]
+    assert got_seq == want_seq
+    np.testing.assert_allclose(float(scores[0]), posts[want_seq], atol=1e-3)
+
+
+def test_beam_matches_serial_torch_oracle():
+    """The batched fixed-shape ALSD equals the serial NeMo-reading oracle
+    (tools/torch_reference.rnnt_alsd_reference) token-and-frame exact, in
+    BOTH recombination modes, on weights shared via the fixture converter."""
+    import os
+    import sys
+    import tempfile
+
+    import torch
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from fixture_checkpoints import write_nemo_archive
+    from torch_reference import rnnt_alsd_reference
+
+    from reazonspeech_tpu.convert.nemo_fastconformer import (
+        convert_nemo_checkpoint,
+        read_nemo_tar,
+    )
+    from reazonspeech_tpu.models.fastconformer import FastConformerConfig
+
+    enc_cfg = FastConformerConfig.tiny()
+    rnnt_cfg = RNNTConfig.tiny(enc_dim=enc_cfg.d_model, compute_dtype="float32")
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "model.nemo")
+        write_nemo_archive(p, enc_cfg, rnnt_cfg)
+        params, _, conv_rnnt = convert_nemo_checkpoint(p, os.path.join(td, "c"))
+        sd, _, _ = read_nemo_tar(p)
+    sd = {k: v.float() for k, v in sd.items()}
+    jparams = jax.tree.map(jnp.asarray, params)
+
+    rng = np.random.default_rng(7)
+    enc = rng.standard_normal((2, 12, rnnt_cfg.enc_dim)).astype(np.float32) * 0.5
+    lens = [12, 8]
+    for dedup in (False, True):
+        bt, bf, bc, _ = rnnt_beam_decode(
+            jparams["predictor"], jparams["joint"], jnp.asarray(enc),
+            jnp.asarray(lens), rnnt_cfg,
+            BeamDecodeConfig(beam_size=4, recombine_dedup=dedup),
+        )
+        for i, L in enumerate(lens):
+            rt, rf, _ = rnnt_alsd_reference(
+                sd, torch.from_numpy(enc[i, :L]), rnnt_cfg.vocab_size,
+                beam_size=4, recombine_dedup=dedup,
+            )
+            c = int(bc[i])
+            assert bt[i, :c].tolist() == rt, (dedup, i)
+            assert bf[i, :c].tolist() == rf, (dedup, i)

@@ -59,6 +59,10 @@ BF16_FLIP_MAX = 0.02
 # with random weights both decoders saturate their (different) emission caps,
 # which is cap-shape comparison, not semantics; cap both at 1 symbol/frame
 MAX_SYMBOLS = 1
+# ALSD beam width gated for the nemo flavor (the serving default; NeMo's
+# RNNTDecodingConfig beam default — tools/run_real_parity.py re-checks the
+# published model's decoding section)
+ALSD_BEAM = 4
 
 
 def _interpret_kernels_on_cpu():
@@ -116,9 +120,14 @@ def gate_nemo(nemo_path, size, report):
         convert_nemo_checkpoint,
         read_nemo_tar,
     )
+    from reazonspeech_tpu.decoding.rnnt_beam import BeamDecodeConfig, rnnt_beam_decode
     from reazonspeech_tpu.decoding.rnnt_greedy import GreedyDecodeConfig, rnnt_greedy_decode
     from reazonspeech_tpu.models.fastconformer import fastconformer_encode
-    from torch_reference import nemo_encoder_forward, rnnt_greedy_reference
+    from torch_reference import (
+        nemo_encoder_forward,
+        rnnt_alsd_reference,
+        rnnt_greedy_reference,
+    )
 
     with tempfile.TemporaryDirectory() as td:
         out = os.path.join(td, "converted")
@@ -134,7 +143,7 @@ def gate_nemo(nemo_path, size, report):
 
     t = 256 if size != "tiny" else 64
     clips = _mel_clips(4, t, enc_cfg.feat_in)
-    maes, rels, token_rates = [], [], []
+    maes, rels, token_rates, alsd_rates = [], [], [], []
     flips, devs = [], []
     lnd_flips, lnd_devs, base_bf_flips = [], [], []
     for i, mel in enumerate(clips):
@@ -165,6 +174,24 @@ def gate_nemo(nemo_path, size, report):
         )
         our_tokens = np.asarray(toks)[0, : int(np.asarray(counts)[0])].tolist()
         token_rates.append(_match_rate(ref_tokens, our_tokens))
+
+        # ALSD beam (the reference's serving decode strategy): serial torch
+        # oracle vs the batched fixed-shape JAX beam, token AND frame exact.
+        ref_b = rnnt_alsd_reference(
+            sd, torch.from_numpy(ref_enc), rnnt_cfg.vocab_size,
+            beam_size=ALSD_BEAM, pred_rnn_layers=rnnt_cfg.pred_rnn_layers,
+            joint_activation=rnnt_cfg.joint_activation,
+        )
+        btoks, bframes, bcounts, _ = rnnt_beam_decode(
+            jparams["predictor"], jparams["joint"],
+            jnp.asarray(ours)[None], olens, rnnt_cfg,
+            BeamDecodeConfig(beam_size=ALSD_BEAM),
+        )
+        bc = int(np.asarray(bcounts)[0])
+        our_b = list(zip(np.asarray(btoks)[0, :bc].tolist(),
+                         np.asarray(bframes)[0, :bc].tolist()))
+        ref_bpairs = list(zip(ref_b[0], ref_b[1]))
+        alsd_rates.append(_match_rate(ref_bpairs, our_b))
 
         # bf16-RESIDUAL sensitivity. Serving always computes matmuls in bf16
         # (MXU); the open question is the residual stream dtype, so compare
@@ -210,6 +237,7 @@ def gate_nemo(nemo_path, size, report):
         "encoder_logit_mae": max(maes),
         "encoder_logit_rel": max(rels),
         "token_match_vs_torch": min(token_rates),
+        "alsd_beam_token_match": min(alsd_rates),
         "bf16_residual_token_flip_rate": max(flips),
         "bf16_residual_enc_rel_dev": max(devs),
         "xla_bf16_token_flip_vs_fp32": max(base_bf_flips),
@@ -219,6 +247,7 @@ def gate_nemo(nemo_path, size, report):
             max(maes) < ENC_MAE_TOL
             and max(rels) < ENC_REL_TOL
             and min(token_rates) >= TOKEN_MATCH_MIN
+            and min(alsd_rates) >= TOKEN_MATCH_MIN
         ),
         "bf16_serving_ok": bool(max(flips) <= BF16_FLIP_MAX),
         "lnd_serving_ok": bool(

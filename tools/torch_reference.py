@@ -24,6 +24,7 @@ __all__ = [
     "espnet_encoder_forward",
     "zipformer_encoder_forward",
     "rnnt_greedy_reference",
+    "rnnt_alsd_reference",
     "stateless_greedy_reference",
     "espnet_ctc_log_softmax",
 ]
@@ -171,31 +172,25 @@ def espnet_ctc_log_softmax(sd, enc):
 # ---------------------------------------------------------------------------
 
 
-def rnnt_greedy_reference(sd, enc, vocab_size, pred_rnn_layers=1,
-                          joint_activation="relu", max_symbols=10,
-                          prefix="decoder.prediction", joint_prefix="joint",
-                          blank_first=False):
-    """Greedy RNN-T decode with an LSTM prediction network.
-
-    NeMo convention (default): blank == vocab_size, SOS embeds to zeros.
-    ESPnet convention (blank_first=True, prefix/joint_prefix set to
-    'decoder'/'joint_network' naming by the caller): blank == 0 with a real
-    embedding row. enc: [T, D]. Returns (tokens, frames).
-    """
+def _rnnt_networks(sd, vocab_size, pred_rnn_layers, joint_activation,
+                   prefix, joint_prefix, blank_first):
+    """Build pure (embed, lstm_step, joint, zero_state, blank) closures over
+    a transducer state dict in NeMo naming (default) or espnet JointNetwork
+    naming (blank_first=True). ``lstm_step`` is pure: it returns a NEW state
+    tuple, so beam search can branch states safely."""
     act = {"relu": F.relu, "tanh": torch.tanh, "sigmoid": torch.sigmoid}[joint_activation]
     hidden = sd[f"{prefix}.dec_rnn.lstm.weight_hh_l0" if not blank_first
                 else f"{prefix}.decoder.0.weight_hh_l0"].shape[1]
     blank = 0 if blank_first else vocab_size
 
     def embed(tok):
-        table = sd[f"{prefix}.embed.weight" if not blank_first
-                   else f"{prefix}.embed.weight"]
+        table = sd[f"{prefix}.embed.weight"]
         if not blank_first and tok == blank:
             return torch.zeros(table.shape[1])
         return table[tok]
 
     def lstm_step(x, state):
-        hs, cs = [], []
+        new_state = []
         for li in range(pred_rnn_layers):
             if blank_first:
                 wi = sd[f"{prefix}.decoder.{li}.weight_ih_l0"]
@@ -212,9 +207,9 @@ def rnnt_greedy_reference(sd, enc, vocab_size, pred_rnn_layers=1,
             i, f_, g, o = gates.chunk(4)
             c = torch.sigmoid(f_) * c + torch.sigmoid(i) * torch.tanh(g)
             h = torch.sigmoid(o) * torch.tanh(c)
-            state[li] = (h, c)
+            new_state.append((h, c))
             x = h
-        return x, state
+        return x, tuple(new_state)
 
     def joint(e, g):
         if blank_first:  # espnet JointNetwork naming
@@ -225,8 +220,29 @@ def rnnt_greedy_reference(sd, enc, vocab_size, pred_rnn_layers=1,
                 + _lin(sd, f"{joint_prefix}.pred", g))
         return _lin(sd, f"{joint_prefix}.joint_net.2", z)
 
-    state = [(torch.zeros(hidden), torch.zeros(hidden)) for _ in range(pred_rnn_layers)]
-    g, state = lstm_step(embed(blank), state)
+    def zero_state():
+        return tuple((torch.zeros(hidden), torch.zeros(hidden))
+                     for _ in range(pred_rnn_layers))
+
+    return embed, lstm_step, joint, zero_state, blank
+
+
+def rnnt_greedy_reference(sd, enc, vocab_size, pred_rnn_layers=1,
+                          joint_activation="relu", max_symbols=10,
+                          prefix="decoder.prediction", joint_prefix="joint",
+                          blank_first=False):
+    """Greedy RNN-T decode with an LSTM prediction network.
+
+    NeMo convention (default): blank == vocab_size, SOS embeds to zeros.
+    ESPnet convention (blank_first=True, prefix/joint_prefix set to
+    'decoder'/'joint_network' naming by the caller): blank == 0 with a real
+    embedding row. enc: [T, D]. Returns (tokens, frames).
+    """
+    embed, lstm_step, joint, zero_state, blank = _rnnt_networks(
+        sd, vocab_size, pred_rnn_layers, joint_activation, prefix,
+        joint_prefix, blank_first)
+
+    g, state = lstm_step(embed(blank), zero_state())
     tokens, frames = [], []
     with torch.no_grad():
         for t in range(enc.shape[0]):
@@ -238,6 +254,173 @@ def rnnt_greedy_reference(sd, enc, vocab_size, pred_rnn_layers=1,
                 frames.append(t)
                 g, state = lstm_step(embed(k), state)
     return tokens, frames
+
+
+def rnnt_alsd_reference(sd, enc, vocab_size, beam_size=4,
+                        alsd_max_target_len=1.0, score_norm=True,
+                        recombine_dedup=False, pred_rnn_layers=1,
+                        joint_activation="relu",
+                        prefix="decoder.prediction", joint_prefix="joint",
+                        blank_first=False):
+    """Serial ALSD beam search — our reading of NeMo's
+    ``BeamRNNTInfer.align_length_sync_decoding`` (the decode strategy behind
+    the reference's transcribe, pkg/nemo-asr/src/transcribe.py:48-53 +
+    decode.py:33-40). Alignment-length-synchronous: at loop step i every
+    hypothesis has t + u == i; each proposes a blank extension plus its top
+    ``beam_size`` labels; the top ``beam_size`` of all proposals survive;
+    identical label sequences recombine by log-add into the earliest
+    occurrence (``recombine_dedup=False`` keeps the duplicate in the beam,
+    NeMo's ``recombine_hypotheses`` return-value behavior); a blank extension
+    consuming the last frame is recorded as final; the best final under
+    length-normalised score (``score_norm``, length counts ALSD's leading
+    blank) wins, falling back to the live beam when nothing finalised.
+
+    enc: [T, D]. Returns (tokens, frames, score) of the best hypothesis.
+    """
+    embed, lstm_step, joint, zero_state, blank = _rnnt_networks(
+        sd, vocab_size, pred_rnn_layers, joint_activation, prefix,
+        joint_prefix, blank_first)
+
+    T = enc.shape[0]
+    u_max = int(alsd_max_target_len * T)
+    # candidate labels exclude blank; topk size = beam (NeMo beam expansion)
+    n_labels = min(beam_size, vocab_size - 1 if blank_first else vocab_size)
+    g0, st0 = lstm_step(embed(blank), zero_state())
+    hyps = [{"score": 0.0, "toks": (), "frames": (), "g": g0, "state": st0}]
+    final = []
+
+    def sort_key(h):
+        if score_norm:
+            return h["score"] / (len(h["toks"]) + 1)  # + leading blank
+        return h["score"]
+
+    with torch.no_grad():
+        for i in range(T + u_max):
+            B_ = [h for h in hyps if i - len(h["toks"]) <= T - 1]
+            if not B_:
+                break
+            A = []
+            for hyp in B_:
+                t_idx = i - len(hyp["toks"])
+                logp = F.log_softmax(joint(enc[t_idx], hyp["g"]), dim=-1)
+                blank_hyp = dict(hyp, score=hyp["score"] + float(logp[blank]))
+                A.append(blank_hyp)
+                if t_idx == T - 1:
+                    # value snapshot (NeMo aliases the object; module notes
+                    # in decoding/rnnt_beam.py)
+                    final.append(dict(blank_hyp))
+                label_lp = logp.clone()
+                label_lp[blank] = float("-inf")
+                vals, idxs = label_lp.topk(n_labels)
+                for lv, li in zip(vals.tolist(), idxs.tolist()):
+                    g2, st2 = lstm_step(embed(li), hyp["state"])
+                    A.append({
+                        "score": hyp["score"] + lv,
+                        "toks": hyp["toks"] + (li,),
+                        "frames": hyp["frames"] + (t_idx,),
+                        "g": g2,
+                        "state": st2,
+                    })
+            hyps = sorted(A, key=lambda h: h["score"], reverse=True)[:beam_size]
+            # recombine identical label sequences (log-add into the earliest)
+            leaders = {}
+            kept = []
+            for hyp in hyps:
+                match = leaders.get(hyp["toks"])
+                if match is None:
+                    leaders[hyp["toks"]] = hyp
+                    kept.append(hyp)
+                else:
+                    match["score"] = float(np.logaddexp(match["score"], hyp["score"]))
+                    if not recombine_dedup:
+                        kept.append(hyp)
+            hyps = kept
+
+    pool = final if final else hyps
+    best = max(pool, key=sort_key)
+    return list(best["toks"]), list(best["frames"]), best["score"]
+
+
+def espnet_default_beam_reference(sd, enc, vocab_size, beam_size=20,
+                                  score_norm=True, max_pops_per_frame=None,
+                                  kept_capacity=None, max_tokens=None,
+                                  pred_rnn_layers=1,
+                                  joint_activation="tanh"):
+    """Serial Graves-style transducer beam search — our reading of ESPnet's
+    ``BeamSearchTransducer.default_beam_search`` (the decode behind the
+    reference's ``Speech2Text`` call, pkg/espnet-asr/src/transcribe.py:27-32,69;
+    Speech2Text defaults beam_size=20, score_norm=True, no LM since the
+    reference passes lm_weight=0).
+
+    Time-synchronous best-first expansion per frame: pop the highest-scoring
+    pending hypothesis, add its blank extension to the kept set, push its top
+    ``beam_size`` label extensions (blank is espnet id 0, excluded); the
+    frame ends when at least ``beam_size`` kept hypotheses score above the
+    best pending one (only those survive). Result: best kept hypothesis under
+    ``score / len(yseq)`` (the leading blank counts).
+
+    ``max_pops_per_frame`` bounds the (unbounded in ESPnet) inner loop and
+    ``kept_capacity`` the carried survivor set, so the fixed-shape TPU
+    decoder can be gated token-exact; None reproduces ESPnet. On a capped
+    frame the survivors are the best ``beam_size`` kept hypotheses; a
+    capacity overflow drops the lowest-scoring survivors. enc: [T, D].
+    Returns (tokens, frames, score).
+    """
+    embed, lstm_step, joint, zero_state, blank = _rnnt_networks(
+        sd, vocab_size, pred_rnn_layers, joint_activation,
+        prefix="decoder", joint_prefix="joint_network", blank_first=True)
+    beam = min(beam_size, vocab_size)
+    beam_k = min(beam, vocab_size - 1)
+
+    # hyp: score, toks, frames, last (token fed when scored), state_pre
+    hyps0 = [{"score": 0.0, "toks": (), "frames": (), "last": blank,
+              "state": zero_state()}]
+    kept_hyps = hyps0
+    with torch.no_grad():
+        for t in range(enc.shape[0]):
+            hyps = list(kept_hyps)
+            kept_hyps = []
+            pops = 0
+            while True:
+                max_hyp = max(hyps, key=lambda x: x["score"])
+                hyps.remove(max_hyp)
+                pops += 1
+                dec_out, state = lstm_step(embed(max_hyp["last"]),
+                                           max_hyp["state"])
+                logp = F.log_softmax(joint(enc[t], dec_out), dim=-1)
+                kept_hyps.append(dict(max_hyp,
+                                      score=max_hyp["score"] + float(logp[blank])))
+                if max_tokens is None or len(max_hyp["toks"]) < max_tokens:
+                    vals, idxs = logp[1:].topk(beam_k)
+                    for lv, li in zip(vals.tolist(), idxs.tolist()):
+                        hyps.append({
+                            "score": max_hyp["score"] + lv,
+                            "toks": max_hyp["toks"] + (li + 1,),
+                            "frames": max_hyp["frames"] + (t,),
+                            "last": li + 1,
+                            "state": state,
+                        })
+                hyps_max = max(h["score"] for h in hyps) if hyps else -1e30
+                most_prob = sorted(
+                    (h for h in kept_hyps if h["score"] > hyps_max),
+                    key=lambda x: x["score"])
+                if len(most_prob) >= beam:
+                    kept_hyps = most_prob
+                    break
+                if (max_pops_per_frame is not None
+                        and pops >= max_pops_per_frame) or not hyps:
+                    kept_hyps = sorted(kept_hyps, key=lambda x: x["score"],
+                                       reverse=True)[:beam]
+                    break
+            if kept_capacity is not None and len(kept_hyps) > kept_capacity:
+                kept_hyps = sorted(kept_hyps, key=lambda x: x["score"],
+                                   reverse=True)[:kept_capacity]
+
+    def key(h):
+        return h["score"] / (len(h["toks"]) + 1) if score_norm else h["score"]
+
+    best = max(kept_hyps, key=key)
+    return list(best["toks"]), list(best["frames"]), best["score"]
 
 
 def stateless_greedy_reference(sd, enc, context_size=2, max_symbols=10):
