@@ -38,11 +38,17 @@ def encode_ctc_decode(
 ):
     """One fused pass: frontend → encoder → (CTC log-probs, emissions)."""
     from ...decoding.rnnt_beam import BeamDecodeConfig, rnnt_beam_decode
+    from ...decoding.transducer_graves import GravesBeamConfig, graves_beam_decode
 
     feats, flens = log_mel_spectrogram(waveform, lengths, fe_cfg)
     enc, elens = fastconformer_encode(params["encoder"], feats, flens, enc_cfg)
     lpz_log = jax.nn.log_softmax(ctc_logits(params["ctc"], enc), axis=-1)
-    if isinstance(decode_cfg, BeamDecodeConfig):
+    if isinstance(decode_cfg, GravesBeamConfig):
+        # the reference's decode algorithm (ESPnet default_beam_search)
+        tokens, frames, counts, _, _ = graves_beam_decode(
+            params["predictor"], params["joint"], enc, elens, rnnt_cfg, decode_cfg
+        )
+    elif isinstance(decode_cfg, BeamDecodeConfig):
         tokens, frames, counts, _ = rnnt_beam_decode(
             params["predictor"], params["joint"], enc, elens, rnnt_cfg, decode_cfg
         )
@@ -193,11 +199,17 @@ def load_model_container(
     enc_cfg: Optional[FastConformerConfig] = None,
     rnnt_cfg: Optional[RNNTConfig] = None,
     token_list=None,
-    decoding: str = "greedy",
-    beam_size: int = 4,
+    decoding: str = "beam",
+    beam_size: int = 20,
     seed: int = 0,
 ) -> EspnetTPUModel:
     """Build the espnet-flavor container.
+
+    ``decoding`` selects the decode strategy: "beam" (the DEFAULT — ESPnet's
+    ``default_beam_search`` at Speech2Text's default width 20, exactly what
+    the reference serves via pkg/espnet-asr/src/transcribe.py:27-32,69;
+    oracle-gated in tools/convert_and_gate.py), "alsd" (the NeMo-style
+    alignment-synchronous beam) or "greedy" (the fast path).
 
     Checkpoint resolution is offline-first HF-hub (core/hub.py) and FAILS
     LOUDLY when nothing resolves; pass checkpoint="random" for an explicitly
@@ -263,6 +275,10 @@ def load_model_container(
     tok.types[-1] = 3  # <sos/eos> control
 
     if decoding == "beam":
+        from ...decoding.transducer_graves import GravesBeamConfig
+
+        decode_cfg = GravesBeamConfig(beam_size=beam_size)
+    elif decoding == "alsd":
         from ...decoding.rnnt_beam import BeamDecodeConfig
 
         decode_cfg = BeamDecodeConfig(beam_size=beam_size)

@@ -63,6 +63,8 @@ MAX_SYMBOLS = 1
 # RNNTDecodingConfig beam default — tools/run_real_parity.py re-checks the
 # published model's decoding section)
 ALSD_BEAM = 4
+# ESPnet Speech2Text default beam width (the espnet serving default)
+ESPNET_BEAM = 20
 
 
 def _interpret_kernels_on_cpu():
@@ -269,8 +271,13 @@ def gate_espnet(zoo_dir, size, report):
     from reazonspeech_tpu.models.conformer import ctc_log_softmax
     from reazonspeech_tpu.models.fastconformer import fastconformer_encode
     from reazonspeech_tpu.models.rnnt import RNNTConfig
+    from reazonspeech_tpu.decoding.transducer_graves import (
+        GravesBeamConfig,
+        graves_beam_decode,
+    )
     from torch_reference import (
         espnet_ctc_log_softmax,
+        espnet_default_beam_reference,
         espnet_encoder_forward,
         rnnt_greedy_reference,
     )
@@ -298,7 +305,7 @@ def gate_espnet(zoo_dir, size, report):
 
     t = 256 if size != "tiny" else 64
     clips = _mel_clips(4, t, enc_cfg.feat_in, seed=1)
-    maes, rels, ctc_maes, token_rates = [], [], [], []
+    maes, rels, ctc_maes, token_rates, beam_rates = [], [], [], [], []
     flips, devs = [], []
     for mel in clips:
         with torch.no_grad():
@@ -334,6 +341,27 @@ def gate_espnet(zoo_dir, size, report):
             our_tokens = np.asarray(toks)[0, : int(np.asarray(counts)[0])].tolist()
             token_rates.append(_match_rate(ref_tokens, our_tokens))
 
+            # ESPnet default beam search (the reference's serving decode,
+            # Speech2Text beam 20): serial oracle vs the batched fixed-shape
+            # Graves beam, token AND frame exact (same bounds on both sides)
+            kk = min(ESPNET_BEAM, rnnt_cfg.vocab_size)
+            gcfg = GravesBeamConfig(beam_size=ESPNET_BEAM)
+            ref_b = espnet_default_beam_reference(
+                sd, torch.from_numpy(ref_enc), rnnt_cfg.vocab_size,
+                beam_size=ESPNET_BEAM, max_pops_per_frame=6 * kk + 8,
+                kept_capacity=kk + 12, max_tokens=ref_enc.shape[0],
+                pred_rnn_layers=rnnt_cfg.pred_rnn_layers,
+                joint_activation=rnnt_cfg.joint_activation,
+            )
+            gt_, gf_, gc_, _, _ = graves_beam_decode(
+                jparams["predictor"], jparams["joint"],
+                jnp.asarray(ours_np)[None], olens, rnnt_cfg, gcfg,
+            )
+            gcn = int(np.asarray(gc_)[0])
+            our_gb = list(zip(np.asarray(gt_)[0, :gcn].tolist(),
+                              np.asarray(gf_)[0, :gcn].tolist()))
+            beam_rates.append(_match_rate(list(zip(ref_b[0], ref_b[1])), our_gb))
+
             base_cfg = replace(enc_cfg, compute_dtype="bfloat16")
             bf_cfg = replace(base_cfg, residual_dtype="bfloat16")
             enc_base, lens_b = fastconformer_encode(
@@ -354,12 +382,14 @@ def gate_espnet(zoo_dir, size, report):
         "encoder_logit_rel": max(rels),
         "ctc_log_softmax_mae": max(ctc_maes),
         "token_match_vs_torch": min(token_rates) if token_rates else None,
+        "beam20_token_match": min(beam_rates) if beam_rates else None,
         "bf16_residual_token_flip_rate": max(flips) if flips else None,
         "bf16_residual_enc_rel_dev": max(devs) if devs else None,
         "pass": bool(
             max(maes) < ENC_MAE_TOL
             and max(rels) < ENC_REL_TOL
             and (not token_rates or min(token_rates) >= TOKEN_MATCH_MIN)
+            and (not beam_rates or min(beam_rates) >= TOKEN_MATCH_MIN)
         ),
         "bf16_serving_ok": bool(not flips or max(flips) <= BF16_FLIP_MAX),
     }

@@ -460,6 +460,157 @@ def stateless_greedy_reference(sd, enc, context_size=2, max_symbols=10):
 
 
 # ---------------------------------------------------------------------------
+# frontend oracles (waveform -> features)
+#
+# Independent torch implementations of the three audio frontends the
+# published checkpoints were trained with, written from their sources'
+# published semantics (cited per function) — NOT from reazonspeech_tpu's
+# frontend code. convert_and_gate.py feeds synthetic *waveforms* through
+# these + the encoder oracles and demands end-to-end token parity, which
+# closes the frontend out of the round-2 gate's mel-in blind spot
+# (VERDICT.md round 2, item 2).
+# ---------------------------------------------------------------------------
+
+
+def slaney_mel_banks(n_mels, n_fft, sr, fmin=0.0, fmax=None):
+    """librosa.filters.mel(htk=False, norm='slaney') — the filterbank NeMo
+    and ESPnet pin. Slaney scale: linear below 1 kHz (200/3 Hz per mel),
+    logarithmic above (27 mels per factor 6.4); triangles over FFT bin
+    frequencies; 'slaney' area normalization 2/(f[m+2]-f[m]).
+    Returns torch [n_mels, n_fft//2 + 1]."""
+    if fmax is None:
+        fmax = sr / 2.0
+
+    def hz_to_mel(f):
+        f = np.asarray(f, np.float64)
+        min_log_hz = 1000.0
+        f_sp = 200.0 / 3.0
+        logstep = np.log(6.4) / 27.0
+        mel = f / f_sp
+        above = f >= min_log_hz
+        mel = np.where(above, min_log_hz / f_sp + np.log(np.maximum(f, 1e-10) / min_log_hz) / logstep, mel)
+        return mel
+
+    def mel_to_hz(m):
+        m = np.asarray(m, np.float64)
+        min_log_hz = 1000.0
+        f_sp = 200.0 / 3.0
+        logstep = np.log(6.4) / 27.0
+        min_log_mel = min_log_hz / f_sp
+        f = m * f_sp
+        above = m >= min_log_mel
+        return np.where(above, min_log_hz * np.exp(logstep * (m - min_log_mel)), f)
+
+    mels = np.linspace(hz_to_mel(fmin), hz_to_mel(fmax), n_mels + 2)
+    f_pts = mel_to_hz(mels)  # [n_mels + 2]
+    fft_f = np.arange(n_fft // 2 + 1) * (sr / n_fft)
+    fdiff = np.diff(f_pts)
+    ramps = f_pts[:, None] - fft_f[None, :]
+    lower = -ramps[:-2] / fdiff[:-1, None]
+    upper = ramps[2:] / fdiff[1:, None]
+    w = np.maximum(0.0, np.minimum(lower, upper))
+    enorm = 2.0 / (f_pts[2 : n_mels + 2] - f_pts[:n_mels])
+    w = w * enorm[:, None]
+    return torch.from_numpy(w.astype(np.float32))
+
+
+def kaldi_mel_banks(n_mels, n_fft, sr, fmin=20.0, fmax=None):
+    """Kaldi MelBanks (kaldi-native-fbank): HTK mel scale
+    1127·ln(1 + f/700), triangle weights computed IN MEL DOMAIN, no area
+    norm, and only the first n_fft//2 FFT bins (kaldi's num_fft_bins
+    excludes the nyquist bin). Returns torch [n_mels, n_fft//2]."""
+    if fmax is None or fmax <= 0:
+        fmax = sr / 2.0 + (0.0 if fmax is None else fmax)
+    mel = lambda f: 1127.0 * np.log(1.0 + np.asarray(f, np.float64) / 700.0)
+    mel_low, mel_high = mel(fmin), mel(fmax)
+    delta = (mel_high - mel_low) / (n_mels + 1)
+    bins = np.arange(n_fft // 2) * (sr / n_fft)
+    bin_mel = mel(bins)
+    w = np.zeros((n_mels, n_fft // 2))
+    for m in range(n_mels):
+        left = mel_low + m * delta
+        center = left + delta
+        right = center + delta
+        up = (bin_mel - left) / (center - left)
+        down = (right - bin_mel) / (right - center)
+        w[m] = np.clip(np.minimum(up, down), 0.0, None)
+    return torch.from_numpy(w.astype(np.float32))
+
+
+def nemo_preprocessor_reference(wave, n_mels=80, sr=16000, n_fft=512,
+                                win_length=400, hop_length=160):
+    """NeMo AudioToMelSpectrogramPreprocessor (FilterbankFeatures) in eval
+    mode: dither 0, global preemphasis 0.97, symmetric hann, centered
+    reflect-pad torch.stft, power spectrum, librosa slaney mel, log(x+2^-24),
+    per-feature normalization over the valid frames (unbiased std + 1e-5).
+    wave: np/torch [N] -> torch [T, n_mels]."""
+    x = torch.as_tensor(wave, dtype=torch.float32)
+    x = torch.cat([x[:1], x[1:] - 0.97 * x[:-1]])
+    window = torch.hann_window(win_length, periodic=False)
+    spec = torch.stft(x, n_fft=n_fft, hop_length=hop_length,
+                      win_length=win_length, window=window, center=True,
+                      return_complex=True)
+    power = spec.real ** 2 + spec.imag ** 2  # [K, T]
+    mel = slaney_mel_banks(n_mels, n_fft, sr)
+    feats = torch.log(mel @ power + 2.0 ** -24)  # [n_mels, T]
+    mean = feats.mean(dim=1, keepdim=True)
+    std = feats.std(dim=1, keepdim=True) + 1e-5
+    return ((feats - mean) / std).T  # [T, n_mels]
+
+
+def kaldi_fbank_reference(wave, n_mels=80, sr=16000, n_fft=512,
+                          win_length=400, hop_length=160):
+    """kaldi-native-fbank as sherpa-onnx configures it
+    (pkg/k2-asr/src/huggingface.py:79-80: 16 kHz, 80-dim): dither 0,
+    snip_edges=False (frame t centered at t·hop + hop/2, kaldi symmetric
+    edge reflection), per-frame DC removal, per-frame preemphasis 0.97
+    (first sample against itself), povey window (hann^0.85), zero-pad to
+    n_fft, power spectrum, HTK-mel-domain banks (fmin 20), log with
+    float32-eps clamp, no feature normalization. wave: [N] ->
+    torch [T, n_mels]."""
+    x = torch.as_tensor(wave, dtype=torch.float32)
+    n = x.shape[0]
+    t_out = (n + hop_length // 2) // hop_length
+    idx0 = np.arange(win_length)
+    hann = 0.5 - 0.5 * np.cos(2 * np.pi * idx0 / (win_length - 1))
+    povey = torch.from_numpy((hann ** 0.85).astype(np.float32))
+    mel = kaldi_mel_banks(n_mels, n_fft, sr)
+    eps = float(np.finfo(np.float32).eps)
+    out = []
+    for t in range(t_out):
+        start = t * hop_length + hop_length // 2 - win_length // 2
+        sidx = start + idx0
+        # kaldi ExtractWindow reflection: s < 0 -> -s-1 ; s >= n -> 2n-1-s
+        sidx = np.where(sidx < 0, -sidx - 1, sidx)
+        sidx = np.where(sidx >= n, 2 * n - 1 - sidx, sidx)
+        fr = x[torch.from_numpy(sidx)]
+        fr = fr - fr.mean()
+        fr = torch.cat([fr[:1] * (1.0 - 0.97), fr[1:] - 0.97 * fr[:-1]])
+        fr = fr * povey
+        spec = torch.fft.rfft(fr, n=n_fft)
+        power = (spec.real ** 2 + spec.imag ** 2)[: n_fft // 2]
+        out.append(torch.log(torch.clamp(mel @ power, min=eps)))
+    return torch.stack(out)  # [T, n_mels]
+
+
+def espnet_frontend_reference(wave, n_mels=80, sr=16000, n_fft=512,
+                              win_length=400, hop_length=160):
+    """ESPnet2 default frontend: torch.stft with periodic hann (centered
+    reflect-pad), power spectrum, librosa slaney mel, natural log with
+    1e-10 clamp. (GlobalMVN, when the model config carries one, is applied
+    by the model conversion, not here.) wave: [N] -> torch [T, n_mels]."""
+    x = torch.as_tensor(wave, dtype=torch.float32)
+    window = torch.hann_window(win_length)  # periodic
+    spec = torch.stft(x, n_fft=n_fft, hop_length=hop_length,
+                      win_length=win_length, window=window, center=True,
+                      return_complex=True)
+    power = spec.real ** 2 + spec.imag ** 2  # [K, T]
+    mel = slaney_mel_banks(n_mels, n_fft, sr)
+    feats = torch.clamp(mel @ power, min=1e-10).log()
+    return feats.T  # [T, n_mels]
+
+
+# ---------------------------------------------------------------------------
 # zipformer oracle
 # ---------------------------------------------------------------------------
 
