@@ -398,71 +398,157 @@ def greedy_generate(params, cfg: AVHubertConfig, enc, enc_mask, max_length=128,
 
 def beam_generate(params, cfg: AVHubertConfig, enc, enc_mask, num_beams=5,
                   max_length=128, length_penalty=1.0, dtype=jnp.float32):
-    """Beam search; returns best tokens [B, max_length] (eos-padded)."""
+    """Beam search with HF ``BeamSearchScorer`` semantics (the reference's
+    ``generate(num_beams=5)``, modeling_avhubert.py:330-370 + transformers
+    beam_search; gated token-for-token against
+    tools/torch_reference.py:avhubert_beam_reference):
+
+    - per step the top 2·beam candidates are processed in rank order; an EOS
+      candidate (rank < beam only) banks its running hypothesis into a
+      worst-replaced pool of size ``beam`` scored
+      ``sum_logprobs / len^length_penalty`` (len counts the decoder-start
+      token, not the EOS); the first ``beam`` non-EOS candidates become the
+      next beams;
+    - early_stopping=False: a batch element finishes when its pool is full
+      and the worst pooled score beats best_candidate/(cur_len+1)^penalty,
+      else at ``max_length`` generated tokens, where the surviving beams are
+      banked too.
+
+    Returns the best hypothesis's generated tokens [B, max_length]
+    (eos-padded; no leading bos)."""
     b, t_enc, d_enc = enc.shape
     k = num_beams
     vocab = cfg.vocab_size
     dd = cfg.decoder_hidden_size
     n_layers = cfg.decoder_layers
+    eos = cfg.eos_token_id
+    neg = jnp.float32(-1e9)
+    bi = jnp.arange(b)
 
-    # expand encoder states to beams: [B*k, ...]
     enc_x = jnp.repeat(enc, k, axis=0)
     mask_x = jnp.repeat(enc_mask, k, axis=0)
 
     kc = jnp.zeros((n_layers, b * k, max_length, dd), dtype)
     vc = jnp.zeros((n_layers, b * k, max_length, dd), dtype)
-    tokens = jnp.full((b, k, max_length), cfg.eos_token_id, jnp.int32)
-    scores = jnp.tile(
-        jnp.array([0.0] + [-1e9] * (k - 1), jnp.float32), (b, 1)
-    )  # only beam 0 live at start
+    tokens = jnp.full((b, k, max_length), eos, jnp.int32)
+    scores = jnp.tile(jnp.array([0.0] + [-1e9] * (k - 1), jnp.float32), (b, 1))
     cur = jnp.full((b * k,), cfg.bos_token_id, jnp.int32)
-    done = jnp.zeros((b, k), bool)
+    done = jnp.zeros((b,), bool)
+
+    pool_norm = jnp.full((b, k), neg)
+    pool_tokens = jnp.full((b, k, max_length), eos, jnp.int32)
+    pool_count = jnp.zeros((b, k), jnp.int32)  # generated tokens banked
+    pool_eos = jnp.zeros((b, k), bool)
+
+    def pool_insert(pool, ins, cand_norm, cand_tokens, cand_count, cand_eos):
+        """HF BeamHypotheses.add: replace the worst slot when better (empty
+        slots are -1e9 and always lose). ``ins`` masks per batch element."""
+        pn, pt, pc, pe = pool
+        worst = jnp.argmin(pn, axis=1)  # [B]
+        do = ins & (cand_norm > pn[bi, worst])
+        # masked scatter: write only where do
+        pn = pn.at[bi, worst].set(jnp.where(do, cand_norm, pn[bi, worst]))
+        pt = pt.at[bi, worst].set(
+            jnp.where(do[:, None], cand_tokens, pt[bi, worst]))
+        pc = pc.at[bi, worst].set(jnp.where(do, cand_count, pc[bi, worst]))
+        pe = pe.at[bi, worst].set(jnp.where(do, cand_eos, pe[bi, worst]))
+        return (pn, pt, pc, pe)
 
     def cond(state):
-        pos = state[0]
-        done = state[4]
+        pos, done = state[0], state[5]
         return (pos < max_length) & ~jnp.all(done)
 
     def body(state):
-        pos, cur, caches, scores, done, tokens = state
-        logits, caches = _decode_step(
+        (pos, cur, caches, scores, tokens, done,
+         pool_norm, pool_tokens, pool_count, pool_eos) = state
+        logits, new_caches = _decode_step(
             params, cfg, cur, pos, caches, enc_x, mask_x, dtype
         )
         logp = jax.nn.log_softmax(logits, axis=-1).reshape(b, k, vocab)
-        # finished beams only extend with EOS at no cost
-        eos_only = jnp.full((vocab,), -1e9).at[cfg.eos_token_id].set(0.0)
-        logp = jnp.where(done[..., None], eos_only[None, None], logp)
 
         cand = scores[..., None] + logp  # [B, k, V]
-        flat = cand.reshape(b, k * vocab)
-        top_scores, top_idx = jax.lax.top_k(flat, k)  # [B, k]
-        beam_idx = top_idx // vocab  # source beam
-        tok_idx = (top_idx % vocab).astype(jnp.int32)
+        vals, idx = jax.lax.top_k(cand.reshape(b, k * vocab), 2 * k)
+        src = idx // vocab
+        tok = (idx % vocab).astype(jnp.int32)
+        is_eos = tok == eos
 
-        # reorder beam state
-        gather = beam_idx + jnp.arange(b)[:, None] * k  # flat [B, k]
-        gflat = gather.reshape(-1)
-        caches = (caches[0][:, gflat], caches[1][:, gflat])
-        tokens = jnp.take_along_axis(tokens, beam_idx[..., None], axis=1)
-        tokens = jax.lax.dynamic_update_index_in_dim(tokens, tok_idx, pos, axis=2)
-        done = jnp.take_along_axis(done, beam_idx, axis=1) | (
-            tok_idx == cfg.eos_token_id
-        )
-        return (pos + 1, tok_idx.reshape(-1), caches, top_scores, done, tokens)
+        # --- bank EOS candidates of rank < k (sequential worst-replacement,
+        # exactly HF's in-order adds) ---------------------------------------
+        pool = (pool_norm, pool_tokens, pool_count, pool_eos)
+        hyp_len = (pos + 1).astype(jnp.float32)  # incl decoder-start
+        for r in range(k):
+            ins = ~done & is_eos[:, r]
+            norm_r = vals[:, r] / jnp.power(hyp_len, length_penalty)
+            cand_tokens = tokens[bi, src[:, r]]  # [B, U] (no new token)
+            pool = pool_insert(pool, ins, norm_r, cand_tokens, pos, True)
+        pool_norm, pool_tokens, pool_count, pool_eos = pool
 
-    pos, _, _, scores, done, tokens = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), cur, (kc, vc), scores, done, tokens)
-    )
+        # --- next beams: first k non-EOS candidates in rank order ----------
+        keep = ~is_eos  # [B, 2k]
+        slot = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1  # target slot
+        valid = keep & (slot < k)
+        slot_w = jnp.where(valid, slot, k)  # k = scratch column
+        new_scores = jnp.full((b, k + 1), neg)
+        new_src = jnp.zeros((b, k + 1), jnp.int32)
+        new_tok = jnp.full((b, k + 1), eos, jnp.int32)
+        new_scores = new_scores.at[bi[:, None], slot_w].set(
+            jnp.where(valid, vals, neg))
+        new_src = new_src.at[bi[:, None], slot_w].set(jnp.where(valid, src, 0))
+        new_tok = new_tok.at[bi[:, None], slot_w].set(
+            jnp.where(valid, tok, eos))
+        new_scores, new_src, new_tok = (
+            new_scores[:, :k], new_src[:, :k], new_tok[:, :k])
 
-    # length-penalized best beam
-    lengths = jnp.argmax(
-        (tokens == cfg.eos_token_id)
-        | (jnp.arange(max_length)[None, None] == max_length - 1),
-        axis=-1,
-    ) + 1
-    norm = scores / jnp.power(lengths.astype(jnp.float32), length_penalty)
-    best = jnp.argmax(norm, axis=1)
-    return jnp.take_along_axis(tokens, best[:, None, None], axis=1)[:, 0]
+        # --- reorder beam state, append the new token ----------------------
+        gflat = (new_src + bi[:, None] * k).reshape(-1)
+        new_caches = (new_caches[0][:, gflat], new_caches[1][:, gflat])
+        new_tokens = jnp.take_along_axis(tokens, new_src[..., None], axis=1)
+        new_tokens = jax.lax.dynamic_update_index_in_dim(
+            new_tokens, new_tok, pos, axis=2)
+
+        # --- is_done (early_stopping=False) --------------------------------
+        pool_full = jnp.sum(pool_norm > neg / 2, axis=1) >= k
+        worst = jnp.min(pool_norm, axis=1)
+        cur_len = (pos + 2).astype(jnp.float32)
+        done_now = pool_full & (
+            worst >= vals[:, 0] / jnp.power(cur_len, length_penalty))
+        new_done = done | done_now
+
+        # freeze finished elements
+        fz = lambda new, old: jnp.where(
+            done.reshape((b,) + (1,) * (new.ndim - 1)), old, new)
+        scores = fz(new_scores, scores)
+        tokens = fz(new_tokens, tokens)
+        cache_mask = jnp.repeat(done, k)
+        caches = tuple(
+            jnp.where(cache_mask[None, :, None, None], o, n)
+            for n, o in zip(new_caches, caches))
+        cur = jnp.where(jnp.repeat(done, k), cur, new_tok.reshape(-1))
+
+        return (pos + 1, cur, caches, scores, tokens, new_done,
+                pool_norm, pool_tokens, pool_count, pool_eos)
+
+    state = (jnp.int32(0), cur, (kc, vc), scores, tokens, done,
+             pool_norm, pool_tokens, pool_count, pool_eos)
+    (pos, _, _, scores, tokens, done,
+     pool_norm, pool_tokens, pool_count, pool_eos) = jax.lax.while_loop(
+        cond, body, state)
+
+    # finalize: batches that hit max_length bank their surviving beams
+    pool = (pool_norm, pool_tokens, pool_count, pool_eos)
+    fin_len = (pos + 1).astype(jnp.float32)
+    for i in range(k):
+        norm_i = scores[:, i] / jnp.power(fin_len, length_penalty)
+        pool = pool_insert(pool, ~done, norm_i, tokens[:, i], pos, False)
+    pool_norm, pool_tokens, pool_count, pool_eos = pool
+
+    best = jnp.argmax(pool_norm, axis=1)
+    out = pool_tokens[bi, best]
+    cnt = pool_count[bi, best]
+    # eos-pad beyond the hypothesis (HF appends eos when one was emitted;
+    # the buffer is eos-padded either way, callers stop at the first eos)
+    out = jnp.where(jnp.arange(max_length)[None, :] < cnt[:, None], out, eos)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -22,6 +22,8 @@ ESPnet's macaron order is FFN_macaron → MHSA → conv → FFN, mapping onto ou
 block as ffn1 = feed_forward_macaron, ffn2 = feed_forward.
 """
 
+import os
+
 import numpy as np
 
 from ..models.fastconformer import FastConformerConfig
@@ -172,24 +174,82 @@ def infer_config_from_espnet(encoder_conf):
     return espnet_encoder_config(**kw)
 
 
+def load_global_mvn_stats(config_yaml):
+    """Locate and load GlobalMVN feature-normalization stats when the config
+    pins ``normalize: global_mvn`` (the published reazonspeech-espnet-v2
+    recipe normalizes log-mel features with corpus statistics — without them
+    real weights decode garbage). Accepts every espnet2 GlobalMVN stats
+    layout: {count,sum,sum_square} npz, {mean,std} npz, and the legacy
+    [2, D+1] array. The recorded stats_file path is usually the training
+    machine's absolute path, so the basename is searched next to the config.
+
+    Returns {"mean": [D], "std": [D]} (np.float32) or None."""
+    import glob as _glob
+
+    import yaml
+
+    with open(config_yaml) as f:
+        cfg = yaml.safe_load(f)
+    if (cfg or {}).get("normalize") != "global_mvn":
+        return None
+    conf = cfg.get("normalize_conf") or {}
+    base = os.path.dirname(os.path.abspath(config_yaml))
+    cands = []
+    rec = conf.get("stats_file")
+    if rec:
+        cands += [rec, os.path.join(base, os.path.basename(rec))]
+    cands += sorted(_glob.glob(os.path.join(base, "**", "*stats*.npz"),
+                               recursive=True))
+    for cand in cands:
+        if cand and os.path.exists(cand):
+            stats = np.load(cand)
+            if isinstance(stats, np.ndarray):  # legacy [2, D+1]
+                count = stats[0].flatten()[-1]
+                mean = stats[0, :-1] / count
+                var = stats[1, :-1] / count - mean * mean
+            elif "count" in stats:
+                count = float(np.asarray(stats["count"]).reshape(-1)[0])
+                mean = np.asarray(stats["sum"], np.float64).reshape(-1) / count
+                var = (np.asarray(stats["sum_square"], np.float64).reshape(-1)
+                       / count - mean * mean)
+            elif "mean" in stats:
+                mean = np.asarray(stats["mean"], np.float64).reshape(-1)
+                var = np.square(
+                    np.asarray(stats["std"], np.float64).reshape(-1))
+            else:
+                continue
+            std = np.sqrt(np.maximum(var, 1.0e-20))
+            return {"mean": mean.astype(np.float32),
+                    "std": std.astype(np.float32)}
+    raise FileNotFoundError(
+        f"{config_yaml} pins normalize: global_mvn but no stats npz was "
+        "found next to it — download feats_stats.npz from the model repo")
+
+
 def convert_espnet_checkpoint(pth_path, out_path, enc_cfg=None, config_yaml=None):
     import torch
 
     sd = torch.load(pth_path, map_location="cpu", weights_only=True)
     token_list = None
+    mvn = None
     if config_yaml:
         token_list, encoder_conf = read_espnet_config(config_yaml)
         if enc_cfg is None:
             enc_cfg = infer_config_from_espnet(encoder_conf)
+        mvn = load_global_mvn_stats(config_yaml)
     if enc_cfg is None:
         from ..models.conformer import espnet_encoder_config
 
         enc_cfg = espnet_encoder_config()
     params = convert_espnet_state_dict(sd, enc_cfg)
+    if mvn is not None:
+        params["normalize"] = mvn
     meta = {
         "flavor": "espnet",
         "enc_cfg": {k: getattr(enc_cfg, k) for k in enc_cfg.__dataclass_fields__},
     }
+    if mvn is not None:
+        meta["normalize"] = "global_mvn"
     if "predictor" in params and "joint" in params:
         # espnet2 transducer conventions: LSTM predictor, blank id 0 sharing
         # the embedding table, tanh joint (JointNetwork default)

@@ -32,6 +32,19 @@ HF_REPO_ID = "reazon-research/reazonspeech-espnet-v2"
 BUCKET_SAMPLES = 2 * 16000  # chunks are ≤ 20 s; 2 s buckets bound recompiles
 
 
+def _apply_mvn(params, feats, flens):
+    """GlobalMVN feature normalization (espnet2/layers/global_mvn.py: the
+    published espnet-v2 recipe normalizes log-mel with corpus stats that the
+    converter folds into params['normalize']). Padded frames are re-zeroed —
+    the subsampling convs must not see the normalized-zero bias."""
+    if "normalize" not in params:
+        return feats
+    n = params["normalize"]
+    out = (feats - n["mean"]) / n["std"]
+    mask = jnp.arange(feats.shape[1])[None, :] < flens[:, None]
+    return jnp.where(mask[..., None], out, 0.0)
+
+
 @partial(jax.jit, static_argnames=("fe_cfg", "enc_cfg", "rnnt_cfg", "decode_cfg"))
 def encode_ctc_decode(
     params, waveform, lengths, fe_cfg, enc_cfg, rnnt_cfg, decode_cfg
@@ -41,6 +54,7 @@ def encode_ctc_decode(
     from ...decoding.transducer_graves import GravesBeamConfig, graves_beam_decode
 
     feats, flens = log_mel_spectrogram(waveform, lengths, fe_cfg)
+    feats = _apply_mvn(params, feats, flens)
     enc, elens = fastconformer_encode(params["encoder"], feats, flens, enc_cfg)
     lpz_log = jax.nn.log_softmax(ctc_logits(params["ctc"], enc), axis=-1)
     if isinstance(decode_cfg, GravesBeamConfig):
@@ -63,6 +77,7 @@ def encode_ctc_decode(
 def encode_ctc(params, waveform, lengths, fe_cfg, enc_cfg):
     """frontend → encoder → CTC softmax probabilities (the lpz matrix)."""
     feats, flens = log_mel_spectrogram(waveform, lengths, fe_cfg)
+    feats = _apply_mvn(params, feats, flens)
     enc, elens = fastconformer_encode(params["encoder"], feats, flens, enc_cfg)
     lpz = jax.nn.softmax(ctc_logits(params["ctc"], enc), axis=-1)
     return lpz, elens
@@ -245,11 +260,15 @@ def load_model_container(
     if rnnt_cfg is None and meta.get("rnnt_cfg"):
         rnnt_cfg = RNNTConfig(**meta["rnnt_cfg"])
     if rnnt_cfg is None:
+        # espnet2 TransducerDecoder/JointNetwork conventions: blank id 0
+        # shares the embedding table, tanh joint
         rnnt_cfg = RNNTConfig(
             vocab_size=num_tokens,
             enc_dim=enc_cfg.d_model,
             pred_hidden=256 if enc_cfg.d_model >= 256 else 64,
             joint_hidden=256 if enc_cfg.d_model >= 256 else 64,
+            joint_activation="tanh",
+            blank_position="first",
         )
 
     if params is None:

@@ -192,11 +192,14 @@ def _pad_for_framing(x, cfg: FrontendConfig):
         first = (cfg.n_fft - win) // 2
     elif cfg.framing == "kaldi":
         t_out = (n + hop // 2) // hop
-        # frame t covers [t*hop + hop/2 - win/2, ... + win); reflect-pad enough
-        # on both sides. Kaldi reflects around the array edge.
+        # frame t covers [t*hop + hop/2 - win/2, ... + win); pad enough on
+        # both sides. Kaldi's ExtractWindow maps an out-of-range sample s to
+        # -s-1 (left) / 2n-1-s (right), i.e. SYMMETRIC padding — the edge
+        # sample is duplicated (feature-window.cc semantics; "reflect" would
+        # skip it and shift every edge frame by one sample).
         left = max(0, (win - hop) // 2 + 1)
         right = win + hop
-        x = jnp.pad(x, ((0, 0), (left, right)), mode="reflect")
+        x = jnp.pad(x, ((0, 0), (left, right)), mode="symmetric")
         first = left + hop // 2 - win // 2
     else:
         raise ValueError(cfg.framing)

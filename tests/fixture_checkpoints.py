@@ -357,6 +357,19 @@ def write_espnet_zoo(dirpath, enc_cfg, token_list, rnnt_cfg=None, sd=None):
     run = os.path.join(dirpath, "exp", "asr_train_asr_conformer_raw_jp_char")
     os.makedirs(run, exist_ok=True)
     sd = sd or synth_espnet_state_dict(enc_cfg, len(token_list), rnnt_cfg)
+    # GlobalMVN stats in the espnet collect_stats npz layout (the published
+    # recipe normalizes features; the recorded stats_file path is the
+    # training machine's — converters must fall back to the basename)
+    rng = np.random.default_rng(7)
+    count = 5000.0
+    mean = rng.normal(-4.0, 1.0, enc_cfg.feat_in)
+    var = rng.uniform(2.0, 6.0, enc_cfg.feat_in)
+    np.savez(
+        os.path.join(run, "feats_stats.npz"),
+        count=np.array([count]),
+        sum=mean * count,
+        sum_square=(var + mean * mean) * count,
+    )
     config = {
         "token_list": list(token_list),
         "encoder": "conformer",
@@ -366,6 +379,10 @@ def write_espnet_zoo(dirpath, enc_cfg, token_list, rnnt_cfg=None, sd=None):
             "num_blocks": enc_cfg.num_layers,
             "linear_units": enc_cfg.d_model * enc_cfg.ff_expansion,
             "cnn_module_kernel": enc_cfg.conv_kernel,
+        },
+        "normalize": "global_mvn",
+        "normalize_conf": {
+            "stats_file": "/training/machine/path/feats_stats.npz"
         },
     }
     with open(os.path.join(run, "config.yaml"), "w") as f:

@@ -132,6 +132,55 @@ def test_generate_greedy_and_beam(tiny):
     assert (np.asarray(b) >= 0).all() and (np.asarray(b) < cfg.vocab_size).all()
 
 
+@pytest.mark.parametrize("eos_factor", [1.0, 1.5])
+def test_beam_generate_matches_hf_semantics_oracle(eos_factor):
+    """generate(num_beams=5) == the serial HF-BeamSearchScorer oracle
+    (tools/torch_reference.py:avhubert_beam_reference) token-for-token.
+    eos_factor=1.5 reshapes the eos embedding so EOS candidates rank inside
+    the top beam — exercising the hypothesis banking / worst-replacement
+    pool, not just the plain beam path."""
+    import os
+    import sys
+    import tempfile
+
+    import torch
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from fixture_checkpoints import write_avhubert_hf_dir
+    from torch_reference import avhubert_beam_reference, avhubert_encoder_forward
+
+    from reazonspeech_tpu.avsr.model import AVHubertForConditionalGeneration
+
+    with tempfile.TemporaryDirectory() as td:
+        cfg = AVHubertConfig.tiny(audio_feat_dim=104)
+        write_avhubert_hf_dir(td, cfg)
+        sd_path = os.path.join(td, "pytorch_model.bin")
+        sd = torch.load(sd_path, map_location="cpu", weights_only=True)
+        if eos_factor != 1.0:
+            key = "model.decoder.embed_tokens.weight"
+            sd[key] = sd[key].clone()
+            sd[key][cfg.eos_token_id] = sd[key][36] * eos_factor
+            torch.save(sd, sd_path)
+        model = AVHubertForConditionalGeneration.from_pretrained(td)
+        sd = {k: v.float() for k, v in sd.items()}
+
+    rng = np.random.default_rng(10)
+    for _ in range(2):
+        audio = rng.standard_normal((24, cfg.audio_feat_dim)).astype(np.float32)
+        with torch.no_grad():
+            ref_enc = avhubert_encoder_forward(sd, cfg, torch.from_numpy(audio))
+            ref = avhubert_beam_reference(sd, cfg, ref_enc, num_beams=5,
+                                          max_length=9)
+        out = np.asarray(
+            model.generate(audio=audio[None], num_beams=5, max_length=8))[0]
+        ours = []
+        for tok in out.tolist():
+            ours.append(int(tok))
+            if tok == cfg.eos_token_id:
+                break
+        assert ours == ref[1:]
+
+
 def test_processor_targets(tiny):
     cfg, _ = tiny
     from reazonspeech_tpu.core.tokenizer import CharTokenizer

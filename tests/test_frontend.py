@@ -1,3 +1,6 @@
+import os
+import sys
+
 import numpy as np
 import pytest
 
@@ -5,6 +8,7 @@ import jax.numpy as jnp
 
 from reazonspeech_tpu.frontend.features import (
     FrontendConfig,
+    espnet_frontend_config,
     kaldi_frontend_config,
     log_mel_spectrogram,
     nemo_frontend_config,
@@ -12,6 +16,10 @@ from reazonspeech_tpu.frontend.features import (
 )
 from reazonspeech_tpu.frontend.mel import hz_to_mel, mel_filterbank, mel_to_hz
 from reazonspeech_tpu.frontend.resample import resample
+
+# the torch-side frontend oracles (independent implementations of the
+# published frontends' semantics — NOT built from reazonspeech_tpu code)
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
 
 def chirp(sr, seconds, f0=100.0, f1=3800.0, seed=0):
@@ -55,38 +63,60 @@ def test_mel_filterbank_kaldi_style():
 # STFT framing parity vs torch.stft (the semantics NeMo/ESPnet rely on)
 # ---------------------------------------------------------------------------
 
-def torch_logmel_reference(x, cfg):
-    """Straight reimplementation of the NeMo preprocessor using torch.stft."""
+def test_mel_filterbank_matches_independent_slaney():
+    """Our numpy filterbank vs the oracle's torch derivation of librosa's
+    slaney/slaney banks (tools/torch_reference.py — written from the
+    published formula, not from frontend/mel.py). Closes the round-2
+    circularity where the 'torch reference' borrowed our own filterbank."""
+    from torch_reference import slaney_mel_banks
+
+    ours = mel_filterbank(80, 512, 16000)
+    theirs = slaney_mel_banks(80, 512, 16000).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-7)
+
+
+def test_mel_filterbank_matches_independent_kaldi():
+    from torch_reference import kaldi_mel_banks
+
+    ours = mel_filterbank(
+        80, 512, 16000, fmin=20.0, scale="htk", norm=None, triangle_domain="mel"
+    )
+    theirs = kaldi_mel_banks(80, 512, 16000).numpy()  # [80, 256] (no nyquist)
+    np.testing.assert_allclose(ours[:, :256], theirs, atol=1e-6)
+    # kaldi's banks stop before nyquist; ours must give it no weight beyond
+    # the triangle tail (the power there is ~0 anyway)
+    assert ours[:, 256].max() <= ours.max()
+
+
+@pytest.mark.parametrize("preset,oracle_name", [
+    ("nemo", "nemo_preprocessor_reference"),
+    ("kaldi", "kaldi_fbank_reference"),
+    ("espnet", "espnet_frontend_reference"),
+])
+def test_frontend_presets_match_torch_oracles(preset, oracle_name):
+    """Full numeric parity of every frontend preset against its independent
+    torch oracle (waveform in, features out) — replaces the round-2
+    shape-only kaldi and framing-only espnet checks."""
     import torch
 
-    xt = torch.from_numpy(np.asarray(x))
-    if cfg.preemph is not None:
-        xt = torch.cat((xt[:1], xt[1:] - cfg.preemph * xt[:-1]))
-    window = torch.hann_window(cfg.win_length, periodic=False, dtype=torch.float64)
-    spec = torch.stft(
-        xt.double(),
-        n_fft=cfg.n_fft,
-        hop_length=cfg.hop_length,
-        win_length=cfg.win_length,
-        window=window,
-        center=True,
-        return_complex=True,
-    )
-    power = spec.abs().pow(2.0).numpy()  # [n_bins, T]
-    fb = mel_filterbank(cfg.n_mels, cfg.n_fft, cfg.sample_rate, dtype=np.float64)
-    feats = np.log(fb @ power + cfg.log_zero_guard)  # [n_mels, T]
-    mean = feats.mean(axis=1, keepdims=True)
-    std = feats.std(axis=1, ddof=1, keepdims=True)
-    return ((feats - mean) / (std + cfg.normalize_eps)).T  # [T, n_mels]
+    import torch_reference as tr
 
-
-def test_nemo_frontend_matches_torch_reference():
-    cfg = nemo_frontend_config()
-    x = chirp(16000, 1.0)
-    got, lens = log_mel_spectrogram(jnp.asarray(x)[None], jnp.array([len(x)]), cfg)
-    want = torch_logmel_reference(x, cfg)
-    assert got.shape[1] == want.shape[0] == int(lens[0]) == len(x) // 160 + 1
-    np.testing.assert_allclose(np.asarray(got[0]), want, atol=2e-3, rtol=1e-3)
+    cfg = {
+        "nemo": nemo_frontend_config,
+        "kaldi": kaldi_frontend_config,
+        "espnet": espnet_frontend_config,
+    }[preset]()
+    oracle = getattr(tr, oracle_name)
+    for seconds, seed in ((1.0, 0), (0.53, 3)):
+        x = chirp(16000, seconds, seed=seed)
+        got, lens = log_mel_spectrogram(
+            jnp.asarray(x)[None], jnp.array([len(x)]), cfg)
+        with torch.no_grad():
+            want = oracle(x, n_mels=cfg.n_mels).numpy()
+        t = int(lens[0])
+        assert t == want.shape[0]
+        np.testing.assert_allclose(
+            np.asarray(got[0, :t]), want, atol=2e-3, rtol=1e-3)
 
 
 def test_frontend_padding_invariance():

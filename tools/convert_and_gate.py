@@ -9,11 +9,22 @@ unproven. This tool closes that loop for whatever checkpoints are available:
   stage 2  ENCODER LOGIT PARITY: identical features through the torch oracle
            (tools/torch_reference.py, independent reimplementation of the
            published architectures) and our JAX encoder; gate max|Δ|/rel-Δ;
-  stage 3  GREEDY TOKEN PARITY: full oracle pipeline vs full JAX pipeline,
+  stage 3  TOKEN PARITY: full oracle pipeline vs full JAX pipeline,
            token-for-token (both from their own encoder outputs for
            nemo/espnet; shared encoder output for k2, whose torch-side
            encoder oracle does not exist — the ONNX/pt converters are gated
-           structurally + by decoder/joiner token parity);
+           structurally + by decoder/joiner token parity). Covers BOTH the
+           greedy path and the reference's serving beam: NeMo ALSD
+           (alsd_beam_token_match, beam 4) for nemo and ESPnet
+           default_beam_search (beam20_token_match, beam 20) for espnet,
+           each against its serial oracle;
+  stage 3b WAVEFORM-IN PARITY: synthetic waveforms through the oracle
+           frontends (torch.stft NeMo preprocessor / kaldi-native-fbank
+           semantics / espnet STFT+LogMel — independent implementations in
+           torch_reference.py) + oracle encoder + oracle greedy, vs our
+           frontend + encoder + greedy: wave_feature_mae and
+           wave_token_match gate the frontends end-to-end (VERDICT r2
+           item 2);
   stage 4  BF16-RESIDUAL CHECK: our pipeline with residual_dtype=float32 vs
            bfloat16 — token flip rate decides whether the serving default
            keeps bf16 (VERDICT item "What's missing" 4);
@@ -65,6 +76,8 @@ MAX_SYMBOLS = 1
 ALSD_BEAM = 4
 # ESPnet Speech2Text default beam width (the espnet serving default)
 ESPNET_BEAM = 20
+# waveform-in feature parity (log-mel values; fp32 torch.stft vs block-DFT)
+WAVE_FEAT_MAE_TOL = 1e-4
 
 
 def _interpret_kernels_on_cpu():
@@ -87,6 +100,27 @@ def _mel_clips(n_clips, t, feat, seed=0):
         k /= k.sum()
         x = np.apply_along_axis(lambda v: np.convolve(v, k, "same"), 0, x)
         clips.append(x[:t] * 2.0)
+    return clips
+
+
+def _wave_clips(n_clips, seconds, seed=0):
+    """Speech-shaped synthetic waveforms: AM-modulated tones + noise floor
+    (band-limited energy, realistic dynamic range for the log-mel chain)."""
+    rng = np.random.default_rng(seed)
+    n = int(seconds * 16000)
+    t = np.arange(n) / 16000.0
+    clips = []
+    for _ in range(n_clips):
+        x = 0.02 * rng.standard_normal(n)
+        for _ in range(4):
+            f0 = rng.uniform(120.0, 2600.0)
+            am = rng.uniform(1.0, 6.0)
+            x = x + (
+                rng.uniform(0.05, 0.3)
+                * np.sin(2 * np.pi * f0 * t + rng.uniform(0, 6))
+                * (1 + 0.6 * np.sin(2 * np.pi * am * t + rng.uniform(0, 6)))
+            )
+        clips.append(x.astype(np.float32))
     return clips
 
 
@@ -235,11 +269,52 @@ def gate_nemo(nemo_path, size, report):
         base_bf_flips.append(1.0 - _match_rate(our_tokens, base_toks))
         lnd_flips.append(1.0 - _match_rate(our_tokens, lnd_toks))
 
+    # WAVEFORM-IN stage: synthetic waveforms through the oracle preprocessor
+    # (torch.stft chain) + oracle encoder + oracle greedy, vs our frontend +
+    # encoder + greedy — end-to-end from audio samples, closing the mel-in
+    # blind spot (VERDICT r2 item 2).
+    from reazonspeech_tpu.frontend.features import (
+        log_mel_spectrogram,
+        nemo_frontend_config,
+    )
+    from torch_reference import nemo_preprocessor_reference
+
+    fe_cfg = nemo_frontend_config(n_mels=enc_cfg.feat_in)
+    wave_feat_maes, wave_rates = [], []
+    for w in _wave_clips(2, 2.1 if size == "tiny" else 4.2, seed=3):
+        with torch.no_grad():
+            ref_feats = nemo_preprocessor_reference(
+                w, n_mels=enc_cfg.feat_in).numpy()
+            ref_enc = nemo_encoder_forward(
+                sd, torch.from_numpy(ref_feats)[None], enc_cfg.num_layers,
+                enc_cfg.num_heads, enc_cfg.d_model,
+            ).numpy()[0]
+            ref_tokens, _ = rnnt_greedy_reference(
+                sd, torch.from_numpy(ref_enc), rnnt_cfg.vocab_size,
+                rnnt_cfg.pred_rnn_layers, rnnt_cfg.joint_activation,
+                max_symbols=MAX_SYMBOLS,
+            )
+        feats, flens = log_mel_spectrogram(
+            jnp.asarray(w)[None], jnp.array([len(w)]), fe_cfg)
+        fv = np.asarray(feats)[0, : int(flens[0])]
+        wave_feat_maes.append(
+            float(np.abs(fv[: ref_feats.shape[0]] - ref_feats).mean()))
+        enc_w, elens_w = fastconformer_encode(
+            jparams["encoder"], feats, flens, enc_cfg)
+        toks, _, counts = rnnt_greedy_decode(
+            jparams["predictor"], jparams["joint"], enc_w, elens_w, rnnt_cfg,
+            GreedyDecodeConfig(max_symbols_per_step=MAX_SYMBOLS),
+        )
+        our_tokens = np.asarray(toks)[0, : int(np.asarray(counts)[0])].tolist()
+        wave_rates.append(_match_rate(ref_tokens, our_tokens))
+
     entry = {
         "encoder_logit_mae": max(maes),
         "encoder_logit_rel": max(rels),
         "token_match_vs_torch": min(token_rates),
         "alsd_beam_token_match": min(alsd_rates),
+        "wave_feature_mae": max(wave_feat_maes),
+        "wave_token_match": min(wave_rates),
         "bf16_residual_token_flip_rate": max(flips),
         "bf16_residual_enc_rel_dev": max(devs),
         "xla_bf16_token_flip_vs_fp32": max(base_bf_flips),
@@ -250,6 +325,8 @@ def gate_nemo(nemo_path, size, report):
             and max(rels) < ENC_REL_TOL
             and min(token_rates) >= TOKEN_MATCH_MIN
             and min(alsd_rates) >= TOKEN_MATCH_MIN
+            and max(wave_feat_maes) < WAVE_FEAT_MAE_TOL
+            and min(wave_rates) >= TOKEN_MATCH_MIN
         ),
         "bf16_serving_ok": bool(max(flips) <= BF16_FLIP_MAX),
         "lnd_serving_ok": bool(
@@ -377,12 +454,63 @@ def gate_espnet(zoo_dir, size, report):
             bf_toks = _decode(jparams, enc_bf, lens_b, rnnt_cfg)
             flips.append(1.0 - _match_rate(base_toks, bf_toks))
 
+    # WAVEFORM-IN stage (same structure as gate_nemo's)
+    from reazonspeech_tpu.frontend.features import (
+        espnet_frontend_config,
+        log_mel_spectrogram,
+    )
+    from torch_reference import espnet_frontend_reference
+
+    fe_cfg = espnet_frontend_config(n_mels=enc_cfg.feat_in)
+    mvn = params.get("normalize")
+    wave_feat_maes, wave_rates = [], []
+    for w in _wave_clips(2, 2.1 if size == "tiny" else 4.2, seed=4):
+        with torch.no_grad():
+            ref_feats = espnet_frontend_reference(
+                w, n_mels=enc_cfg.feat_in).numpy()
+            ref_in = ref_feats
+            if mvn is not None:  # GlobalMVN — both sides normalize
+                ref_in = (ref_feats - np.asarray(mvn["mean"])) / np.asarray(
+                    mvn["std"])
+            ref_enc = espnet_encoder_forward(
+                sd, torch.from_numpy(ref_in)[None], enc_cfg.num_layers,
+                enc_cfg.num_heads, enc_cfg.d_model,
+            ).numpy()[0]
+        feats, flens = log_mel_spectrogram(
+            jnp.asarray(w)[None], jnp.array([len(w)]), fe_cfg)
+        fv = np.asarray(feats)[0, : int(flens[0])]
+        wave_feat_maes.append(
+            float(np.abs(fv[: ref_feats.shape[0]] - ref_feats).mean()))
+        if mvn is not None:
+            from reazonspeech_tpu.espnet.asr.model import _apply_mvn
+
+            feats = _apply_mvn(
+                {"normalize": jax.tree.map(jnp.asarray, mvn)}, feats, flens)
+        if rnnt_cfg is not None:
+            with torch.no_grad():
+                ref_tokens, _ = rnnt_greedy_reference(
+                    sd, torch.from_numpy(ref_enc), rnnt_cfg.vocab_size,
+                    rnnt_cfg.pred_rnn_layers, rnnt_cfg.joint_activation,
+                    prefix="decoder", joint_prefix="joint_network",
+                    blank_first=True, max_symbols=MAX_SYMBOLS,
+                )
+            enc_w, elens_w = fastconformer_encode(
+                jparams["encoder"], feats, flens, enc_cfg)
+            toks, _, counts = rnnt_greedy_decode(
+                jparams["predictor"], jparams["joint"], enc_w, elens_w,
+                rnnt_cfg, GreedyDecodeConfig(max_symbols_per_step=MAX_SYMBOLS),
+            )
+            our_tokens = np.asarray(toks)[0, : int(np.asarray(counts)[0])].tolist()
+            wave_rates.append(_match_rate(ref_tokens, our_tokens))
+
     entry = {
         "encoder_logit_mae": max(maes),
         "encoder_logit_rel": max(rels),
         "ctc_log_softmax_mae": max(ctc_maes),
         "token_match_vs_torch": min(token_rates) if token_rates else None,
         "beam20_token_match": min(beam_rates) if beam_rates else None,
+        "wave_feature_mae": max(wave_feat_maes),
+        "wave_token_match": min(wave_rates) if wave_rates else None,
         "bf16_residual_token_flip_rate": max(flips) if flips else None,
         "bf16_residual_enc_rel_dev": max(devs) if devs else None,
         "pass": bool(
@@ -390,6 +518,8 @@ def gate_espnet(zoo_dir, size, report):
             and max(rels) < ENC_REL_TOL
             and (not token_rates or min(token_rates) >= TOKEN_MATCH_MIN)
             and (not beam_rates or min(beam_rates) >= TOKEN_MATCH_MIN)
+            and max(wave_feat_maes) < WAVE_FEAT_MAE_TOL
+            and (not wave_rates or min(wave_rates) >= TOKEN_MATCH_MIN)
         ),
         "bf16_serving_ok": bool(not flips or max(flips) <= BF16_FLIP_MAX),
     }
@@ -492,16 +622,55 @@ def gate_k2(repo_dir, size, report):
         bf_toks = _decode(jparams, enc_bf, lens_b, rnnt_cfg)
         flips.append(1.0 - _match_rate(base_toks, bf_toks))
 
+    # WAVEFORM-IN stage: kaldi-native-fbank semantics (povey window,
+    # snip_edges=False — what sherpa pins for the published k2 weights) via
+    # the torch oracle, end-to-end through the zipformer + stateless greedy.
+    from reazonspeech_tpu.frontend.features import (
+        kaldi_frontend_config,
+        log_mel_spectrogram,
+    )
+    from torch_reference import kaldi_fbank_reference
+
+    fe_cfg = kaldi_frontend_config(n_mels=enc_cfg.feat_in)
+    wave_feat_maes, wave_rates = [], []
+    for w in _wave_clips(2, 2.1 if size == "tiny" else 4.2, seed=5):
+        with torch.no_grad():
+            ref_feats = kaldi_fbank_reference(
+                w, n_mels=enc_cfg.feat_in).numpy()
+            ref_enc = zipformer_encoder_forward(
+                sd, torch.from_numpy(ref_feats), enc_cfg).numpy()
+            ref_tokens, _ = stateless_greedy_reference(
+                sd, torch.from_numpy(ref_enc), rnnt_cfg.context_size,
+                max_symbols=MAX_SYMBOLS,
+            )
+        feats, flens = log_mel_spectrogram(
+            jnp.asarray(w)[None], jnp.array([len(w)]), fe_cfg)
+        fv = np.asarray(feats)[0, : int(flens[0])]
+        wave_feat_maes.append(
+            float(np.abs(fv[: ref_feats.shape[0]] - ref_feats).mean()))
+        enc_w, elens_w = zipformer_encode(
+            jparams["encoder"], feats, flens, enc_cfg)
+        toks, _, counts = rnnt_greedy_decode(
+            jparams["predictor"], jparams["joint"], enc_w, elens_w, rnnt_cfg,
+            GreedyDecodeConfig(max_symbols_per_step=MAX_SYMBOLS),
+        )
+        our_tokens = np.asarray(toks)[0, : int(np.asarray(counts)[0])].tolist()
+        wave_rates.append(_match_rate(ref_tokens, our_tokens))
+
     entry = {
         "encoder_logit_mae": max(maes),
         "encoder_logit_rel": max(rels),
         "decoder_joiner_token_match": min(token_rates),
+        "wave_feature_mae": max(wave_feat_maes),
+        "wave_token_match": min(wave_rates),
         "bf16_residual_token_flip_rate": max(flips),
         "bf16_residual_enc_rel_dev": max(devs),
         "pass": bool(
             max(maes) < ENC_MAE_TOL
             and max(rels) < ENC_REL_TOL
             and min(token_rates) >= TOKEN_MATCH_MIN
+            and max(wave_feat_maes) < WAVE_FEAT_MAE_TOL
+            and min(wave_rates) >= TOKEN_MATCH_MIN
         ),
         "bf16_serving_ok": bool(max(flips) <= BF16_FLIP_MAX),
     }
@@ -533,7 +702,7 @@ def gate_avsr(model_dir, size, report):
 
     t = 24 if size == "tiny" else 48
     rng = np.random.default_rng(9)
-    maes, rels, token_rates = [], [], []
+    maes, rels, token_rates, beam_rates = [], [], [], []
     for _ in range(3):
         audio = rng.standard_normal((t, cfg.audio_feat_dim)).astype(np.float32)
         with torch.no_grad():
@@ -556,14 +725,31 @@ def gate_avsr(model_dir, size, report):
                 break
         token_rates.append(_match_rate(ref_tokens, ours_tokens))
 
+        # beam-5 (the reference's generate default, HF BeamSearchScorer
+        # semantics) vs the serial oracle — VERDICT r2 item 3
+        from torch_reference import avhubert_beam_reference
+
+        ref_beam = avhubert_beam_reference(
+            sd, cfg, ref_enc, num_beams=5, max_length=9)[1:]
+        bout = np.asarray(model.generate(audio=audio[None], num_beams=5,
+                                         max_length=8))[0]
+        ours_beam = []
+        for tok in bout.tolist():
+            ours_beam.append(int(tok))
+            if tok == cfg.eos_token_id:
+                break
+        beam_rates.append(_match_rate(ref_beam, ours_beam))
+
     entry = {
         "encoder_logit_mae": max(maes),
         "encoder_logit_rel": max(rels),
         "greedy_token_match": min(token_rates),
+        "beam5_token_match": min(beam_rates),
         "pass": bool(
             max(maes) < ENC_MAE_TOL
             and max(rels) < ENC_REL_TOL
             and min(token_rates) >= TOKEN_MATCH_MIN
+            and min(beam_rates) >= TOKEN_MATCH_MIN
         ),
     }
     report["avsr"] = entry

@@ -917,3 +917,69 @@ def avhubert_greedy_reference(sd, cfg, enc, max_length=16):
             if nxt == cfg.eos_token_id:
                 break
     return tokens
+
+
+def avhubert_beam_reference(sd, cfg, enc, num_beams=5, max_length=16,
+                            length_penalty=1.0):
+    """Beam search with HF ``GenerationMixin``/``BeamSearchScorer`` semantics
+    (what the reference's ``model.generate(num_beams=5)`` runs,
+    pkg/avsr/src/avhubert/modeling_avhubert.py:330-370 + transformers
+    beam_search): per step the top 2·beam candidates are processed in rank
+    order — an EOS candidate (rank < beam only) banks the running hypothesis
+    into a worst-replaced pool of size ``beam``, scored
+    sum_logprobs / len^length_penalty (len counts the decoder-start token,
+    not the EOS); the first ``beam`` non-EOS candidates become the next
+    beams. early_stopping=False: the search ends when the pool is full and
+    its worst entry beats best_running / (cur_len+1)^penalty, else at
+    max_length, where the surviving beams are banked too. Decode is via
+    repeated teacher forcing (oracle-simple). Returns the best hypothesis's
+    token list incl. leading bos (and trailing EOS when one was emitted)."""
+    k = num_beams
+    beams = [[cfg.bos_token_id]]
+    beam_scores = [0.0]
+    pool = []  # (norm_score, tokens, emitted_eos)
+
+    def pool_add(tokens, sum_logprobs, emitted_eos):
+        score = sum_logprobs / (len(tokens) ** length_penalty)
+        if len(pool) < k:
+            pool.append((score, tokens, emitted_eos))
+        elif score > min(p[0] for p in pool):
+            pool.remove(min(pool, key=lambda p: p[0]))
+            pool.append((score, tokens, emitted_eos))
+
+    ended = False
+    with torch.no_grad():
+        while len(beams[0]) < max_length:
+            cand = []
+            for b_i, (bm, bs) in enumerate(zip(beams, beam_scores)):
+                logp = F.log_softmax(
+                    avhubert_decoder_logits(sd, cfg, bm, enc)[-1], dim=-1)
+                for tok, lp in enumerate(logp.tolist()):
+                    cand.append((bs + lp, b_i, tok))
+            cand.sort(key=lambda c: c[0], reverse=True)
+            next_beams, next_scores = [], []
+            for rank, (sc, b_i, tok) in enumerate(cand[: 2 * k]):
+                if tok == cfg.eos_token_id:
+                    if rank < k:
+                        pool_add(list(beams[b_i]), sc, True)
+                else:
+                    next_beams.append(beams[b_i] + [tok])
+                    next_scores.append(sc)
+                if len(next_beams) == k:
+                    break
+            cur_len = len(beams[0]) + 1
+            beams, beam_scores = next_beams, next_scores
+            if len(pool) >= k and (
+                min(p[0] for p in pool)
+                >= cand[0][0] / (cur_len ** length_penalty)
+            ):
+                ended = True
+                break
+        if not ended:
+            for bm, bs in zip(beams, beam_scores):
+                pool_add(list(bm), bs, False)
+    best = max(pool, key=lambda p: p[0])
+    out = list(best[1])
+    if best[2] and len(out) < max_length:
+        out.append(cfg.eos_token_id)
+    return out
