@@ -11,8 +11,8 @@ the oracle (tools/torch_reference.py:espnet_default_beam_reference); this
 module executes the SAME algorithm batched on TPU and is gated token-exact
 against it (tools/convert_and_gate.py).
 
-Fixed-shape design — one ``lax.while_loop`` over pop events, every batch
-element running its own frame/pop state machine:
+Fixed-shape design — a frame-synchronised ``lax.while_loop`` whose body runs
+an inner pop loop, every batch element running its own pop state machine:
 
 - each pop appends a node (materialised token/frame row + LSTM states) into
   a per-frame node arena; children reference their parent node, so a pop is
@@ -21,10 +21,14 @@ element running its own frame/pop state machine:
 - pending/kept sets live in fixed capacity arrays; masked elements write to
   scratch slots;
 - when an element's frame terminates (ESPnet's ``len(kept > max pending) >=
-  beam`` test), a compaction step — executed under ``lax.cond`` only on
-  iterations where some element is at a boundary — selects the survivors
-  into node slots 0..KC-1 and starts its next frame; elements advance
-  asynchronously, so a batch never waits on one slow frame;
+  beam`` test) it idles (masked) while the rest of the batch finishes the
+  frame; the survivor compaction — the expensive gather of kept token rows
+  and LSTM states into node slots 0..KC-1 — then runs ONCE per frame for the
+  whole batch. (An earlier per-element-asynchronous design paid that gather
+  on almost every pop iteration, an order of magnitude more HBM traffic than
+  the few idle pops the barrier costs.) Frame advance timing is invisible to
+  per-element results: pops are element-local, so this is bit-identical to
+  the asynchronous schedule and to the serial oracle;
 - bounds ESPnet doesn't have, so shapes stay static: ``max_pops_per_frame``
   (default 6·beam+8; on a capped frame survivors are the best ``beam`` kept,
   and ``saturated`` reports it), ``kept_capacity`` (default beam+12; ESPnet
@@ -109,11 +113,6 @@ def graves_beam_decode(
     enc_proj = joint_precompute_enc(joint_params, enc, rnnt_cfg)  # [B, T, J]
 
     # ---- state ------------------------------------------------------------
-    fidx = jnp.zeros((b,), jnp.int32)
-    done = enc_lengths <= 0
-    at_boundary = jnp.zeros((b,), bool)
-    pop_i = jnp.zeros((b,), jnp.int32)
-    kept_n = jnp.zeros((b,), jnp.int32)
     saturated = jnp.zeros((b,), bool)
 
     nt = jnp.zeros((b, n_nodes, u_buf), jnp.int32)
@@ -125,39 +124,136 @@ def graves_beam_decode(
     npost_h = jnp.zeros((b, n_nodes, lyr, h), jnp.float32)
     npost_c = jnp.zeros((b, n_nodes, lyr, h), jnp.float32)
 
-    # pending: (score, node, tok); tok == -1 means "the node as-is"
-    ps = jnp.full((b, c_pend), _DEAD, jnp.float32)
-    pnode = jnp.zeros((b, c_pend), jnp.int32)
-    ptok = jnp.full((b, c_pend), -1, jnp.int32)
-    # the initial hypothesis: empty, zero LSTM state, last token = blank
-    ps = ps.at[:, 0].set(0.0)
-
-    ks = jnp.full((b, p_max + 1), _DEAD, jnp.float32)
-    knode = jnp.zeros((b, p_max + 1), jnp.int32)
-
-    # carried survivor scores (node slots 0..kc-1)
+    # carried survivor scores (their hypotheses live in node slots 0..kc-1;
+    # slot 0 starts as the initial empty hypothesis, zero LSTM state)
     cs = jnp.full((b, kc), _DEAD, jnp.float32)
     cs = cs.at[:, 0].set(0.0)
 
     bi = jnp.arange(b)
 
-    def compact(state):
-        """Frame boundary: select survivors into node slots 0..kc-1, start
-        the next frame (masked by each element's at_boundary)."""
-        (fidx, done, at_boundary, pop_i, kept_n, saturated,
-         nt, nf, nc, nlast, npre_h, npre_c, npost_h, npost_c,
-         ps, pnode, ptok, ks, knode, cs) = state
+    def frame_body(fstate):
+        """One encoder frame for the whole batch: run pops until every
+        element's frame terminated, then compact survivors once."""
+        (fidx, saturated, nt, nf, nc, nlast,
+         npre_h, npre_c, npost_h, npost_c, cs) = fstate
 
-        bnd = at_boundary & ~done
+        in_frame = fidx < enc_lengths  # [B]
+
+        # fresh per-frame sets: pending = survivors, kept empty
+        ps = jnp.full((b, c_pend), _DEAD, jnp.float32).at[:, :kc].set(
+            jnp.where(in_frame[:, None], cs, _DEAD))
+        pnode = jnp.zeros((b, c_pend), jnp.int32).at[:, :kc].set(
+            jnp.arange(kc)[None, :])
+        ptok = jnp.full((b, c_pend), -1, jnp.int32)
+        ks = jnp.full((b, p_max + 1), _DEAD, jnp.float32)
+        knode = jnp.zeros((b, p_max + 1), jnp.int32)
+        pop_i = jnp.zeros((b,), jnp.int32)
+        kept_n = jnp.zeros((b,), jnp.int32)
+        frame_done = ~in_frame
+
+        def pop_cond(pstate):
+            return ~jnp.all(pstate[0])
+
+        def pop_body(pstate):
+            (frame_done, pop_i, kept_n, saturated,
+             nt, nf, nc, nlast, npre_h, npre_c, npost_h, npost_c,
+             ps, pnode, ptok, ks, knode) = pstate
+
+            active = ~frame_done
+
+            # ---- pop the best pending hypothesis -------------------------
+            sel_idx = jnp.argmax(ps, axis=1)  # [B]
+            score = ps[bi, sel_idx]
+            ps = ps.at[bi, jnp.where(active, sel_idx, c_pend - 1)].set(_DEAD)
+            node = pnode[bi, sel_idx]
+            tok = ptok[bi, sel_idx]
+            is_ext = tok >= 0
+
+            pre_h = jnp.where(is_ext[:, None, None],
+                              npost_h[bi, node], npre_h[bi, node])  # [B,L,H]
+            pre_c = jnp.where(is_ext[:, None, None],
+                              npost_c[bi, node], npre_c[bi, node])
+            last = jnp.where(is_ext, tok, nlast[bi, node])
+            cnt = nc[bi, node] + is_ext.astype(jnp.int32)
+
+            dec_out, (post_h, post_c) = predictor_step(
+                pred_params, last,
+                (jnp.transpose(pre_h, (1, 0, 2)),
+                 jnp.transpose(pre_c, (1, 0, 2))),
+                rnnt_cfg,
+            )
+            post_h = jnp.transpose(post_h, (1, 0, 2))
+            post_c = jnp.transpose(post_c, (1, 0, 2))
+
+            # ---- node materialisation ------------------------------------
+            q = jnp.where(is_ext, kc + pop_i, node)
+            q_w = jnp.where(active, q, n_nodes - 1)  # scratch for masked
+            upos = jnp.arange(u_buf)[None, :]
+            put = is_ext[:, None] & (upos == nc[bi, node][:, None])
+            row_t = jnp.where(put, tok[:, None], nt[bi, node])
+            row_f = jnp.where(put, fidx, nf[bi, node])
+            nt = nt.at[bi, q_w].set(row_t)
+            nf = nf.at[bi, q_w].set(row_f)
+            nc = nc.at[bi, q_w].set(cnt)
+            nlast = nlast.at[bi, q_w].set(last)
+            npre_h = npre_h.at[bi, q_w].set(pre_h)
+            npre_c = npre_c.at[bi, q_w].set(pre_c)
+            npost_h = npost_h.at[bi, q_w].set(post_h)
+            npost_c = npost_c.at[bi, q_w].set(post_c)
+
+            # ---- joint + log-probs ---------------------------------------
+            safe_t = jnp.minimum(fidx, t - 1)
+            logits = joint_step_from_enc_proj(
+                joint_params, enc_proj[:, safe_t], dec_out, rnnt_cfg
+            )  # [B, V]
+            logp = jax.nn.log_softmax(logits, axis=-1)
+
+            # ---- kept: blank extension -----------------------------------
+            kslot = jnp.where(active, kept_n, p_max)
+            ks = ks.at[bi, kslot].set(score + logp[:, blank])
+            knode = knode.at[bi, kslot].set(q)
+            kept_n = kept_n + active.astype(jnp.int32)
+
+            # ---- pending: top-k label extensions -------------------------
+            label_logp = logp.at[:, blank].set(_DEAD)
+            top_lp, top_tok = jax.lax.top_k(label_logp, beam_k)  # [B, Bk]
+            can_ext = active & (cnt < u_buf)
+            child_scores = jnp.where(
+                can_ext[:, None], score[:, None] + top_lp, _DEAD)
+            base = jnp.where(active, kc + pop_i * beam_k, c_pend - beam_k)
+            slots = base[:, None] + jnp.arange(beam_k)[None, :]
+            ps = ps.at[bi[:, None], slots].set(child_scores)
+            pnode = pnode.at[bi[:, None], slots].set(q[:, None])
+            ptok = ptok.at[bi[:, None], slots].set(top_tok.astype(jnp.int32))
+            pop_i = pop_i + active.astype(jnp.int32)
+
+            # ---- ESPnet termination test ---------------------------------
+            hyps_max = jnp.max(ps, axis=1)
+            n_above = jnp.sum(ks > hyps_max[:, None], axis=1)
+            hit_cap = pop_i >= p_max
+            frame_done = frame_done | (active & ((n_above >= k) | hit_cap))
+            saturated = saturated | (active & hit_cap & (n_above < k))
+
+            return (frame_done, pop_i, kept_n, saturated,
+                    nt, nf, nc, nlast, npre_h, npre_c, npost_h, npost_c,
+                    ps, pnode, ptok, ks, knode)
+
+        pstate = (frame_done, pop_i, kept_n, saturated,
+                  nt, nf, nc, nlast, npre_h, npre_c, npost_h, npost_c,
+                  ps, pnode, ptok, ks, knode)
+        pstate = jax.lax.while_loop(pop_cond, pop_body, pstate)
+        (frame_done, pop_i, kept_n, saturated,
+         nt, nf, nc, nlast, npre_h, npre_c, npost_h, npost_c,
+         ps, pnode, ptok, ks, knode) = pstate
+
+        # ---- compact survivors into node slots 0..kc-1 (once per frame) --
         hyps_max = jnp.max(ps, axis=1)  # [B]
         above = ks > hyps_max[:, None]  # [B, P+1]
-        n_above = jnp.sum(above, axis=1)
-        thr_ok = n_above >= k  # ESPnet termination vs pop-cap exit
+        thr_ok = jnp.sum(above, axis=1) >= k  # termination vs pop-cap exit
 
         masked = jnp.where(thr_ok[:, None], jnp.where(above, ks, _DEAD), ks)
         vals, idx = jax.lax.top_k(masked, kc)  # [B, KC]
-        pos_ok = jnp.where(thr_ok[:, None], True,
-                           jnp.arange(kc)[None, :] < k)
+        pos_ok = thr_ok[:, None] | (jnp.arange(kc)[None, :] < k)
         valid = (vals > _ALIVE) & pos_ok
         new_cs = jnp.where(valid, vals, _DEAD)
         src = jnp.take_along_axis(knode, idx, axis=1)  # [B, KC] node ids
@@ -168,7 +264,7 @@ def graves_beam_decode(
             )
 
         sel = lambda new, old: jnp.where(
-            bnd.reshape((b,) + (1,) * (new.ndim - 1)), new, old)
+            in_frame.reshape((b,) + (1,) * (new.ndim - 1)), new, old)
 
         nt = nt.at[:, :kc].set(sel(rows(nt), nt[:, :kc]))
         nf = nf.at[:, :kc].set(sel(rows(nf), nf[:, :kc]))
@@ -176,126 +272,19 @@ def graves_beam_decode(
         nlast = nlast.at[:, :kc].set(sel(rows(nlast), nlast[:, :kc]))
         npre_h = npre_h.at[:, :kc].set(sel(rows(npre_h), npre_h[:, :kc]))
         npre_c = npre_c.at[:, :kc].set(sel(rows(npre_c), npre_c[:, :kc]))
+        cs = jnp.where(in_frame[:, None], new_cs, cs)
 
-        cs = jnp.where(bnd[:, None], new_cs, cs)
+        return (fidx + 1, saturated, nt, nf, nc, nlast,
+                npre_h, npre_c, npost_h, npost_c, cs)
 
-        # next frame: pending = survivors, kept empty
-        ps_new = jnp.full_like(ps, _DEAD).at[:, :kc].set(cs)
-        pnode_new = jnp.zeros_like(pnode).at[:, :kc].set(
-            jnp.arange(kc)[None, :])
-        ptok_new = jnp.full_like(ptok, -1)
-        ps = jnp.where(bnd[:, None], ps_new, ps)
-        pnode = jnp.where(bnd[:, None], pnode_new, pnode)
-        ptok = jnp.where(bnd[:, None], ptok_new, ptok)
-        ks = jnp.where(bnd[:, None], _DEAD, ks)
-        kept_n = jnp.where(bnd, 0, kept_n)
-        pop_i = jnp.where(bnd, 0, pop_i)
-        fidx = jnp.where(bnd, fidx + 1, fidx)
-        done = done | (bnd & (fidx >= enc_lengths))
-        at_boundary = at_boundary & ~bnd
+    def frame_cond(fstate):
+        return jnp.any(fstate[0] < enc_lengths)
 
-        return (fidx, done, at_boundary, pop_i, kept_n, saturated,
-                nt, nf, nc, nlast, npre_h, npre_c, npost_h, npost_c,
-                ps, pnode, ptok, ks, knode, cs)
-
-    def cond(state):
-        done = state[1]
-        return ~jnp.all(done)
-
-    def body(state):
-        state = jax.lax.cond(
-            jnp.any(state[2] & ~state[1]), compact, lambda s: s, state)
-        (fidx, done, at_boundary, pop_i, kept_n, saturated,
-         nt, nf, nc, nlast, npre_h, npre_c, npost_h, npost_c,
-         ps, pnode, ptok, ks, knode, cs) = state
-
-        active = ~done  # after compaction, every live element is mid-frame
-
-        # ---- pop the best pending hypothesis ----------------------------
-        sel_idx = jnp.argmax(ps, axis=1)  # [B]
-        score = ps[bi, sel_idx]
-        ps = ps.at[bi, jnp.where(active, sel_idx, c_pend - 1)].set(_DEAD)
-        node = pnode[bi, sel_idx]
-        tok = ptok[bi, sel_idx]
-        is_ext = tok >= 0
-
-        pre_h = jnp.where(is_ext[:, None, None],
-                          npost_h[bi, node], npre_h[bi, node])  # [B, L, H]
-        pre_c = jnp.where(is_ext[:, None, None],
-                          npost_c[bi, node], npre_c[bi, node])
-        last = jnp.where(is_ext, tok, nlast[bi, node])
-        cnt = nc[bi, node] + is_ext.astype(jnp.int32)
-
-        dec_out, (post_h, post_c) = predictor_step(
-            pred_params, last,
-            (jnp.transpose(pre_h, (1, 0, 2)), jnp.transpose(pre_c, (1, 0, 2))),
-            rnnt_cfg,
-        )
-        post_h = jnp.transpose(post_h, (1, 0, 2))
-        post_c = jnp.transpose(post_c, (1, 0, 2))
-
-        # ---- node materialisation ---------------------------------------
-        q = jnp.where(is_ext, kc + pop_i, node)
-        q_w = jnp.where(active, q, n_nodes - 1)  # scratch for masked
-        upos = jnp.arange(u_buf)[None, :]
-        parent_rows_t = nt[bi, node]
-        parent_rows_f = nf[bi, node]
-        put = is_ext[:, None] & (upos == nc[bi, node][:, None])
-        row_t = jnp.where(put, tok[:, None], parent_rows_t)
-        row_f = jnp.where(put, fidx[:, None], parent_rows_f)
-        nt = nt.at[bi, q_w].set(row_t)
-        nf = nf.at[bi, q_w].set(row_f)
-        nc = nc.at[bi, q_w].set(cnt)
-        nlast = nlast.at[bi, q_w].set(last)
-        npre_h = npre_h.at[bi, q_w].set(pre_h)
-        npre_c = npre_c.at[bi, q_w].set(pre_c)
-        npost_h = npost_h.at[bi, q_w].set(post_h)
-        npost_c = npost_c.at[bi, q_w].set(post_c)
-
-        # ---- joint + log-probs ------------------------------------------
-        safe_t = jnp.minimum(fidx, t - 1)
-        logits = joint_step_from_enc_proj(
-            joint_params, enc_proj[bi, safe_t], dec_out, rnnt_cfg
-        )  # [B, V]
-        logp = jax.nn.log_softmax(logits, axis=-1)
-
-        # ---- kept: blank extension --------------------------------------
-        kslot = jnp.where(active, kept_n, p_max)
-        ks = ks.at[bi, kslot].set(score + logp[:, blank])
-        knode = knode.at[bi, kslot].set(q)
-        kept_n = kept_n + active.astype(jnp.int32)
-
-        # ---- pending: top-k label extensions ----------------------------
-        label_logp = logp.at[:, blank].set(_DEAD)
-        top_lp, top_tok = jax.lax.top_k(label_logp, beam_k)  # [B, Bk]
-        can_ext = active & (cnt < u_buf)
-        child_scores = jnp.where(can_ext[:, None], score[:, None] + top_lp,
-                                 _DEAD)
-        base = jnp.where(active, kc + pop_i * beam_k, c_pend - beam_k)
-        slots = base[:, None] + jnp.arange(beam_k)[None, :]
-        ps = ps.at[bi[:, None], slots].set(child_scores)
-        pnode = pnode.at[bi[:, None], slots].set(q[:, None])
-        ptok = ptok.at[bi[:, None], slots].set(top_tok.astype(jnp.int32))
-        pop_i = pop_i + active.astype(jnp.int32)
-
-        # ---- ESPnet termination test ------------------------------------
-        hyps_max = jnp.max(ps, axis=1)
-        n_above = jnp.sum(ks > hyps_max[:, None], axis=1)
-        hit_cap = pop_i >= p_max
-        at_boundary = at_boundary | (active & ((n_above >= k) | hit_cap))
-        saturated = saturated | (active & hit_cap & (n_above < k))
-
-        return (fidx, done, at_boundary, pop_i, kept_n, saturated,
-                nt, nf, nc, nlast, npre_h, npre_c, npost_h, npost_c,
-                ps, pnode, ptok, ks, knode, cs)
-
-    state = (fidx, done, at_boundary, pop_i, kept_n, saturated,
-             nt, nf, nc, nlast, npre_h, npre_c, npost_h, npost_c,
-             ps, pnode, ptok, ks, knode, cs)
-    state = jax.lax.while_loop(cond, body, state)
-    (fidx, done, at_boundary, pop_i, kept_n, saturated,
-     nt, nf, nc, nlast, npre_h, npre_c, npost_h, npost_c,
-     ps, pnode, ptok, ks, knode, cs) = state
+    fstate = (jnp.int32(0), saturated, nt, nf, nc, nlast,
+              npre_h, npre_c, npost_h, npost_c, cs)
+    fstate = jax.lax.while_loop(frame_cond, frame_body, fstate)
+    (_, saturated, nt, nf, nc, nlast,
+     npre_h, npre_c, npost_h, npost_c, cs) = fstate
 
     counts_kc = nc[:, :kc]
     if cfg.score_norm:
