@@ -248,13 +248,20 @@ def _packed_attn_ok(cfg: FastConformerConfig, t):
     )
 
 
-def _mhsa_relpos(p, x_raw, pos_emb, mask, cfg: FastConformerConfig):
+def _mhsa_relpos(p, x_raw, pos_emb, mask, cfg: FastConformerConfig,
+                 delta=None, delta_scale=0.5):
     """Relative-position multi-head attention (Transformer-XL form).
 
     x_raw: [B, T, D] residual stream BEFORE the pre-attention LayerNorm
     (applied here so the ln_dense path can fuse it), pos_emb: [2T'-1, D]
     where T' is T or its 128-aligned pad (packed path), mask: [B, T]
     validity. Returns [B, T, D].
+
+    ``delta``: optional preceding-branch output (the ffn1 delta). On the
+    packed path the residual add ``x_raw + delta_scale·delta`` fuses into the
+    qkv kernel (ops/ln_dense.ln_dense_add) and the summed stream is returned
+    as a second output: ``(attn_out, stream)``. Requires T % 128 == 0 (the
+    stream leaves the kernel at the attention-aligned T).
     """
     b, t, d = x_raw.shape
     h, dh = cfg.num_heads, cfg.head_dim
@@ -265,25 +272,37 @@ def _mhsa_relpos(p, x_raw, pos_emb, mask, cfg: FastConformerConfig):
     # the normalized tensor, the three separate projections, and the
     # alignment pads never touch HBM.
     if _packed_attn_ok(cfg, t):
-        from ..ops.ln_dense import ln_dense_diff
+        from ..ops.ln_dense import ln_dense_add_diff, ln_dense_diff
         from ..ops.relpos_attention import relpos_attention_fused_packed_diff
 
         # the table length encodes the T the attention internals run at
         t_pad = (pos_emb.shape[0] + 1) // 2
-        if t_pad >= t:
+        if t_pad >= t and (delta is None or t_pad == t):
             # three weight segments share one LN pass and pack along the
             # output lane axis in-kernel — no concatenated weight copy
             w_qkv = tuple(p[k]["w"].astype(dt)
                           for k in ("attn_q", "attn_k", "attn_v"))
             c_qkv = tuple(p[k]["b"] for k in ("attn_q", "attn_k", "attn_v"))
-            qkv = ln_dense_diff(x_raw, p["attn_ln"]["scale"],
-                                p["attn_ln"]["bias"], w_qkv, c_qkv, None,
-                                t_pad if t_pad != t else None)
+            stream = None
+            if delta is None:
+                qkv = ln_dense_diff(x_raw, p["attn_ln"]["scale"],
+                                    p["attn_ln"]["bias"], w_qkv, c_qkv, None,
+                                    t_pad if t_pad != t else None)
+            else:
+                qkv, stream = ln_dense_add_diff(
+                    x_raw, delta, p["attn_ln"]["scale"],
+                    p["attn_ln"]["bias"], w_qkv, c_qkv, delta_scale)
             pos = dense(p["attn_pos"], pos_emb, dtype=dt).reshape(-1, h, dh)
             lengths = jnp.sum(mask.astype(jnp.int32), axis=-1)
             out = relpos_attention_fused_packed_diff(
                 qkv, pos, p["attn_bias_u"], p["attn_bias_v"], lengths, h)
-            return dense(p["attn_out"], out[:, :t], dtype=dt)
+            attn_out = dense(p["attn_out"], out[:, :t], dtype=dt)
+            return attn_out if delta is None else (attn_out, stream)
+
+    if delta is not None:
+        # fusion unavailable at this shape: do the add in XLA, same contract
+        stream = x_raw + delta_scale * delta.astype(x_raw.dtype)
+        return _mhsa_relpos(p, stream, pos_emb, mask, cfg), stream
 
     x = layer_norm(p["attn_ln"], x_raw).astype(dt)
 
@@ -418,12 +437,43 @@ def _conv_module(p, x_raw, mask, cfg: FastConformerConfig):
     return conv1d(p["conv_out"], x, dtype=dt)
 
 
-def _block(p, x, pos_emb, mask, cfg: FastConformerConfig):
+def _residual_fusion_ok(cfg: FastConformerConfig, t):
+    """Gate for the fused-residual block tail: the packed attention path must
+    be active at an unpadded T (the fused stream leaves the qkv kernel at
+    the attention-aligned length) — the serving bucket shapes."""
+    return cfg.lnd_impl == "pallas" and t % 128 == 0 and _packed_attn_ok(cfg, t)
+
+
+def _block(p, x, pos_emb, mask, lengths, cfg: FastConformerConfig):
+    """One Conformer block; returns the masked next-layer stream in
+    cfg.residual_dtype.
+
+    On the Pallas serving path the residual elementwise chain is fused into
+    kernels (VERDICT r2 item 6): the ffn1 add rides the qkv ln_dense
+    (ln_dense_add), and the ffn2 add + final LayerNorm + valid-length
+    masking collapse into ONE pass (ops/ln_dense.add_ln) — the fp32 stream
+    crosses HBM once per site instead of three times.
+    """
+    res_dt = jnp.dtype(cfg.residual_dtype)
+    t = x.shape[1]
+    if _residual_fusion_ok(cfg, t):
+        from ..ops.ln_dense import add_ln_diff
+
+        y1 = _ffn(p, "ffn1", x, cfg)
+        attn_y, r1 = _mhsa_relpos(p, x, pos_emb, mask, cfg, delta=y1)
+        r2 = r1 + attn_y.astype(r1.dtype)
+        r3 = r2 + _conv_module(p, r2, mask, cfg).astype(r1.dtype)
+        y3 = _ffn(p, "ffn2", r3, cfg)
+        return add_ln_diff(r3, y3, lengths, p["final_ln"]["scale"],
+                           p["final_ln"]["bias"], 0.5, 1e-5,
+                           cfg.residual_dtype)
+
     x = x + 0.5 * _ffn(p, "ffn1", x, cfg)
     x = x + _mhsa_relpos(p, x, pos_emb, mask, cfg)
     x = x + _conv_module(p, x, mask, cfg)
     x = x + 0.5 * _ffn(p, "ffn2", x, cfg)
-    return layer_norm(p["final_ln"], x)
+    y = layer_norm(p["final_ln"], x)
+    return jnp.where(mask[..., None], y, 0).astype(res_dt)
 
 
 def _ffn(p, name, x, cfg: FastConformerConfig):
@@ -471,9 +521,8 @@ def fastconformer_encode(params, feats, feat_lengths, cfg: FastConformerConfig):
     x = jnp.where(mask[..., None], x, 0).astype(res_dt)
 
     def body(carry, layer_params):
-        y = _block(layer_params, carry, pos_emb, mask, cfg)
-        y = jnp.where(mask[..., None], y, 0).astype(res_dt)
-        return y, None
+        # masking/res-dtype handled inside _block (fused on the Pallas path)
+        return _block(layer_params, carry, pos_emb, mask, lengths, cfg), None
 
     if cfg.remat:
         body = jax.checkpoint(body)

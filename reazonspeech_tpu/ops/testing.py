@@ -17,6 +17,8 @@ def _targets():
 
     return [
         (lnd, "ln_dense"),
+        (lnd, "ln_dense_add"),
+        (lnd, "add_ln"),
         (ra, "relpos_attention"),
         (ra, "relpos_attention_blockwise"),
         (ra, "relpos_attention_fused"),

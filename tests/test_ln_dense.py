@@ -8,10 +8,16 @@ import jax
 import jax.numpy as jnp
 
 from reazonspeech_tpu.ops.ln_dense import (
+    _add_ln_xla,
+    _ln_dense_add_xla,
+    _xla_reference,
+    add_ln,
+    add_ln_diff,
     ln_dense,
+    ln_dense_add,
+    ln_dense_add_diff,
     ln_dense_diff,
     ln_dense_supported,
-    _xla_reference,
 )
 
 
@@ -57,6 +63,87 @@ def test_t_out_rows_are_zero():
     assert np.all(out[:, 100:] == 0)
     base = np.asarray(ln_dense(x, g, b, w, c, interpret=True))
     np.testing.assert_array_equal(out[:, :100], base)
+
+
+@pytest.mark.parametrize("t,t_out,act", [(40, None, None), (120, 128, "swish")])
+def test_ln_dense_add_matches_xla(t, t_out, act):
+    r, g, b, w, c = make_inputs(3, t, 128, 256, seed=3)
+    delta = jnp.asarray(
+        np.random.default_rng(4).standard_normal((3, t, 128), dtype=np.float32)
+    ).astype(jnp.bfloat16)
+    wb = w.astype(jnp.bfloat16)
+    got, stream = ln_dense_add(r, delta, g, b, wb, c, scale=0.5,
+                               activation=act, t_out=t_out, interpret=True)
+    want, want_stream = _ln_dense_add_xla(r, delta, g, b, wb, c, 0.5, act,
+                                          t_out)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=2e-2, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(stream)[:, :t],
+                               np.asarray(want_stream), atol=1e-5, rtol=1e-5)
+
+
+def test_ln_dense_add_multi_segment():
+    r, g, b, w, c = make_inputs(2, 64, 128, 128, seed=5)
+    delta = jnp.asarray(
+        np.random.default_rng(6).standard_normal((2, 64, 128), dtype=np.float32))
+    w2 = jnp.asarray(
+        np.random.default_rng(7).standard_normal((128, 128), dtype=np.float32)
+        / np.sqrt(128))
+    got, stream = ln_dense_add(r, delta, g, b, (w, w2), (c, None),
+                               scale=1.0, interpret=True)
+    want, want_stream = _ln_dense_add_xla(r, delta, g, b, (w, w2), (c, None),
+                                          1.0, None, None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(stream), np.asarray(want_stream),
+                               atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("t,scale", [(40, 1.0), (96, 0.5)])
+def test_add_ln_matches_xla(t, scale):
+    rng = np.random.default_rng(8)
+    r = jnp.asarray(rng.standard_normal((3, t, 128), dtype=np.float32) * 2.0)
+    y = jnp.asarray(rng.standard_normal((3, t, 128), dtype=np.float32)
+                    ).astype(jnp.bfloat16)
+    g = jnp.asarray(1.0 + 0.1 * rng.standard_normal(128, dtype=np.float32))
+    b = jnp.asarray(0.1 * rng.standard_normal(128, dtype=np.float32))
+    lengths = jnp.array([t, t - 7, 3])
+    got = np.asarray(add_ln(r, y, lengths, g, b, scale=scale, interpret=True))
+    want = np.asarray(_add_ln_xla(r, y, lengths, g, b, scale, 1e-5,
+                                  jnp.float32))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+    # masked rows are exactly zero
+    assert np.all(got[1, t - 7:] == 0) and np.all(got[2, 3:] == 0)
+
+
+def test_add_ln_and_lda_gradients_match_xla(monkeypatch):
+    import reazonspeech_tpu.ops.ln_dense as M
+
+    wrapped = M.add_ln.__wrapped__
+    monkeypatch.setattr(
+        M, "add_ln",
+        lambda *a, **kw: wrapped(*a, **{**kw, "interpret": True}))
+    rng = np.random.default_rng(9)
+    t, d = 32, 128
+    r = jnp.asarray(rng.standard_normal((2, t, d), dtype=np.float32))
+    y = jnp.asarray(rng.standard_normal((2, t, d), dtype=np.float32))
+    g = jnp.asarray(1.0 + 0.1 * rng.standard_normal(d, dtype=np.float32))
+    b = jnp.asarray(0.1 * rng.standard_normal(d, dtype=np.float32))
+    lengths = jnp.array([t, t - 5])
+
+    def loss_pallas(r_, y_, g_, b_):
+        return jnp.sum(add_ln_diff(r_, y_, lengths, g_, b_, 0.5) ** 2)
+
+    def loss_xla(r_, y_, g_, b_):
+        return jnp.sum(
+            M._add_ln_xla(r_, y_, lengths, g_, b_, 0.5, 1e-5, jnp.float32) ** 2)
+
+    got = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(r, y, g, b)
+    want = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(r, y, g, b)
+    for a, w_ in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(w_),
+                                   atol=1e-4, rtol=1e-4)
 
 
 def test_supported_gate():
@@ -110,6 +197,39 @@ def test_model_lnd_impl_pallas_wiring(monkeypatch, style):
     m = (np.arange(want.shape[1])[None, :] < np.asarray(wl)[:, None])[..., None]
     diff = np.abs(np.asarray(got) - np.asarray(want)) * m
     assert diff.max() < 5e-5, diff.max()
+
+
+def test_model_fused_residual_block_wiring(monkeypatch):
+    """fastconformer_encode at a 128-aligned T with lnd_impl="pallas": the
+    fused-residual block tail is active (_residual_fusion_ok) — the ffn1 add
+    rides the qkv ln_dense (ln_dense_add) and the ffn2 add + final LayerNorm
+    + masking collapse into add_ln. Must match the all-XLA path."""
+    from dataclasses import replace
+
+    from reazonspeech_tpu.models import fastconformer as FC
+
+    _interpret_all(monkeypatch)
+
+    cfg = FC.FastConformerConfig.tiny(
+        d_model=128, num_heads=4, compute_dtype="float32")
+    params = FC.init_fastconformer(jax.random.PRNGKey(0), cfg)
+    # T_mel=1024 -> T=128 after 8x subsampling: 128-aligned, fused tail on
+    feats = jax.random.normal(jax.random.PRNGKey(1), (2, 1024, cfg.feat_in))
+    lens = jnp.array([1024, 700])
+
+    pcfg = replace(cfg, attn_impl="pallas", conv_impl="pallas",
+                   lnd_impl="pallas")
+    assert FC._residual_fusion_ok(pcfg, 128)
+
+    want, wl = FC.fastconformer_encode(params, feats, lens, cfg)
+    got, gl = FC.fastconformer_encode(params, feats, lens, pcfg)
+    np.testing.assert_array_equal(np.asarray(wl), np.asarray(gl))
+    m = (np.arange(want.shape[1])[None, :] < np.asarray(wl)[:, None])[..., None]
+    diff = np.abs(np.asarray(got) - np.asarray(want)) * m
+    assert diff.max() < 5e-5, diff.max()
+    # padded rows are exactly zero on the fused path (add_ln masks in-kernel)
+    pad = np.asarray(got) * (1 - m)
+    assert np.abs(pad).max() == 0.0
 
 
 def test_diff_gradients_match_xla(monkeypatch):
