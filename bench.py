@@ -64,7 +64,9 @@ def main():
     )
     rnnt_cfg = RNNTConfig(enc_dim=enc_cfg.d_model)
     fe_cfg = nemo_frontend_config()
-    decode_cfg = BeamDecodeConfig()  # ALSD beam 4, the serving default
+    # ALSD beam 4 with the fused top-m kernel — the serving default
+    # (what load_model builds on a TPU backend)
+    decode_cfg = BeamDecodeConfig(topk_impl="pallas")
     greedy_cfg = GreedyDecodeConfig()
 
     params = jax.device_put(init_params(0, enc_cfg, rnnt_cfg))

@@ -77,6 +77,11 @@ class BeamDecodeConfig:
     # even never-advancing degenerate paths match the serial oracle exactly;
     # a FINAL hypothesis has at most u_max <= T emissions)
     max_tokens: int = 0
+    # "pallas" fuses the per-step log-softmax + blank split + label top-m
+    # into one VMEM pass (ops/beam_topk.py — the XLA chain is ~4 ms/step at
+    # serving shape); "xla" is the reference formulation. Values and tie
+    # order are identical. Set by the model loaders' TPU serving overrides.
+    topk_impl: str = "xla"
 
 
 def _tree_take_beams(state, idx):
@@ -178,13 +183,20 @@ def rnnt_beam_decode(
         )[:, :, 0]  # [B, K, J]
         logits = joint_step_from_enc_proj(
             joint_params, flat(enc_frames), flat(pred_out), rnnt_cfg
-        ).reshape(b, k, -1)
-        logp = jax.nn.log_softmax(logits, axis=-1)
+        )  # [B*K, V]
+        if cfg.topk_impl == "pallas":
+            from ..ops.beam_topk import topm_logsoftmax
 
-        lp_blank = logp[..., blank]
+            lp_blank, top_lp, top_tok = topm_logsoftmax(logits, m, blank)
+        else:
+            from ..ops.beam_topk import topm_logsoftmax_xla
+
+            lp_blank, top_lp, top_tok = topm_logsoftmax_xla(logits, m, blank)
+        lp_blank = lp_blank.reshape(b, k)
+        top_lp = top_lp.reshape(b, k, m)
+        top_tok = top_tok.reshape(b, k, m)
+
         blank_scores = jnp.where(alive, scores + lp_blank, _DEAD)  # [B, K]
-        label_logp = logp.at[..., blank].set(_DEAD)
-        top_lp, top_tok = jax.lax.top_k(label_logp, m)  # [B, K, M]
         can_emit = alive & (counts < u_buf)
         emit_scores = jnp.where(
             can_emit[..., None], scores[..., None] + top_lp, _DEAD

@@ -71,6 +71,9 @@ class GravesBeamConfig:
     max_pops_per_frame: int = 0  # 0 -> 6*beam + 8
     kept_capacity: int = 0  # 0 -> beam + 12
     max_tokens: int = 0  # 0 -> T
+    # "pallas": fused log-softmax + blank split + top-k per pop
+    # (ops/beam_topk.py); "xla": reference chain. Identical values/order.
+    topk_impl: str = "xla"
 
 
 @partial(jax.jit, static_argnames=("rnnt_cfg", "cfg"))
@@ -206,17 +209,21 @@ def graves_beam_decode(
             logits = joint_step_from_enc_proj(
                 joint_params, enc_proj[:, safe_t], dec_out, rnnt_cfg
             )  # [B, V]
-            logp = jax.nn.log_softmax(logits, axis=-1)
+            # fused log-softmax + blank split + top-k (ops/beam_topk.py) —
+            # the XLA chain costs 4+ HBM round-trips of [B, V] per pop
+            if cfg.topk_impl == "pallas":
+                from ..ops.beam_topk import topm_logsoftmax as _topm
+            else:
+                from ..ops.beam_topk import topm_logsoftmax_xla as _topm
+            lp_blank, top_lp, top_tok = _topm(logits, beam_k, blank)
 
             # ---- kept: blank extension -----------------------------------
             kslot = jnp.where(active, kept_n, p_max)
-            ks = ks.at[bi, kslot].set(score + logp[:, blank])
+            ks = ks.at[bi, kslot].set(score + lp_blank)
             knode = knode.at[bi, kslot].set(q)
             kept_n = kept_n + active.astype(jnp.int32)
 
             # ---- pending: top-k label extensions -------------------------
-            label_logp = logp.at[:, blank].set(_DEAD)
-            top_lp, top_tok = jax.lax.top_k(label_logp, beam_k)  # [B, Bk]
             can_ext = active & (cnt < u_buf)
             child_scores = jnp.where(
                 can_ext[:, None], score[:, None] + top_lp, _DEAD)

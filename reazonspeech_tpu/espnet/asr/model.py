@@ -293,14 +293,17 @@ def load_model_container(
     tok.types[0] = 3  # <blank> control
     tok.types[-1] = 3  # <sos/eos> control
 
+    topk_impl = (
+        "pallas" if jax.devices()[0].platform in ("tpu", "axon") else "xla"
+    )
     if decoding == "beam":
         from ...decoding.transducer_graves import GravesBeamConfig
 
-        decode_cfg = GravesBeamConfig(beam_size=beam_size)
+        decode_cfg = GravesBeamConfig(beam_size=beam_size, topk_impl=topk_impl)
     elif decoding == "alsd":
         from ...decoding.rnnt_beam import BeamDecodeConfig
 
-        decode_cfg = BeamDecodeConfig(beam_size=beam_size)
+        decode_cfg = BeamDecodeConfig(beam_size=beam_size, topk_impl=topk_impl)
     else:
         decode_cfg = GreedyDecodeConfig()
 

@@ -515,6 +515,17 @@ def fastconformer_encode(params, feats, feat_lengths, cfg: FastConformerConfig):
     # 128-aligned T; the table is offset-indexed, so building it at the
     # padded length only widens it (same values at every used offset)
     t_att = -(-t // 128) * 128 if _packed_attn_ok(cfg, t) else t
+    # On the full-Pallas stack, hoist the alignment pad onto the stream
+    # itself so the fused-residual block tail (_residual_fusion_ok) stays
+    # active at ANY serving T: every sub-block is a Pallas kernel with
+    # in-kernel length masking, so — unlike the round-2 naive hoist, where
+    # XLA merged the then-XLA FFN matmuls into slow scan-wide loop fusions —
+    # no XLA matmul sees the padded T. The final slice restores T.
+    t_out = t
+    if t_att != t and cfg.conv_impl == "pallas" \
+            and _residual_fusion_ok(cfg, t_att):
+        x = jnp.pad(x, ((0, 0), (0, t_att - t), (0, 0)))
+        t = t_att
     pos_emb = _sinusoid_rel_pos(t_att, cfg.d_model)
     mask = jnp.arange(t)[None, :] < lengths[:, None]  # [B, T']
     res_dt = jnp.dtype(cfg.residual_dtype)
@@ -527,6 +538,7 @@ def fastconformer_encode(params, feats, feat_lengths, cfg: FastConformerConfig):
     if cfg.remat:
         body = jax.checkpoint(body)
     x, _ = jax.lax.scan(body, x, params["blocks"])
+    x = x[:, :t_out]
     if cfg.final_norm:
         x = layer_norm(params["after_norm"], x)
     return x.astype(jnp.float32), lengths

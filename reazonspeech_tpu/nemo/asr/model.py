@@ -232,10 +232,12 @@ def load_model(
         if decoding is None:
             decoding = ck_dec.get("strategy", "alsd")
         if decoding in ("alsd", "beam"):
+            on_tpu = jax.devices()[0].platform in ("tpu", "axon")
             decode_cfg = BeamDecodeConfig(
                 beam_size=beam_size or ck_dec.get("beam_size", 4),
                 alsd_max_target_len=ck_dec.get("alsd_max_target_len", 1.0),
                 score_norm=ck_dec.get("score_norm", True),
+                topk_impl="pallas" if on_tpu else "xla",
             )
         else:
             decode_cfg = GreedyDecodeConfig()

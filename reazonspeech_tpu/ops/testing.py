@@ -10,12 +10,14 @@ __all__ = ["interpret_serving_kernels", "patch_interpret"]
 
 
 def _targets():
+    from . import beam_topk as bt
     from . import conformer_conv as cc
     from . import ln_dense as lnd
     from . import relpos_attention as ra
     from . import zipformer_attention as za
 
     return [
+        (bt, "topm_logsoftmax"),
         (lnd, "ln_dense"),
         (lnd, "ln_dense_add"),
         (lnd, "add_ln"),
