@@ -82,6 +82,16 @@ class BeamDecodeConfig:
     # serving shape); "xla" is the reference formulation. Values and tie
     # order are identical. Set by the model loaders' TPU serving overrides.
     topk_impl: str = "xla"
+    # "pallas" additionally pulls the joint's pred projection + activation +
+    # output matmul INTO that kernel (ops/beam_topk.joint_topm) — one op for
+    # the whole per-step tail; topk_impl is then moot. Same dtype chain as
+    # the XLA joint (bf16 matmuls, fp32 log-softmax).
+    joint_impl: str = "xla"
+    # "pallas" runs each predictor LSTM cell as one fused kernel
+    # (ops/lstm_step.py) instead of XLA's ~10-op chain; requires an "lstm"
+    # predictor with pred_hidden % 128 == 0, otherwise ignored. The beam
+    # while_loop is op-launch-bound, so fewer ops = wall-clock.
+    lstm_impl: str = "xla"
 
 
 def _tree_take_beams(state, idx):
@@ -126,6 +136,61 @@ def rnnt_beam_decode(
     def flat(x):  # [B, K, ...] -> [B*K, ...]
         return x.reshape((bk,) + x.shape[2:])
 
+    use_lstm_kernel = (
+        cfg.lstm_impl == "pallas"
+        and rnnt_cfg.predictor_kind == "lstm"
+        and rnnt_cfg.pred_hidden % 128 == 0
+    )
+
+    def pred_step(tokens_flat, state_flat):
+        """predictor_step, optionally via the fused cell kernel (state
+        stays (h, c) [L, R, H] either way)."""
+        if not use_lstm_kernel:
+            return predictor_step(pred_params, tokens_flat, state_flat, rnnt_cfg)
+        from ..models.rnnt import _embed_tokens
+        from ..ops.lstm_step import lstm_cell_step
+
+        # in-kernel compute is fp32: the per-step matmuls are launch-bound,
+        # not FLOP-bound, so fp32 costs nothing and tracks the fp32 oracle
+        # more closely than the XLA bf16 chain (same policy as ln_dense)
+        x = _embed_tokens(pred_params, tokens_flat, rnnt_cfg)
+        x = x.astype(jnp.float32)
+        hst, cst = state_flat
+        hs, cs = [], []
+        for li, layer in enumerate(pred_params["lstm"]):
+            hn, cn = lstm_cell_step(
+                layer["w_ih"], layer["w_hh"], layer["b_ih"] + layer["b_hh"],
+                x, hst[li], cst[li],
+                compute_dtype="float32",
+            )
+            hs.append(hn)
+            cs.append(cn)
+            x = hn
+        return x, (jnp.stack(hs), jnp.stack(cs))
+
+    def joint_topm_step(enc_rows, dec_rows):
+        """Per-step joint tail -> (lp_blank, top_lp, top_tok), each [R, ...]."""
+        if cfg.joint_impl == "pallas":
+            from ..ops.beam_topk import joint_topm
+
+            return joint_topm(
+                joint_params["pred"]["w"], joint_params["pred"]["b"],
+                joint_params["out"]["w"], joint_params["out"]["b"],
+                enc_rows, dec_rows, m, blank,
+                activation=rnnt_cfg.joint_activation,
+                compute_dtype="float32",  # launch-bound; fp32 is free here
+            )
+        logits = joint_step_from_enc_proj(
+            joint_params, enc_rows, dec_rows, rnnt_cfg
+        )  # [R, V]
+        if cfg.topk_impl == "pallas":
+            from ..ops.beam_topk import topm_logsoftmax
+
+            return topm_logsoftmax(logits, m, blank)
+        from ..ops.beam_topk import topm_logsoftmax_xla
+
+        return topm_logsoftmax_xla(logits, m, blank)
+
     def norm_key(score, counts):
         if not cfg.score_norm:
             return score
@@ -148,8 +213,8 @@ def rnnt_beam_decode(
     fin_any = jnp.zeros((b,), bool)
 
     pred_state0 = predictor_zero_state(bk, rnnt_cfg)
-    pred_out0, pred_state0 = predictor_step(
-        pred_params, jnp.full((bk,), blank, jnp.int32), pred_state0, rnnt_cfg
+    pred_out0, pred_state0 = pred_step(
+        jnp.full((bk,), blank, jnp.int32), pred_state0
     )
     h = rnnt_cfg.pred_hidden
     pred_out = pred_out0.reshape(b, k, h)
@@ -181,17 +246,9 @@ def rnnt_beam_decode(
         enc_frames = jnp.take_along_axis(
             enc_proj[:, None], safe_t[..., None, None], axis=2
         )[:, :, 0]  # [B, K, J]
-        logits = joint_step_from_enc_proj(
-            joint_params, flat(enc_frames), flat(pred_out), rnnt_cfg
-        )  # [B*K, V]
-        if cfg.topk_impl == "pallas":
-            from ..ops.beam_topk import topm_logsoftmax
-
-            lp_blank, top_lp, top_tok = topm_logsoftmax(logits, m, blank)
-        else:
-            from ..ops.beam_topk import topm_logsoftmax_xla
-
-            lp_blank, top_lp, top_tok = topm_logsoftmax_xla(logits, m, blank)
+        lp_blank, top_lp, top_tok = joint_topm_step(
+            flat(enc_frames), flat(pred_out)
+        )
         lp_blank = lp_blank.reshape(b, k)
         top_lp = top_lp.reshape(b, k, m)
         top_tok = top_tok.reshape(b, k, m)
@@ -305,9 +362,7 @@ def rnnt_beam_decode(
             ps_flat = tuple(
                 jnp.transpose(flat(s), (1, 0, 2)) for s in n_pred_state
             )
-        new_out, new_state = predictor_step(
-            pred_params, flat(stepped_tok), ps_flat, rnnt_cfg
-        )
+        new_out, new_state = pred_step(flat(stepped_tok), ps_flat)
         new_out = new_out.reshape(b, k, h)
         n_pred_out = jnp.where(emit[..., None], new_out, n_pred_out)
         if rnnt_cfg.predictor_kind == "stateless":

@@ -74,6 +74,13 @@ class GravesBeamConfig:
     # "pallas": fused log-softmax + blank split + top-k per pop
     # (ops/beam_topk.py); "xla": reference chain. Identical values/order.
     topk_impl: str = "xla"
+    # "pallas": fuse the whole per-pop joint tail (pred projection +
+    # activation + output matmul + log-softmax + top-k) into ONE kernel
+    # (ops/beam_topk.joint_topm); topk_impl is then moot.
+    joint_impl: str = "xla"
+    # "pallas": fused predictor LSTM cell (ops/lstm_step.py) — one op per
+    # layer instead of XLA's ~10; needs pred_hidden % 128 == 0.
+    lstm_impl: str = "xla"
 
 
 @partial(jax.jit, static_argnames=("rnnt_cfg", "cfg"))
@@ -114,6 +121,66 @@ def graves_beam_decode(
     blank = rnnt_cfg.blank_id  # == 0
 
     enc_proj = joint_precompute_enc(joint_params, enc, rnnt_cfg)  # [B, T, J]
+
+    use_lstm_kernel = (
+        cfg.lstm_impl == "pallas" and rnnt_cfg.pred_hidden % 128 == 0
+    )
+
+    def pred_step_bk(tokens, pre_h, pre_c):
+        """One predictor step; states [B, L, H] (the arena's node layout).
+
+        Returns (dec_out [B, H] fp32, post_h [B, L, H], post_c [B, L, H]).
+        """
+        if use_lstm_kernel:
+            from ..models.rnnt import _embed_tokens
+            from ..ops.lstm_step import lstm_cell_step
+
+            # fp32 in-kernel: launch-bound per-pop matmuls, fp32 is free and
+            # tracks the fp32 oracle closer than the XLA bf16 chain
+            x = _embed_tokens(pred_params, tokens, rnnt_cfg)
+            x = x.astype(jnp.float32)
+            hs, cs = [], []
+            for li, layer in enumerate(pred_params["lstm"]):
+                hn, cn = lstm_cell_step(
+                    layer["w_ih"], layer["w_hh"],
+                    layer["b_ih"] + layer["b_hh"],
+                    x, pre_h[:, li], pre_c[:, li],
+                    compute_dtype="float32",
+                )
+                hs.append(hn)
+                cs.append(cn)
+                x = hn
+            return x, jnp.stack(hs, axis=1), jnp.stack(cs, axis=1)
+        dec_out, (post_h, post_c) = predictor_step(
+            pred_params, tokens,
+            (jnp.transpose(pre_h, (1, 0, 2)),
+             jnp.transpose(pre_c, (1, 0, 2))),
+            rnnt_cfg,
+        )
+        return (dec_out,
+                jnp.transpose(post_h, (1, 0, 2)),
+                jnp.transpose(post_c, (1, 0, 2)))
+
+    def joint_topm_pop(enc_rows, dec_rows):
+        """Per-pop joint tail -> (lp_blank, top_lp, top_tok)."""
+        if cfg.joint_impl == "pallas":
+            from ..ops.beam_topk import joint_topm
+
+            return joint_topm(
+                joint_params["pred"]["w"], joint_params["pred"]["b"],
+                joint_params["out"]["w"], joint_params["out"]["b"],
+                enc_rows, dec_rows, beam_k, blank,
+                activation=rnnt_cfg.joint_activation,
+                compute_dtype="float32",  # launch-bound; fp32 is free here
+            )
+        logits = joint_step_from_enc_proj(
+            joint_params, enc_rows, dec_rows, rnnt_cfg
+        )  # [B, V]
+        if cfg.topk_impl == "pallas":
+            from ..ops.beam_topk import topm_logsoftmax as _topm
+        else:
+            from ..ops.beam_topk import topm_logsoftmax_xla as _topm
+        return _topm(logits, beam_k, blank)
 
     # ---- state ------------------------------------------------------------
     saturated = jnp.zeros((b,), bool)
@@ -179,14 +246,7 @@ def graves_beam_decode(
             last = jnp.where(is_ext, tok, nlast[bi, node])
             cnt = nc[bi, node] + is_ext.astype(jnp.int32)
 
-            dec_out, (post_h, post_c) = predictor_step(
-                pred_params, last,
-                (jnp.transpose(pre_h, (1, 0, 2)),
-                 jnp.transpose(pre_c, (1, 0, 2))),
-                rnnt_cfg,
-            )
-            post_h = jnp.transpose(post_h, (1, 0, 2))
-            post_c = jnp.transpose(post_c, (1, 0, 2))
+            dec_out, post_h, post_c = pred_step_bk(last, pre_h, pre_c)
 
             # ---- node materialisation ------------------------------------
             q = jnp.where(is_ext, kc + pop_i, node)
@@ -206,16 +266,9 @@ def graves_beam_decode(
 
             # ---- joint + log-probs ---------------------------------------
             safe_t = jnp.minimum(fidx, t - 1)
-            logits = joint_step_from_enc_proj(
-                joint_params, enc_proj[:, safe_t], dec_out, rnnt_cfg
-            )  # [B, V]
-            # fused log-softmax + blank split + top-k (ops/beam_topk.py) —
-            # the XLA chain costs 4+ HBM round-trips of [B, V] per pop
-            if cfg.topk_impl == "pallas":
-                from ..ops.beam_topk import topm_logsoftmax as _topm
-            else:
-                from ..ops.beam_topk import topm_logsoftmax_xla as _topm
-            lp_blank, top_lp, top_tok = _topm(logits, beam_k, blank)
+            lp_blank, top_lp, top_tok = joint_topm_pop(
+                enc_proj[:, safe_t], dec_out
+            )
 
             # ---- kept: blank extension -----------------------------------
             kslot = jnp.where(active, kept_n, p_max)

@@ -13,11 +13,14 @@ def _targets():
     from . import beam_topk as bt
     from . import conformer_conv as cc
     from . import ln_dense as lnd
+    from . import lstm_step as ls
     from . import relpos_attention as ra
     from . import zipformer_attention as za
 
     return [
         (bt, "topm_logsoftmax"),
+        (bt, "joint_topm"),
+        (ls, "lstm_cell_step"),
         (lnd, "ln_dense"),
         (lnd, "ln_dense_add"),
         (lnd, "add_ln"),
