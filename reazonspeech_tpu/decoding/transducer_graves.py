@@ -218,14 +218,14 @@ def graves_beam_decode(
         ks = jnp.full((b, p_max + 1), _DEAD, jnp.float32)
         knode = jnp.zeros((b, p_max + 1), jnp.int32)
         pop_i = jnp.zeros((b,), jnp.int32)
-        kept_n = jnp.zeros((b,), jnp.int32)
+        it0 = jnp.int32(0)
         frame_done = ~in_frame
 
         def pop_cond(pstate):
             return ~jnp.all(pstate[0])
 
         def pop_body(pstate):
-            (frame_done, pop_i, kept_n, saturated,
+            (frame_done, pop_i, it, saturated,
              nt, nf, nc, nlast, npre_h, npre_c, npost_h, npost_c,
              ps, pnode, ptok, ks, knode) = pstate
 
@@ -249,20 +249,36 @@ def graves_beam_decode(
             dec_out, post_h, post_c = pred_step_bk(last, pre_h, pre_c)
 
             # ---- node materialisation ------------------------------------
-            q = jnp.where(is_ext, kc + pop_i, node)
-            q_w = jnp.where(active, q, n_nodes - 1)  # scratch for masked
+            # EVERY pop materialises a fresh node at the GLOBAL slot kc+it
+            # (while an element is active its pop count equals the loop
+            # iteration, so the numbering is the per-element scheme exactly;
+            # survivor pops write a copy-node whose npost is the freshly
+            # stepped state their children read). One dynamic_update_slice
+            # per arena replaces the old .at[bi, q].set batch scatter, whose
+            # TPU lowering rewrote the WHOLE arena as a dense select —
+            # profiled at ~120 of 188 us per pop (fusion.204/199, round 3).
+            # Lanes of frame_done elements receive garbage at slot kc+it;
+            # nothing references them (their kept/pending entries only point
+            # at nodes written while they were active, all at slots < kc+it).
+            q = jnp.full((b,), kc, jnp.int32) + it
             upos = jnp.arange(u_buf)[None, :]
             put = is_ext[:, None] & (upos == nc[bi, node][:, None])
             row_t = jnp.where(put, tok[:, None], nt[bi, node])
             row_f = jnp.where(put, fidx, nf[bi, node])
-            nt = nt.at[bi, q_w].set(row_t)
-            nf = nf.at[bi, q_w].set(row_f)
-            nc = nc.at[bi, q_w].set(cnt)
-            nlast = nlast.at[bi, q_w].set(last)
-            npre_h = npre_h.at[bi, q_w].set(pre_h)
-            npre_c = npre_c.at[bi, q_w].set(pre_c)
-            npost_h = npost_h.at[bi, q_w].set(post_h)
-            npost_c = npost_c.at[bi, q_w].set(post_c)
+
+            def dus(arena, row):
+                start = (0, kc + it) + (0,) * (arena.ndim - 2)
+                return jax.lax.dynamic_update_slice(
+                    arena, row[:, None], start)
+
+            nt = dus(nt, row_t)
+            nf = dus(nf, row_f)
+            nc = dus(nc, cnt)
+            nlast = dus(nlast, last)
+            npre_h = dus(npre_h, pre_h)
+            npre_c = dus(npre_c, pre_c)
+            npost_h = dus(npost_h, post_h)
+            npost_c = dus(npost_c, post_c)
 
             # ---- joint + log-probs ---------------------------------------
             safe_t = jnp.minimum(fidx, t - 1)
@@ -271,20 +287,25 @@ def graves_beam_decode(
             )
 
             # ---- kept: blank extension -----------------------------------
-            kslot = jnp.where(active, kept_n, p_max)
-            ks = ks.at[bi, kslot].set(score + lp_blank)
-            knode = knode.at[bi, kslot].set(q)
-            kept_n = kept_n + active.astype(jnp.int32)
+            # kept count == it for active elements, so this is a DUS too;
+            # frame_done elements must keep their kept sets frozen -> their
+            # lane writes _DEAD (a live garbage score would change their
+            # compaction)
+            ks = jax.lax.dynamic_update_slice(
+                ks, jnp.where(active, score + lp_blank, _DEAD)[:, None],
+                (0, it))
+            knode = jax.lax.dynamic_update_slice(knode, q[:, None], (0, it))
 
             # ---- pending: top-k label extensions -------------------------
             can_ext = active & (cnt < u_buf)
             child_scores = jnp.where(
                 can_ext[:, None], score[:, None] + top_lp, _DEAD)
-            base = jnp.where(active, kc + pop_i * beam_k, c_pend - beam_k)
-            slots = base[:, None] + jnp.arange(beam_k)[None, :]
-            ps = ps.at[bi[:, None], slots].set(child_scores)
-            pnode = pnode.at[bi[:, None], slots].set(q[:, None])
-            ptok = ptok.at[bi[:, None], slots].set(top_tok.astype(jnp.int32))
+            base = kc + it * beam_k
+            ps = jax.lax.dynamic_update_slice(ps, child_scores, (0, base))
+            pnode = jax.lax.dynamic_update_slice(
+                pnode, jnp.broadcast_to(q[:, None], (b, beam_k)), (0, base))
+            ptok = jax.lax.dynamic_update_slice(
+                ptok, top_tok.astype(jnp.int32), (0, base))
             pop_i = pop_i + active.astype(jnp.int32)
 
             # ---- ESPnet termination test ---------------------------------
@@ -294,15 +315,15 @@ def graves_beam_decode(
             frame_done = frame_done | (active & ((n_above >= k) | hit_cap))
             saturated = saturated | (active & hit_cap & (n_above < k))
 
-            return (frame_done, pop_i, kept_n, saturated,
+            return (frame_done, pop_i, it + 1, saturated,
                     nt, nf, nc, nlast, npre_h, npre_c, npost_h, npost_c,
                     ps, pnode, ptok, ks, knode)
 
-        pstate = (frame_done, pop_i, kept_n, saturated,
+        pstate = (frame_done, pop_i, it0, saturated,
                   nt, nf, nc, nlast, npre_h, npre_c, npost_h, npost_c,
                   ps, pnode, ptok, ks, knode)
         pstate = jax.lax.while_loop(pop_cond, pop_body, pstate)
-        (frame_done, pop_i, kept_n, saturated,
+        (frame_done, pop_i, _, saturated,
          nt, nf, nc, nlast, npre_h, npre_c, npost_h, npost_c,
          ps, pnode, ptok, ks, knode) = pstate
 
