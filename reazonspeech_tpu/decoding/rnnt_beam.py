@@ -92,6 +92,13 @@ class BeamDecodeConfig:
     # predictor with pred_hidden % 128 == 0, otherwise ignored. The beam
     # while_loop is op-launch-bound, so fewer ops = wall-clock.
     lstm_impl: str = "xla"
+    # alignment steps executed per while_loop iteration. EXACT: every body
+    # update is frozen-element masked, so at most unroll-1 masked no-op
+    # steps execute after all elements finish. Measured NEUTRAL at serving
+    # shape on the dev TPU (the body overlaps the per-iteration dispatch
+    # cost, which an empty loop measures at 43-80 us), and factors >2
+    # trip the dev stack's compile fragility — serving keeps 1.
+    unroll: int = 1
 
 
 def _tree_take_beams(state, idx):
@@ -403,9 +410,15 @@ def rnnt_beam_decode(
     init = (jnp.int32(0), scores, time_idx, counts, tokens, frames, last_tok,
             pred_out, pred_state,
             fin_key, fin_raw, fin_tokens, fin_frames, fin_count, fin_any)
+
+    def body_n(state):
+        for _ in range(max(1, cfg.unroll)):
+            state = body(state)
+        return state
+
     (_, scores, _, counts, tokens, frames, _, _, _,
      fin_key, fin_raw, fin_tokens, fin_frames, fin_count, fin_any
-     ) = jax.lax.while_loop(cond, body, init)
+     ) = jax.lax.while_loop(cond, body_n, init)
 
     # fall back to the best live hypothesis when nothing finalised
     beam_key = jnp.where(scores > _ALIVE, norm_key(scores, counts), _DEAD)

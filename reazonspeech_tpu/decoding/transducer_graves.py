@@ -81,6 +81,12 @@ class GravesBeamConfig:
     # "pallas": fused predictor LSTM cell (ops/lstm_step.py) — one op per
     # layer instead of XLA's ~10; needs pred_hidden % 128 == 0.
     lstm_impl: str = "xla"
+    # pops executed per while_loop iteration of the inner pop loop. Exact:
+    # every update is frame_done-masked (overshoot pops no-op onto scratch
+    # slots). Measured NEUTRAL-to-slightly-negative on the dev TPU (the pop
+    # body overlaps the per-iteration overhead), so serving keeps 1; the
+    # knob exists for stacks where loop dispatch dominates.
+    unroll: int = 1
 
 
 @partial(jax.jit, static_argnames=("rnnt_cfg", "cfg"))
@@ -322,7 +328,13 @@ def graves_beam_decode(
         pstate = (frame_done, pop_i, it0, saturated,
                   nt, nf, nc, nlast, npre_h, npre_c, npost_h, npost_c,
                   ps, pnode, ptok, ks, knode)
-        pstate = jax.lax.while_loop(pop_cond, pop_body, pstate)
+
+        def pop_body_n(s):
+            for _ in range(max(1, cfg.unroll)):
+                s = pop_body(s)
+            return s
+
+        pstate = jax.lax.while_loop(pop_cond, pop_body_n, pstate)
         (frame_done, pop_i, _, saturated,
          nt, nf, nc, nlast, npre_h, npre_c, npost_h, npost_c,
          ps, pnode, ptok, ks, knode) = pstate
