@@ -180,6 +180,7 @@ def gate_nemo(nemo_path, size, report):
     t = 256 if size != "tiny" else 64
     clips = _mel_clips(4, t, enc_cfg.feat_in)
     maes, rels, token_rates, alsd_rates = [], [], [], []
+    alsd_fused_rates = []
     flips, devs = [], []
     lnd_flips, lnd_devs, base_bf_flips = [], [], []
     for i, mel in enumerate(clips):
@@ -228,6 +229,21 @@ def gate_nemo(nemo_path, size, report):
                          np.asarray(bframes)[0, :bc].tolist()))
         ref_bpairs = list(zip(ref_b[0], ref_b[1]))
         alsd_rates.append(_match_rate(ref_bpairs, our_b))
+
+        # Fused decode-step kernels (ops/lstm_step.py + beam_topk.joint_topm,
+        # opt-in joint_impl/lstm_impl="pallas", fp32 in-kernel): gate them
+        # against the SAME serial oracle pairs as the serving chain.
+        with _interpret_kernels_on_cpu():
+            ftoks, fframes, fcounts, _ = rnnt_beam_decode(
+                jparams["predictor"], jparams["joint"],
+                jnp.asarray(ours)[None], olens, rnnt_cfg,
+                BeamDecodeConfig(beam_size=ALSD_BEAM, joint_impl="pallas",
+                                 lstm_impl="pallas"),
+            )
+        fc = int(np.asarray(fcounts)[0])
+        our_f = list(zip(np.asarray(ftoks)[0, :fc].tolist(),
+                         np.asarray(fframes)[0, :fc].tolist()))
+        alsd_fused_rates.append(_match_rate(ref_bpairs, our_f))
 
         # bf16-RESIDUAL sensitivity. Serving always computes matmuls in bf16
         # (MXU); the open question is the residual stream dtype, so compare
@@ -313,6 +329,7 @@ def gate_nemo(nemo_path, size, report):
         "encoder_logit_rel": max(rels),
         "token_match_vs_torch": min(token_rates),
         "alsd_beam_token_match": min(alsd_rates),
+        "alsd_fused_impls_token_match": min(alsd_fused_rates),
         "wave_feature_mae": max(wave_feat_maes),
         "wave_token_match": min(wave_rates),
         "bf16_residual_token_flip_rate": max(flips),
@@ -383,6 +400,7 @@ def gate_espnet(zoo_dir, size, report):
     t = 256 if size != "tiny" else 64
     clips = _mel_clips(4, t, enc_cfg.feat_in, seed=1)
     maes, rels, ctc_maes, token_rates, beam_rates = [], [], [], [], []
+    beam_fused_rates = []
     flips, devs = [], []
     for mel in clips:
         with torch.no_grad():
@@ -438,6 +456,20 @@ def gate_espnet(zoo_dir, size, report):
             our_gb = list(zip(np.asarray(gt_)[0, :gcn].tolist(),
                               np.asarray(gf_)[0, :gcn].tolist()))
             beam_rates.append(_match_rate(list(zip(ref_b[0], ref_b[1])), our_gb))
+
+            # fused decode-step kernels (opt-in joint_impl/lstm_impl) vs
+            # the same serial oracle pairs
+            with _interpret_kernels_on_cpu():
+                ft_, ff_, fc_, _, _ = graves_beam_decode(
+                    jparams["predictor"], jparams["joint"],
+                    jnp.asarray(ours_np)[None], olens, rnnt_cfg,
+                    replace(gcfg, joint_impl="pallas", lstm_impl="pallas"),
+                )
+            fcn = int(np.asarray(fc_)[0])
+            our_fb = list(zip(np.asarray(ft_)[0, :fcn].tolist(),
+                              np.asarray(ff_)[0, :fcn].tolist()))
+            beam_fused_rates.append(
+                _match_rate(list(zip(ref_b[0], ref_b[1])), our_fb))
 
             base_cfg = replace(enc_cfg, compute_dtype="bfloat16")
             bf_cfg = replace(base_cfg, residual_dtype="bfloat16")
@@ -509,6 +541,8 @@ def gate_espnet(zoo_dir, size, report):
         "ctc_log_softmax_mae": max(ctc_maes),
         "token_match_vs_torch": min(token_rates) if token_rates else None,
         "beam20_token_match": min(beam_rates) if beam_rates else None,
+        "beam20_fused_impls_token_match": (
+            min(beam_fused_rates) if beam_fused_rates else None),
         "wave_feature_mae": max(wave_feat_maes),
         "wave_token_match": min(wave_rates) if wave_rates else None,
         "bf16_residual_token_flip_rate": max(flips) if flips else None,
