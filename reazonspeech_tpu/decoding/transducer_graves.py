@@ -87,6 +87,25 @@ class GravesBeamConfig:
     # body overlaps the per-iteration overhead), so serving keeps 1; the
     # knob exists for stacks where loop dispatch dominates.
     unroll: int = 1
+    # pending hypotheses SPECULATIVELY expanded per inner while_loop
+    # iteration (1 = the serial pop loop). The loop is iteration-floor-bound
+    # (~80 us/iteration on this stack regardless of body size), so the win
+    # comes from cutting ITERATIONS: one batched predictor+joint over the
+    # top-``multipop`` pending hypotheses, then the longest prefix the
+    # serial algorithm would actually have popped is accepted — exact
+    # because a child's score never exceeds its parent's (log-probs are
+    # <= 0), so the i-th best pending is popped before any child of pops
+    # 1..i-1 iff s_i >= cummax(best child so far), and ESPnet's termination
+    # test is evaluated per prefix position with cumulative ops. Outputs are
+    # identical to multipop=1 (tested); under blank-dominant frames most
+    # rounds accept the full window.
+    multipop: int = 1
+    # node-arena pop budget for multipop>1, as a multiple of
+    # max_pops_per_frame (slot allocation advances by the round's max
+    # accepted count, which can exceed any single element's pop count when
+    # acceptance is skewed across the batch). On exhaustion the frame ends
+    # early for still-active elements and ``saturated`` reports it.
+    multipop_arena_factor: float = 1.5
 
 
 @partial(jax.jit, static_argnames=("rnnt_cfg", "cfg"))
@@ -120,8 +139,18 @@ def graves_beam_decode(
     p_max = cfg.max_pops_per_frame or (6 * k + 8)
     kc = cfg.kept_capacity or (k + 12)
     u_buf = cfg.max_tokens or t
-    n_nodes = kc + p_max + 1  # +1 scratch row
-    c_pend = kc + p_max * beam_k + beam_k  # + scratch block
+    m_pop = max(1, min(cfg.multipop, p_max))
+    if m_pop > 1:
+        # arena slots advance by each round's max accepted count (see
+        # round_body); budget beyond p_max absorbs cross-batch skew, the
+        # final m_pop rows are an overflow scratch window never referenced
+        cap_pops = max(p_max, int(p_max * cfg.multipop_arena_factor + 0.5))
+        n_nodes = kc + cap_pops + 2 * m_pop
+        c_pend = kc + (cap_pops + 2 * m_pop) * beam_k
+    else:
+        cap_pops = p_max
+        n_nodes = kc + p_max + 1  # +1 scratch row
+        c_pend = kc + p_max * beam_k + beam_k  # + scratch block
     lyr = rnnt_cfg.pred_rnn_layers
     h = rnnt_cfg.pred_hidden
     blank = rnnt_cfg.blank_id  # == 0
@@ -325,19 +354,183 @@ def graves_beam_decode(
                     nt, nf, nc, nlast, npre_h, npre_c, npost_h, npost_c,
                     ps, pnode, ptok, ks, knode)
 
-        pstate = (frame_done, pop_i, it0, saturated,
-                  nt, nf, nc, nlast, npre_h, npre_c, npost_h, npost_c,
-                  ps, pnode, ptok, ks, knode)
+        def round_body(pstate):
+            """Expand the top-``m_pop`` pending hypotheses in ONE batched
+            predictor+joint, then accept exactly the prefix the serial
+            algorithm would have popped. Identical outputs to pop_body
+            (tested); ~m_pop fewer while_loop iterations per frame, which is
+            the cost driver (the loop floor is ~80 us/iteration regardless
+            of body size). Exactness argument: children score <= parent
+            (log-probs <= 0) and child pending columns are always HIGHER
+            than every snapshot entry's, so rank-i of the snapshot is popped
+            before any child of ranks 1..i-1 iff s_i >= cummax(best child),
+            ties to the snapshot — exactly serial argmax order."""
+            (frame_done, pop_i, nbase, saturated,
+             nt, nf, nc, nlast, npre_h, npre_c, npost_h, npost_c,
+             ps, pnode, ptok, ks, knode) = pstate
 
-        def pop_body_n(s):
-            for _ in range(max(1, cfg.unroll)):
-                s = pop_body(s)
-            return s
+            active = ~frame_done
+            # overflow: no legal write window left -> this round accepts
+            # nothing, writes land in the tail scratch rows, still-active
+            # elements end their frame flagged saturated
+            ovf = nbase + m_pop > kc + cap_pops + m_pop
+            nbase_s = jnp.where(
+                ovf, jnp.int32(kc + cap_pops + m_pop), nbase)
 
-        pstate = jax.lax.while_loop(pop_cond, pop_body_n, pstate)
-        (frame_done, pop_i, _, saturated,
-         nt, nf, nc, nlast, npre_h, npre_c, npost_h, npost_c,
-         ps, pnode, ptok, ks, knode) = pstate
+            # ---- top-M pending snapshot (value desc, index asc == the
+            # serial argmax pop order, including ties)
+            vals, idx = jax.lax.top_k(ps, m_pop + 1)
+            s = vals[:, :m_pop]  # [B, M]
+            idxm = idx[:, :m_pop]
+            p_rest = vals[:, m_pop]  # best pending beyond the window
+
+            node = jnp.take_along_axis(pnode, idxm, axis=1)  # [B, M]
+            tok = jnp.take_along_axis(ptok, idxm, axis=1)
+            is_ext = tok >= 0
+
+            def prow(x):
+                return jnp.take_along_axis(
+                    x, node.reshape(node.shape + (1,) * (x.ndim - 2)),
+                    axis=1)
+
+            pre_h = jnp.where(is_ext[:, :, None, None],
+                              prow(npost_h), prow(npre_h))  # [B,M,L,H]
+            pre_c = jnp.where(is_ext[:, :, None, None],
+                              prow(npost_c), prow(npre_c))
+            last = jnp.where(is_ext, tok, prow(nlast))  # [B, M]
+            cnt_parent = prow(nc)
+            cnt = cnt_parent + is_ext.astype(jnp.int32)
+
+            bm = b * m_pop
+            dec_out, post_h, post_c = pred_step_bk(
+                last.reshape(bm),
+                pre_h.reshape(bm, lyr, h), pre_c.reshape(bm, lyr, h))
+
+            safe_t = jnp.minimum(fidx, t - 1)
+            enc_rows = jnp.broadcast_to(
+                enc_proj[:, safe_t][:, None, :],
+                (b, m_pop, enc_proj.shape[-1])).reshape(bm, -1)
+            lp_blank, top_lp, top_tok = joint_topm_pop(enc_rows, dec_out)
+            lp_blank = lp_blank.reshape(b, m_pop)
+            top_lp = top_lp.reshape(b, m_pop, beam_k)
+            top_tok = top_tok.reshape(b, m_pop, beam_k).astype(jnp.int32)
+
+            # ---- serial-order accounting --------------------------------
+            kb = s + lp_blank  # kept (blank-extension) score per pop
+            can_ext = cnt < u_buf
+            c_best = jnp.where(can_ext, s + top_lp[:, :, 0], _DEAD)
+            inc_cmax = jax.lax.cummax(c_best, axis=1)
+            exc_cmax = jnp.concatenate(
+                [jnp.full((b, 1), -jnp.inf, jnp.float32),
+                 inc_cmax[:, :-1]], axis=1)
+            valid = s >= exc_cmax
+            vpfx = jnp.cumprod(valid.astype(jnp.int32), axis=1).astype(bool)
+
+            # max pending AFTER pop i (children of pops 1..i included)
+            s_shift = jnp.concatenate([s[:, 1:], p_rest[:, None]], axis=1)
+            m_after = jnp.maximum(s_shift, inc_cmax)  # [B, M]
+            n_old = jnp.sum(ks[:, None, :] > m_after[:, :, None], axis=2)
+            tri = jnp.tril(jnp.ones((m_pop, m_pop), bool))  # [i, j]: j <= i
+            n_new = jnp.sum(
+                (kb[:, None, :] > m_after[:, :, None]) & tri[None], axis=2)
+            term = (n_old + n_new) >= k
+            i1 = 1 + jnp.arange(m_pop, dtype=jnp.int32)
+            cap = (pop_i[:, None] + i1[None, :]) >= p_max
+            done_eff = vpfx & (term | cap)
+            any_done = jnp.any(done_eff, axis=1)
+            first = jnp.argmax(done_eff, axis=1)  # [B]
+            a_cnt = jnp.where(
+                any_done, first + 1, jnp.sum(vpfx.astype(jnp.int32), axis=1))
+            a_cnt = jnp.where(active & ~ovf, a_cnt, 0)
+            acc = jnp.arange(m_pop)[None, :] < a_cnt[:, None]  # [B, M]
+
+            sat_i = jnp.take_along_axis(
+                cap & ~term, first[:, None], axis=1)[:, 0]
+            saturated = saturated | (active & ~ovf & any_done & sat_i)
+            saturated = saturated | (active & ovf)
+            frame_done = frame_done | (active & (ovf | any_done))
+
+            # ---- apply the accepted prefix ------------------------------
+            # pending removal (ps is small — the scatter's dense-select
+            # lowering is fine here, unlike on the node arenas)
+            ps = ps.at[bi[:, None], idxm].set(jnp.where(acc, _DEAD, s))
+
+            # kept appends at per-element columns pop_i + j (same columns
+            # the serial pop loop uses)
+            tgt = pop_i[:, None] + jnp.arange(m_pop, dtype=jnp.int32)[None]
+            cols = jnp.arange(p_max + 1, dtype=jnp.int32)
+            hit = (cols[None, None, :] == tgt[:, :, None]) & acc[:, :, None]
+            hit_any = jnp.any(hit, axis=1)
+            qv = nbase_s + jnp.arange(m_pop, dtype=jnp.int32)  # node slots
+            ks = jnp.where(
+                hit_any,
+                jnp.sum(jnp.where(hit, kb[:, :, None], 0.0), axis=1), ks)
+            knode = jnp.where(
+                hit_any,
+                jnp.sum(jnp.where(hit, qv[None, :, None], 0), axis=1), knode)
+
+            # children at batch-uniform columns; unaccepted pops' blocks are
+            # _DEAD and sit past every element's accepted region, so the
+            # next round's base may overwrite them
+            cbase = kc + (nbase_s - kc) * beam_k
+            child_s = jnp.where((acc & can_ext)[:, :, None],
+                                s[:, :, None] + top_lp, _DEAD)
+            ps = jax.lax.dynamic_update_slice(
+                ps, child_s.reshape(b, m_pop * beam_k), (0, cbase))
+            child_n = jnp.broadcast_to(
+                qv[None, :, None], (b, m_pop, beam_k))
+            pnode = jax.lax.dynamic_update_slice(
+                pnode, child_n.reshape(b, -1), (0, cbase))
+            ptok = jax.lax.dynamic_update_slice(
+                ptok, top_tok.reshape(b, -1), (0, cbase))
+
+            # node arena: ONE [B, M, ...] dynamic_update_slice per array
+            upos = jnp.arange(u_buf)[None, None, :]
+            put = is_ext[:, :, None] & (upos == cnt_parent[:, :, None])
+            row_t = jnp.where(put, tok[:, :, None], prow(nt))
+            row_f = jnp.where(put, fidx, prow(nf))
+
+            def dusm(arena, blk):
+                start = (0, nbase_s) + (0,) * (arena.ndim - 2)
+                return jax.lax.dynamic_update_slice(arena, blk, start)
+
+            nt = dusm(nt, row_t)
+            nf = dusm(nf, row_f)
+            nc = dusm(nc, cnt)
+            nlast = dusm(nlast, last)
+            npre_h = dusm(npre_h, pre_h)
+            npre_c = dusm(npre_c, pre_c)
+            npost_h = dusm(npost_h, post_h.reshape(b, m_pop, lyr, h))
+            npost_c = dusm(npost_c, post_c.reshape(b, m_pop, lyr, h))
+
+            pop_i = pop_i + a_cnt
+            nbase = jnp.where(ovf, nbase, nbase + jnp.max(a_cnt))
+            return (frame_done, pop_i, nbase, saturated,
+                    nt, nf, nc, nlast, npre_h, npre_c, npost_h, npost_c,
+                    ps, pnode, ptok, ks, knode)
+
+        if m_pop > 1:
+            pstate = (frame_done, pop_i, jnp.int32(kc), saturated,
+                      nt, nf, nc, nlast, npre_h, npre_c, npost_h, npost_c,
+                      ps, pnode, ptok, ks, knode)
+            pstate = jax.lax.while_loop(pop_cond, round_body, pstate)
+            (frame_done, pop_i, _, saturated,
+             nt, nf, nc, nlast, npre_h, npre_c, npost_h, npost_c,
+             ps, pnode, ptok, ks, knode) = pstate
+        else:
+            pstate = (frame_done, pop_i, it0, saturated,
+                      nt, nf, nc, nlast, npre_h, npre_c, npost_h, npost_c,
+                      ps, pnode, ptok, ks, knode)
+
+            def pop_body_n(s):
+                for _ in range(max(1, cfg.unroll)):
+                    s = pop_body(s)
+                return s
+
+            pstate = jax.lax.while_loop(pop_cond, pop_body_n, pstate)
+            (frame_done, pop_i, _, saturated,
+             nt, nf, nc, nlast, npre_h, npre_c, npost_h, npost_c,
+             ps, pnode, ptok, ks, knode) = pstate
 
         # ---- compact survivors into node slots 0..kc-1 (once per frame) --
         hyps_max = jnp.max(ps, axis=1)  # [B]

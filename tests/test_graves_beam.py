@@ -55,8 +55,13 @@ def espnet_weights():
         yield sd, jp, rnnt_cfg
 
 
-@pytest.mark.parametrize("beam,seed", [(4, 3), (20, 11), (20, 12)])
-def test_matches_serial_oracle(espnet_weights, beam, seed):
+@pytest.mark.parametrize(
+    "beam,seed,multipop",
+    [(4, 3, 1), (20, 11, 1), (20, 12, 1),
+     # round-based speculative expansion must stay oracle-exact
+     (4, 3, 4), (20, 11, 8), (20, 12, 16), (20, 11, 32)],
+)
+def test_matches_serial_oracle(espnet_weights, beam, seed, multipop):
     """Batched fixed-shape Graves beam == the serial ESPnet-reading oracle
     token-and-frame exact (same bounds on both sides)."""
     from torch_reference import espnet_default_beam_reference
@@ -66,7 +71,7 @@ def test_matches_serial_oracle(espnet_weights, beam, seed):
     t = 24
     enc = rng.standard_normal((3, t, rnnt_cfg.enc_dim)).astype(np.float32)
     lens = [24, 17, 9]
-    cfg = GravesBeamConfig(beam_size=beam)
+    cfg = GravesBeamConfig(beam_size=beam, multipop=multipop)
     bt, bf, bc, bs, sat = graves_beam_decode(
         jp["predictor"], jp["joint"], jnp.asarray(enc), jnp.asarray(lens),
         rnnt_cfg, cfg,
