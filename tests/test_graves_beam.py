@@ -90,6 +90,46 @@ def test_matches_serial_oracle(espnet_weights, beam, seed, multipop):
         np.testing.assert_allclose(float(bs[i]), rs, atol=1e-3)
 
 
+@pytest.mark.parametrize("multipop", [8, 32])
+def test_multipop_equivalence_blank_dominant(espnet_weights, multipop):
+    """Heavy blank dominance (the realistic serving regime) makes multipop
+    accept full speculative windows — the acceptance bookkeeping must still
+    be pop-for-pop exact vs the serial loop. Random-logit cases are covered
+    by the oracle tests; this pins the high-acceptance path."""
+    sd, jp, rnnt_cfg = espnet_weights
+    jp2 = jax.tree.map(lambda x: x, jp)
+    jb = dict(jp2["joint"])
+    out = dict(jb["out"])
+    out["b"] = out["b"].at[0].add(6.0)  # on top of the fixture's +2
+    jb["out"] = out
+    jp2 = dict(jp2)
+    jp2["joint"] = jb
+    rng = np.random.default_rng(21)
+    t = 30
+    b = 8
+    enc = rng.standard_normal((b, t, rnnt_cfg.enc_dim)).astype(np.float32)
+    lens = jnp.asarray([30, 30, 24, 17, 9, 30, 1, 22], jnp.int32)
+    base = GravesBeamConfig(beam_size=20)
+    r1 = graves_beam_decode(
+        jp2["predictor"], jp2["joint"], jnp.asarray(enc), lens, rnnt_cfg, base
+    )
+    from dataclasses import replace
+
+    r2 = graves_beam_decode(
+        jp2["predictor"], jp2["joint"], jnp.asarray(enc), lens, rnnt_cfg,
+        replace(base, multipop=multipop),
+    )
+    t1, f1, c1, s1, sat1 = [np.asarray(x) for x in r1]
+    t2, f2, c2, s2, sat2 = [np.asarray(x) for x in r2]
+    assert not sat1.any() and not sat2.any()
+    assert (c1 == c2).all()
+    for i in range(b):
+        c = int(c1[i])
+        assert t1[i, :c].tolist() == t2[i, :c].tolist(), i
+        assert f1[i, :c].tolist() == f2[i, :c].tolist(), i
+    np.testing.assert_allclose(s1, s2, atol=1e-4)
+
+
 def test_zero_length_and_padding_invariance(espnet_weights):
     sd, jp, rnnt_cfg = espnet_weights
     rng = np.random.default_rng(5)
