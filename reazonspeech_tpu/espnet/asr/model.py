@@ -8,6 +8,7 @@ chunk (SURVEY.md §3.3 note).
 
 import glob
 import os
+import warnings
 from dataclasses import dataclass, replace
 from functools import partial
 from typing import Optional
@@ -57,9 +58,12 @@ def encode_ctc_decode(
     feats = _apply_mvn(params, feats, flens)
     enc, elens = fastconformer_encode(params["encoder"], feats, flens, enc_cfg)
     lpz_log = jax.nn.log_softmax(ctc_logits(params["ctc"], enc), axis=-1)
+    saturated = jnp.zeros((enc.shape[0],), bool)
     if isinstance(decode_cfg, GravesBeamConfig):
-        # the reference's decode algorithm (ESPnet default_beam_search)
-        tokens, frames, counts, _, _ = graves_beam_decode(
+        # the reference's decode algorithm (ESPnet default_beam_search);
+        # ``saturated`` marks elements where the fixed-shape pop cap ended a
+        # frame before ESPnet's own termination test would have
+        tokens, frames, counts, _, saturated = graves_beam_decode(
             params["predictor"], params["joint"], enc, elens, rnnt_cfg, decode_cfg
         )
     elif isinstance(decode_cfg, BeamDecodeConfig):
@@ -70,7 +74,7 @@ def encode_ctc_decode(
         tokens, frames, counts = rnnt_greedy_decode(
             params["predictor"], params["joint"], enc, elens, rnnt_cfg, decode_cfg
         )
-    return lpz_log, tokens, frames, counts, elens
+    return lpz_log, tokens, frames, counts, elens, saturated
 
 
 @partial(jax.jit, static_argnames=("fe_cfg", "enc_cfg"))
@@ -81,6 +85,23 @@ def encode_ctc(params, waveform, lengths, fe_cfg, enc_cfg):
     enc, elens = fastconformer_encode(params["encoder"], feats, flens, enc_cfg)
     lpz = jax.nn.softmax(ctc_logits(params["ctc"], enc), axis=-1)
     return lpz, elens
+
+
+def _warn_saturated(saturated):
+    """Warn when the fixed-shape beam's pop budget bound (ESPnet's search is
+    unbounded; ours caps pops per frame so shapes stay static — outside the
+    cap, outputs are exact vs the oracle). Mirrors the reference's style of
+    warning instead of failing (pkg/k2-asr/src/transcribe.py:27-34)."""
+    n = int(np.asarray(saturated).sum())
+    if n:
+        warnings.warn(
+            f"beam search pop budget was exhausted on {n} batch element(s) "
+            "before ESPnet's termination test; results there may diverge "
+            "from the reference. Raise GravesBeamConfig.max_pops_per_frame "
+            "to remove the bound.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
 
 
 @dataclass
@@ -118,7 +139,7 @@ class EspnetTPUModel:
         """(token_ids, lpz_log [T_valid, V]) for a waveform chunk — one
         encoder pass shared by decode and alignment."""
         buf, lens = self._bucket(samples)
-        lpz_log, tokens, frames, counts, elens = encode_ctc_decode(
+        lpz_log, tokens, frames, counts, elens, saturated = encode_ctc_decode(
             self.params,
             jnp.asarray(buf),
             jnp.asarray(lens),
@@ -127,6 +148,7 @@ class EspnetTPUModel:
             self.rnnt_cfg,
             self.decode_cfg,
         )
+        _warn_saturated(saturated)
         c = int(counts[0])
         return (
             tokens[0, :c].tolist(),
@@ -140,7 +162,7 @@ class EspnetTPUModel:
         """Padded-batch transducer decode (the serving/MicroBatcher
         interface the other flavors expose): returns host numpy
         (tokens, frames, counts, enc_lengths)."""
-        _, tokens, frames, counts, elens = encode_ctc_decode(
+        _, tokens, frames, counts, elens, saturated = encode_ctc_decode(
             self.params,
             jnp.asarray(waveforms, jnp.float32),
             jnp.asarray(lengths, jnp.int32),
@@ -149,6 +171,7 @@ class EspnetTPUModel:
             self.rnnt_cfg,
             self.decode_cfg,
         )
+        _warn_saturated(saturated)
         return (
             np.asarray(tokens),
             np.asarray(frames),

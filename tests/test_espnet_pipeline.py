@@ -98,3 +98,26 @@ def test_transcribe_resamples(tiny_model):
         tiny_model, audio_from_numpy(wav, 22050), TranscribeConfig(verbose=False)
     )
     assert isinstance(ret.text, str)
+
+
+def test_beam_saturation_warns(tiny_model):
+    """When the fixed-shape pop budget ends a frame before ESPnet's own
+    termination test, serving must say so instead of silently returning a
+    potentially-divergent result."""
+    from dataclasses import replace as _replace
+
+    from reazonspeech_tpu.decoding.transducer_graves import GravesBeamConfig
+
+    # 4 pops/frame can never satisfy "8 kept outscore all pending", so every
+    # frame exits through the cap with the saturated flag set
+    saturating = _replace(
+        tiny_model,
+        decode_cfg=GravesBeamConfig(
+            beam_size=8, max_pops_per_frame=4, kept_capacity=4
+        ),
+    )
+    rng = np.random.default_rng(1)
+    wav = np.zeros((1, 16000), np.float32)
+    wav[0] = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    with pytest.warns(RuntimeWarning, match="pop budget"):
+        saturating.decode_batch(wav, np.array([16000], np.int32))
