@@ -98,7 +98,11 @@ class GravesBeamConfig:
     # 1..i-1 iff s_i >= cummax(best child so far), and ESPnet's termination
     # test is evaluated per prefix position with cumulative ops. Outputs are
     # identical to multipop=1 (tested); under blank-dominant frames most
-    # rounds accept the full window.
+    # rounds accept the full window. MEASURED NEGATIVE at serving scale
+    # (B=128 x 20 s, one chip): 3319 ms at multipop=1 vs 4396-4836 ms at
+    # 8/16/32 — the round body's [B, M]-row gathers from the node arenas
+    # (take_along_axis on [B, N, L, H]) cost more than the saved loop
+    # iterations. Stays opt-in; serving keeps 1.
     multipop: int = 1
     # node-arena pop budget for multipop>1, as a multiple of
     # max_pops_per_frame (slot allocation advances by the round's max
