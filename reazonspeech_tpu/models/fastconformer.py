@@ -82,6 +82,14 @@ class FastConformerConfig:
     # rematerialize each block's activations in the backward pass (training
     # memory ∝ sqrt(depth) instead of depth)
     remat: bool = False
+    # sequence parallelism: when set to a mesh axis name, the residual
+    # stream's TIME axis is sharding-constrained to that axis between blocks
+    # and XLA's SPMD partitioner inserts the collectives (K/V all-gathers
+    # for attention, halo exchanges for the depthwise convs) — the
+    # scaling-book recipe: annotate, let XLA place collectives on ICI.
+    # Requires the XLA impls (Pallas calls are opaque to the partitioner);
+    # use parallel.sequence.sequence_parallel_encode, which pins them.
+    seq_axis: Optional[str] = None
 
     @property
     def dtype(self):
@@ -531,9 +539,20 @@ def fastconformer_encode(params, feats, feat_lengths, cfg: FastConformerConfig):
     res_dt = jnp.dtype(cfg.residual_dtype)
     x = jnp.where(mask[..., None], x, 0).astype(res_dt)
 
+    if cfg.seq_axis:
+        from jax.sharding import PartitionSpec
+
+        seq_spec = PartitionSpec(None, cfg.seq_axis, None)
+        x = jax.lax.with_sharding_constraint(x, seq_spec)
+
     def body(carry, layer_params):
         # masking/res-dtype handled inside _block (fused on the Pallas path)
-        return _block(layer_params, carry, pos_emb, mask, lengths, cfg), None
+        out = _block(layer_params, carry, pos_emb, mask, lengths, cfg)
+        if cfg.seq_axis:
+            # re-pin the time sharding each block so the partitioner keeps
+            # the stream distributed instead of settling on replication
+            out = jax.lax.with_sharding_constraint(out, seq_spec)
+        return out, None
 
     if cfg.remat:
         body = jax.checkpoint(body)

@@ -1,3 +1,10 @@
 from .mesh import make_mesh, shard_batch, shard_params
+from .sequence import sequence_parallel_config, sequence_parallel_encode
 
-__all__ = ["make_mesh", "shard_params", "shard_batch"]
+__all__ = [
+    "make_mesh",
+    "shard_params",
+    "shard_batch",
+    "sequence_parallel_config",
+    "sequence_parallel_encode",
+]

@@ -187,3 +187,58 @@ def test_batch_sharded_inference():
     for i in range(b):
         c = int(c1[i])
         np.testing.assert_array_equal(np.asarray(t1[i, :c]), np.asarray(t2[i, :c]))
+
+
+def test_sequence_parallel_encode_matches_single_device():
+    """Time-axis-sharded encode (parallel/sequence.py) == the unsharded
+    XLA-impl encode, and the compiled program actually communicates (the
+    partitioner must insert collectives for attention's full-key view)."""
+    from reazonspeech_tpu.models.fastconformer import (
+        fastconformer_encode,
+        init_fastconformer,
+    )
+    from reazonspeech_tpu.parallel.sequence import (
+        sequence_parallel_config,
+        sequence_parallel_encode,
+        use_mesh,
+    )
+
+    enc_cfg, _ = small_cfgs()
+    params = init_fastconformer(jax.random.PRNGKey(0), enc_cfg)
+    rng = np.random.default_rng(7)
+    mesh = make_mesh(n_data=1, n_model=8)
+    b, t, f = 2, 256, enc_cfg.feat_in
+    feats = jnp.asarray(rng.standard_normal((b, t, f)), jnp.float32)
+    flens = jnp.asarray([t, t - 37], jnp.int32)
+
+    ref, rlens = fastconformer_encode(params, feats, flens, enc_cfg)
+    out, olens = sequence_parallel_encode(
+        params, feats, flens, enc_cfg, mesh, axis=MODEL_AXIS
+    )
+    assert out.shape == ref.shape
+    np.testing.assert_array_equal(np.asarray(rlens), np.asarray(olens))
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+
+    # non-divisible T must refuse (trailing pad would shift the SAME-padded
+    # subsampling grid and silently change every output frame)
+    with pytest.raises(ValueError, match="multiple of"):
+        sequence_parallel_encode(
+            params, feats[:, :101], flens, enc_cfg, mesh, axis=MODEL_AXIS
+        )
+
+    # the time sharding must survive to the output (callers continue
+    # on-device), and the compiled module must contain collectives
+    assert tuple(out.sharding.spec)[:2] == (None, MODEL_AXIS)
+    sp_cfg = sequence_parallel_config(enc_cfg, MODEL_AXIS)
+    with use_mesh(mesh):
+        sharded_feats = jax.device_put(
+            feats, jax.NamedSharding(mesh, P(None, MODEL_AXIS, None))
+        )
+        lowered = jax.jit(
+            lambda p, x, l: fastconformer_encode(p, x, l, sp_cfg)
+        ).lower(params, sharded_feats, flens)
+        hlo = lowered.compile().as_text()
+    assert any(k in hlo for k in ("all-gather", "collective-permute", "all-to-all")), \
+        "sequence-parallel encode compiled to a collective-free program"
