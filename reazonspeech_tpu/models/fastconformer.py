@@ -540,6 +540,15 @@ def fastconformer_encode(params, feats, feat_lengths, cfg: FastConformerConfig):
     x = jnp.where(mask[..., None], x, 0).astype(res_dt)
 
     if cfg.seq_axis:
+        if "pallas" in (cfg.attn_impl, cfg.conv_impl, cfg.lnd_impl):
+            # a pallas_call is an opaque custom call GSPMD can't partition:
+            # honoring seq_axis here would silently force replication/gathers
+            # instead of the intended time sharding
+            raise ValueError(
+                "seq_axis requires the XLA impls (attn_impl/conv_impl/"
+                "lnd_impl='xla'); use parallel.sequence."
+                "sequence_parallel_config/sequence_parallel_encode"
+            )
         from jax.sharding import PartitionSpec
 
         seq_spec = PartitionSpec(None, cfg.seq_axis, None)

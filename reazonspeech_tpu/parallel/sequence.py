@@ -20,6 +20,7 @@ collective layout is what this mode is for).
 """
 
 from dataclasses import replace
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -32,9 +33,12 @@ __all__ = ["sequence_parallel_encode", "sequence_parallel_config", "use_mesh"]
 
 
 def use_mesh(mesh):
-    """The mesh context manager across JAX versions: `jax.sharding.use_mesh`
-    where it exists, the Mesh object itself (the legacy resource env, which
+    """The mesh context manager across JAX versions: `jax.set_mesh` (the
+    current API, present in jax>=0.7) or `jax.sharding.use_mesh` where they
+    exist, the Mesh object itself (the legacy resource env, which
     with_sharding_constraint resolves PartitionSpecs against) otherwise."""
+    if hasattr(jax, "set_mesh"):
+        return jax.set_mesh(mesh)
     if hasattr(jax.sharding, "use_mesh"):
         return jax.sharding.use_mesh(mesh)
     return mesh
@@ -85,9 +89,12 @@ def sequence_parallel_encode(
     feats = jax.device_put(feats, NamedSharding(mesh, P(None, axis, None)))
     feat_lengths = jax.device_put(feat_lengths, NamedSharding(mesh, P()))
 
-    @jax.jit
-    def run(params, feats, feat_lengths):
-        return fastconformer_encode(params, feats, feat_lengths, sp_cfg)
-
     with use_mesh(mesh):
-        return run(params, feats, feat_lengths)
+        # module-level jit (cfg static/hashable): repeat long-form encodes at
+        # the same shape hit the jit cache instead of retracing per call
+        return _sp_encode_jit(params, feats, feat_lengths, sp_cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _sp_encode_jit(params, feats, feat_lengths, cfg):
+    return fastconformer_encode(params, feats, feat_lengths, cfg)

@@ -242,3 +242,26 @@ def test_sequence_parallel_encode_matches_single_device():
         hlo = lowered.compile().as_text()
     assert any(k in hlo for k in ("all-gather", "collective-permute", "all-to-all")), \
         "sequence-parallel encode compiled to a collective-free program"
+
+
+def test_seq_axis_rejects_pallas_impls():
+    """seq_axis + a Pallas impl would feed GSPMD opaque custom calls —
+    models/fastconformer.py refuses instead of silently replicating."""
+    from dataclasses import replace
+
+    import jax.numpy as jnp
+
+    from reazonspeech_tpu.models.fastconformer import (
+        FastConformerConfig,
+        fastconformer_encode,
+        init_fastconformer,
+    )
+
+    cfg = replace(
+        FastConformerConfig.tiny(compute_dtype="float32"),
+        seq_axis="model", attn_impl="pallas",
+    )
+    params = init_fastconformer(jax.random.PRNGKey(0), cfg)
+    feats = jnp.zeros((1, 64, cfg.feat_in), jnp.float32)
+    with pytest.raises(ValueError, match="seq_axis"):
+        fastconformer_encode(params, feats, jnp.array([64]), cfg)
