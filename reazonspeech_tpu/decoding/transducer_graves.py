@@ -40,10 +40,33 @@ an inner pop loop, every batch element running its own pop state machine:
 Output selection matches ESPnet ``sort_nbest``: best kept hypothesis by
 ``score / len(yseq)`` (the leading blank counts — hence counts+1) when
 ``score_norm``, raw score otherwise.
+
+Continuous batching (segmented decode)
+--------------------------------------
+Each lane carries its OWN frame clock (``fidx`` is [B], not a scalar), and
+the cross-frame state is just the compact survivor slice
+(:class:`GravesBeamState`: node slots 0..KC-1 plus scores). That makes the
+search resumable in bounded segments:
+
+    state = graves_state_init(b, rnnt_cfg, cfg)          # cfg.max_tokens set
+    state = graves_beam_segment(pp, jp, enc_ring, lane_len, reset, state,
+                                rnnt_cfg, cfg, n_frames=F)   # F frames/lane
+    tokens, frames, counts, scores, sat = graves_finalize(state, lane_len,
+                                                          rnnt_cfg, cfg)
+
+Between segments a serving executor swaps finished lanes for queued requests
+(write the new utterance's enc projection into the lane's ring rows, flag the
+lane in ``reset``) — the continuous-batching counterpart of the reference's
+per-utterance serial loop (pkg/espnet-asr/src/transcribe.py:59-78). Pops are
+element-local, so per-lane results are bit-identical to a dedicated
+whole-utterance decode; ``graves_beam_decode`` itself is the degenerate case
+(init → one segment of T frames → finalize) so the oracle-gated serving path
+and the segmented path are the same code.
 """
 
 from dataclasses import dataclass
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -56,7 +79,14 @@ from ..models.rnnt import (
     predictor_zero_state,
 )
 
-__all__ = ["GravesBeamConfig", "graves_beam_decode"]
+__all__ = [
+    "GravesBeamConfig",
+    "GravesBeamState",
+    "graves_beam_decode",
+    "graves_state_init",
+    "graves_beam_segment",
+    "graves_finalize",
+]
 
 _DEAD = -1.0e30
 _ALIVE = -1.0e25
@@ -70,7 +100,7 @@ class GravesBeamConfig:
     # caps making the search fixed-shape (0 -> defaults; see module notes)
     max_pops_per_frame: int = 0  # 0 -> 6*beam + 8
     kept_capacity: int = 0  # 0 -> beam + 12
-    max_tokens: int = 0  # 0 -> T
+    max_tokens: int = 0  # 0 -> T (must be set for the segmented API)
     # "pallas": fused log-softmax + blank split + top-k per pop
     # (ops/beam_topk.py); "xla": reference chain. Identical values/order.
     topk_impl: str = "xla"
@@ -112,37 +142,33 @@ class GravesBeamConfig:
     multipop_arena_factor: float = 1.5
 
 
-@partial(jax.jit, static_argnames=("rnnt_cfg", "cfg"))
-def graves_beam_decode(
-    pred_params,
-    joint_params,
-    enc,
-    enc_lengths,
-    rnnt_cfg: RNNTConfig,
-    cfg: GravesBeamConfig = GravesBeamConfig(),
-):
-    """ESPnet default beam search over a batch.
+class GravesBeamState(NamedTuple):
+    """Cross-segment survivor state (per lane; see module notes).
 
-    Args:
-      enc: [B, T, E] fp32; enc_lengths: [B]
-
-    Returns:
-      (tokens [B, U] int32, frames [B, U] int32, counts [B] int32,
-       scores [B] fp32 raw, saturated [B] bool — True if any frame hit
-       max_pops_per_frame before ESPnet's termination test)
+    ``fidx`` is the lane's next encoder frame (== frames consumed so far);
+    the s* arrays are node slots 0..KC-1 of the arena — the kept hypotheses
+    compacted at the last frame boundary.
     """
-    if rnnt_cfg.predictor_kind != "lstm":
-        raise NotImplementedError("graves_beam_decode: LSTM predictors only")
-    if not rnnt_cfg.blank_first:
-        raise NotImplementedError("espnet convention: blank id 0")
 
-    b, t, e = enc.shape
+    fidx: jnp.ndarray  # [B] int32
+    saturated: jnp.ndarray  # [B] bool
+    cs: jnp.ndarray  # [B, KC] fp32 survivor scores (_DEAD = empty slot)
+    st: jnp.ndarray  # [B, KC, U] int32 tokens
+    sf: jnp.ndarray  # [B, KC, U] int32 emission frames
+    sc: jnp.ndarray  # [B, KC] int32 token counts
+    slast: jnp.ndarray  # [B, KC] int32 last non-blank token (blank at start)
+    sph: jnp.ndarray  # [B, KC, L, H] fp32 pre-step LSTM h
+    spc: jnp.ndarray  # [B, KC, L, H] fp32 pre-step LSTM c
+
+
+def _dims(rnnt_cfg: RNNTConfig, cfg: GravesBeamConfig, t_default: int):
+    """Static sizes shared by the full and segmented entry points."""
     v = rnnt_cfg.num_classes
     k = min(cfg.beam_size, v)
     beam_k = min(k, v - 1)
     p_max = cfg.max_pops_per_frame or (6 * k + 8)
     kc = cfg.kept_capacity or (k + 12)
-    u_buf = cfg.max_tokens or t
+    u_buf = cfg.max_tokens or t_default
     m_pop = max(1, min(cfg.multipop, p_max))
     if m_pop > 1:
         # arena slots advance by each round's max accepted count (see
@@ -155,11 +181,73 @@ def graves_beam_decode(
         cap_pops = p_max
         n_nodes = kc + p_max + 1  # +1 scratch row
         c_pend = kc + p_max * beam_k + beam_k  # + scratch block
-    lyr = rnnt_cfg.pred_rnn_layers
-    h = rnnt_cfg.pred_hidden
-    blank = rnnt_cfg.blank_id  # == 0
+    return (v, k, beam_k, p_max, kc, u_buf, m_pop, cap_pops, n_nodes, c_pend,
+            rnnt_cfg.pred_rnn_layers, rnnt_cfg.pred_hidden)
 
-    enc_proj = joint_precompute_enc(joint_params, enc, rnnt_cfg)  # [B, T, J]
+
+def _validate(rnnt_cfg: RNNTConfig):
+    if rnnt_cfg.predictor_kind != "lstm":
+        raise NotImplementedError("graves beam search: LSTM predictors only")
+    if not rnnt_cfg.blank_first:
+        raise NotImplementedError("espnet convention: blank id 0")
+
+
+def _fresh_state(b, rnnt_cfg: RNNTConfig, cfg: GravesBeamConfig, u_buf):
+    _, _, _, _, kc, _, _, _, _, _, lyr, h = _dims(rnnt_cfg, cfg, u_buf)
+    cs = jnp.full((b, kc), _DEAD, jnp.float32).at[:, 0].set(0.0)
+    return GravesBeamState(
+        fidx=jnp.zeros((b,), jnp.int32),
+        saturated=jnp.zeros((b,), bool),
+        cs=cs,
+        st=jnp.zeros((b, kc, u_buf), jnp.int32),
+        sf=jnp.zeros((b, kc, u_buf), jnp.int32),
+        sc=jnp.zeros((b, kc), jnp.int32),
+        slast=jnp.full((b, kc), rnnt_cfg.blank_id, jnp.int32),
+        sph=jnp.zeros((b, kc, lyr, h), jnp.float32),
+        spc=jnp.zeros((b, kc, lyr, h), jnp.float32),
+    )
+
+
+def graves_state_init(b, rnnt_cfg: RNNTConfig,
+                      cfg: GravesBeamConfig) -> GravesBeamState:
+    """Fresh survivor state for the segmented API (cfg.max_tokens required —
+    segments can't default the emission buffer to T)."""
+    _validate(rnnt_cfg)
+    if cfg.max_tokens <= 0:
+        raise ValueError(
+            "graves_state_init: cfg.max_tokens must be set for segmented "
+            "decode (the emission buffer cannot default to T)")
+    return _fresh_state(b, rnnt_cfg, cfg, cfg.max_tokens)
+
+
+def _apply_reset(state: GravesBeamState, reset, rnnt_cfg: RNNTConfig):
+    """Re-initialise lanes flagged in ``reset`` (new request joins)."""
+    b, kc = state.cs.shape
+    fresh_cs = jnp.full((kc,), _DEAD, jnp.float32).at[0].set(0.0)
+    r1 = reset[:, None]
+    r2 = reset[:, None, None]
+    r3 = reset[:, None, None, None]
+    return GravesBeamState(
+        fidx=jnp.where(reset, 0, state.fidx),
+        saturated=jnp.where(reset, False, state.saturated),
+        cs=jnp.where(r1, fresh_cs[None, :], state.cs),
+        st=jnp.where(r2, 0, state.st),
+        sf=jnp.where(r2, 0, state.sf),
+        sc=jnp.where(r1, 0, state.sc),
+        slast=jnp.where(r1, rnnt_cfg.blank_id, state.slast),
+        sph=jnp.where(r3, 0.0, state.sph),
+        spc=jnp.where(r3, 0.0, state.spc),
+    )
+
+
+def _run_frames(pred_params, joint_params, enc_proj, lane_len, state,
+                rnnt_cfg: RNNTConfig, cfg: GravesBeamConfig, n_frames):
+    """Advance every lane by up to ``n_frames`` encoder frames (lanes stop at
+    their own ``lane_len``). Traced inside the jitted entry points."""
+    b, t_buf, _ = enc_proj.shape
+    (v, k, beam_k, p_max, kc, u_buf, m_pop, cap_pops, n_nodes, c_pend,
+     lyr, h) = _dims(rnnt_cfg, cfg, state.st.shape[-1])
+    blank = rnnt_cfg.blank_id  # == 0
 
     use_lstm_kernel = (
         cfg.lstm_impl == "pallas" and rnnt_cfg.pred_hidden % 128 == 0
@@ -178,7 +266,7 @@ def graves_beam_decode(
             # tracks the fp32 oracle closer than the XLA bf16 chain
             x = _embed_tokens(pred_params, tokens, rnnt_cfg)
             x = x.astype(jnp.float32)
-            hs, cs = [], []
+            hs, cs_ = [], []
             for li, layer in enumerate(pred_params["lstm"]):
                 hn, cn = lstm_cell_step(
                     layer["w_ih"], layer["w_hh"],
@@ -187,9 +275,9 @@ def graves_beam_decode(
                     compute_dtype="float32",
                 )
                 hs.append(hn)
-                cs.append(cn)
+                cs_.append(cn)
                 x = hn
-            return x, jnp.stack(hs, axis=1), jnp.stack(cs, axis=1)
+            return x, jnp.stack(hs, axis=1), jnp.stack(cs_, axis=1)
         dec_out, (post_h, post_c) = predictor_step(
             pred_params, tokens,
             (jnp.transpose(pre_h, (1, 0, 2)),
@@ -221,32 +309,37 @@ def graves_beam_decode(
             from ..ops.beam_topk import topm_logsoftmax_xla as _topm
         return _topm(logits, beam_k, blank)
 
-    # ---- state ------------------------------------------------------------
-    saturated = jnp.zeros((b,), bool)
+    # ---- arenas: survivors at slots 0..kc-1, per-frame scratch beyond -----
+    def arena(slice_, depth_shape, dtype, fill=0):
+        a = jnp.full((b, n_nodes) + depth_shape, fill, dtype)
+        return a.at[:, :kc].set(slice_)
 
-    nt = jnp.zeros((b, n_nodes, u_buf), jnp.int32)
-    nf = jnp.zeros((b, n_nodes, u_buf), jnp.int32)
-    nc = jnp.zeros((b, n_nodes), jnp.int32)
-    nlast = jnp.full((b, n_nodes), blank, jnp.int32)
-    npre_h = jnp.zeros((b, n_nodes, lyr, h), jnp.float32)
-    npre_c = jnp.zeros((b, n_nodes, lyr, h), jnp.float32)
+    nt = arena(state.st, (u_buf,), jnp.int32)
+    nf = arena(state.sf, (u_buf,), jnp.int32)
+    nc = arena(state.sc, (), jnp.int32)
+    nlast = arena(state.slast, (), jnp.int32, fill=blank)
+    npre_h = arena(state.sph, (lyr, h), jnp.float32)
+    npre_c = arena(state.spc, (lyr, h), jnp.float32)
     npost_h = jnp.zeros((b, n_nodes, lyr, h), jnp.float32)
     npost_c = jnp.zeros((b, n_nodes, lyr, h), jnp.float32)
-
-    # carried survivor scores (their hypotheses live in node slots 0..kc-1;
-    # slot 0 starts as the initial empty hypothesis, zero LSTM state)
-    cs = jnp.full((b, kc), _DEAD, jnp.float32)
-    cs = cs.at[:, 0].set(0.0)
+    cs = state.cs
+    saturated = state.saturated
+    fidx0 = state.fidx
 
     bi = jnp.arange(b)
 
     def frame_body(fstate):
-        """One encoder frame for the whole batch: run pops until every
-        element's frame terminated, then compact survivors once."""
-        (fidx, saturated, nt, nf, nc, nlast,
+        """One encoder frame per still-active lane: run pops until every
+        lane's frame terminated, then compact survivors once."""
+        (step, fidx, saturated, nt, nf, nc, nlast,
          npre_h, npre_c, npost_h, npost_c, cs) = fstate
 
-        in_frame = fidx < enc_lengths  # [B]
+        in_frame = fidx < lane_len  # [B]
+        # the frame's enc-projection row, per lane (loop-invariant for the
+        # pop loop below — fetched ONCE per frame, not per pop)
+        safe_t = jnp.minimum(fidx, t_buf - 1)
+        enc_row = jnp.take_along_axis(
+            enc_proj, safe_t[:, None, None], axis=1)[:, 0]  # [B, J]
 
         # fresh per-frame sets: pending = survivors, kept empty
         ps = jnp.full((b, c_pend), _DEAD, jnp.float32).at[:, :kc].set(
@@ -303,7 +396,7 @@ def graves_beam_decode(
             upos = jnp.arange(u_buf)[None, :]
             put = is_ext[:, None] & (upos == nc[bi, node][:, None])
             row_t = jnp.where(put, tok[:, None], nt[bi, node])
-            row_f = jnp.where(put, fidx, nf[bi, node])
+            row_f = jnp.where(put, fidx[:, None], nf[bi, node])
 
             def dus(arena, row):
                 start = (0, kc + it) + (0,) * (arena.ndim - 2)
@@ -320,10 +413,7 @@ def graves_beam_decode(
             npost_c = dus(npost_c, post_c)
 
             # ---- joint + log-probs ---------------------------------------
-            safe_t = jnp.minimum(fidx, t - 1)
-            lp_blank, top_lp, top_tok = joint_topm_pop(
-                enc_proj[:, safe_t], dec_out
-            )
+            lp_blank, top_lp, top_tok = joint_topm_pop(enc_row, dec_out)
 
             # ---- kept: blank extension -----------------------------------
             # kept count == it for active elements, so this is a DUS too;
@@ -410,10 +500,9 @@ def graves_beam_decode(
                 last.reshape(bm),
                 pre_h.reshape(bm, lyr, h), pre_c.reshape(bm, lyr, h))
 
-            safe_t = jnp.minimum(fidx, t - 1)
             enc_rows = jnp.broadcast_to(
-                enc_proj[:, safe_t][:, None, :],
-                (b, m_pop, enc_proj.shape[-1])).reshape(bm, -1)
+                enc_row[:, None, :],
+                (b, m_pop, enc_row.shape[-1])).reshape(bm, -1)
             lp_blank, top_lp, top_tok = joint_topm_pop(enc_rows, dec_out)
             lp_blank = lp_blank.reshape(b, m_pop)
             top_lp = top_lp.reshape(b, m_pop, beam_k)
@@ -492,7 +581,7 @@ def graves_beam_decode(
             upos = jnp.arange(u_buf)[None, None, :]
             put = is_ext[:, :, None] & (upos == cnt_parent[:, :, None])
             row_t = jnp.where(put, tok[:, :, None], prow(nt))
-            row_f = jnp.where(put, fidx, prow(nf))
+            row_f = jnp.where(put, fidx[:, None, None], prow(nf))
 
             def dusm(arena, blk):
                 start = (0, nbase_s) + (0,) * (arena.ndim - 2)
@@ -564,29 +653,111 @@ def graves_beam_decode(
         npre_c = npre_c.at[:, :kc].set(sel(rows(npre_c), npre_c[:, :kc]))
         cs = jnp.where(in_frame[:, None], new_cs, cs)
 
-        return (fidx + 1, saturated, nt, nf, nc, nlast,
-                npre_h, npre_c, npost_h, npost_c, cs)
+        return (step + 1, fidx + in_frame.astype(jnp.int32), saturated,
+                nt, nf, nc, nlast, npre_h, npre_c, npost_h, npost_c, cs)
 
     def frame_cond(fstate):
-        return jnp.any(fstate[0] < enc_lengths)
+        return (fstate[0] < n_frames) & jnp.any(fstate[1] < lane_len)
 
-    fstate = (jnp.int32(0), saturated, nt, nf, nc, nlast,
+    fstate = (jnp.int32(0), fidx0, saturated, nt, nf, nc, nlast,
               npre_h, npre_c, npost_h, npost_c, cs)
     fstate = jax.lax.while_loop(frame_cond, frame_body, fstate)
-    (_, saturated, nt, nf, nc, nlast,
+    (_, fidx, saturated, nt, nf, nc, nlast,
      npre_h, npre_c, npost_h, npost_c, cs) = fstate
 
-    counts_kc = nc[:, :kc]
+    return GravesBeamState(
+        fidx=fidx, saturated=saturated, cs=cs,
+        st=nt[:, :kc], sf=nf[:, :kc], sc=nc[:, :kc], slast=nlast[:, :kc],
+        sph=npre_h[:, :kc], spc=npre_c[:, :kc],
+    )
+
+
+def _select_best(state: GravesBeamState, lane_len,
+                 cfg: GravesBeamConfig):
+    """ESPnet ``sort_nbest`` selection over the survivor slice."""
+    b = state.cs.shape[0]
+    bi = jnp.arange(b)
+    counts_kc = state.sc
     if cfg.score_norm:
-        key = jnp.where(cs > _ALIVE,
-                        cs / (counts_kc.astype(jnp.float32) + 1.0), _DEAD)
+        key = jnp.where(state.cs > _ALIVE,
+                        state.cs / (counts_kc.astype(jnp.float32) + 1.0),
+                        _DEAD)
     else:
-        key = cs
+        key = state.cs
     best = jnp.argmax(key, axis=1)  # [B]
-    out_tokens = nt[bi, best]
-    out_frames = nf[bi, best]
+    out_tokens = state.st[bi, best]
+    out_frames = state.sf[bi, best]
     out_counts = counts_kc[bi, best]
-    out_scores = cs[bi, best]
+    out_scores = state.cs[bi, best]
     # empty-input rows: nothing decoded
-    out_counts = jnp.where(enc_lengths <= 0, 0, out_counts)
-    return out_tokens, out_frames, out_counts, out_scores, saturated
+    out_counts = jnp.where(lane_len <= 0, 0, out_counts)
+    return out_tokens, out_frames, out_counts, out_scores, state.saturated
+
+
+@partial(jax.jit, static_argnames=("rnnt_cfg", "cfg"))
+def graves_beam_decode(
+    pred_params,
+    joint_params,
+    enc,
+    enc_lengths,
+    rnnt_cfg: RNNTConfig,
+    cfg: GravesBeamConfig = GravesBeamConfig(),
+):
+    """ESPnet default beam search over a batch.
+
+    Args:
+      enc: [B, T, E] fp32; enc_lengths: [B]
+
+    Returns:
+      (tokens [B, U] int32, frames [B, U] int32, counts [B] int32,
+       scores [B] fp32 raw, saturated [B] bool — True if any frame hit
+       max_pops_per_frame before ESPnet's termination test)
+    """
+    _validate(rnnt_cfg)
+    b, t, e = enc.shape
+    u_buf = cfg.max_tokens or t
+    enc_proj = joint_precompute_enc(joint_params, enc, rnnt_cfg)  # [B, T, J]
+    state = _fresh_state(b, rnnt_cfg, cfg, u_buf)
+    state = _run_frames(pred_params, joint_params, enc_proj, enc_lengths,
+                        state, rnnt_cfg, cfg, jnp.int32(t))
+    return _select_best(state, enc_lengths, cfg)
+
+
+@partial(jax.jit, static_argnames=("rnnt_cfg", "cfg", "n_frames"))
+def graves_beam_segment(
+    pred_params,
+    joint_params,
+    enc_ring,
+    lane_len,
+    reset_mask,
+    state: GravesBeamState,
+    rnnt_cfg: RNNTConfig,
+    cfg: GravesBeamConfig,
+    n_frames: int,
+):
+    """Advance every lane by up to ``n_frames`` frames of its own utterance.
+
+    Args:
+      enc_ring: [B, T_buf, J] per-lane joint enc projections
+        (``joint_precompute_enc`` of each lane's utterance, written at rows
+        0..len-1 of its lane)
+      lane_len: [B] int32 — valid frames per lane (0 = idle lane)
+      reset_mask: [B] bool — lanes re-initialised before stepping (a new
+        request was swapped in)
+      state: survivor state from ``graves_state_init`` / a prior segment
+
+    Returns the updated :class:`GravesBeamState`. A lane is finished when
+    ``state.fidx >= lane_len``; per-lane results are bit-identical to a
+    dedicated ``graves_beam_decode`` of the same utterance.
+    """
+    state = _apply_reset(state, reset_mask, rnnt_cfg)
+    return _run_frames(pred_params, joint_params, enc_ring, lane_len,
+                       state, rnnt_cfg, cfg, jnp.int32(n_frames))
+
+
+@partial(jax.jit, static_argnames=("rnnt_cfg", "cfg"))
+def graves_finalize(state: GravesBeamState, lane_len,
+                    rnnt_cfg: RNNTConfig, cfg: GravesBeamConfig):
+    """Best-hypothesis extraction for (any subset of) lanes: returns
+    (tokens [B, U], frames [B, U], counts [B], scores [B], saturated [B])."""
+    return _select_best(state, lane_len, cfg)
