@@ -148,6 +148,15 @@ def _init_block(key, cfg: FastConformerConfig):
     return p
 
 
+def encoder_output_length(n_frames, cfg: "FastConformerConfig"):
+    """Encoder frames produced for ``n_frames`` feature frames — the exact
+    host-side mirror of the length arithmetic in :func:`_subsample` (serving
+    schedulers track per-lane frame clocks without a device readback)."""
+    return _sub_out_dim(
+        n_frames, int(np.log2(cfg.subsampling_factor)), cfg.subsampling_style
+    )
+
+
 def _sub_out_dim(n, stages, style="dw_striding"):
     for _ in range(stages):
         if style == "conv2d":

@@ -8,6 +8,7 @@ into bucketed jitted calls, and an HTTP server exposing it.
 """
 
 from .batcher import MicroBatcher
+from .continuous import ContinuousBatcher
 from .http import serve
 
-__all__ = ["MicroBatcher", "serve"]
+__all__ = ["ContinuousBatcher", "MicroBatcher", "serve"]

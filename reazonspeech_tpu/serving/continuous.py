@@ -1,0 +1,326 @@
+"""Continuous batching for the beam-transducer serving path.
+
+The reference serves espnet beam-20 one utterance at a time
+(pkg/espnet-asr/src/transcribe.py:59-78). The static :class:`MicroBatcher`
+already converts request concurrency into the batch dimension, but a beam
+batch runs until its SLOWEST lane finishes: with mixed-length traffic most
+lanes sit masked-idle for the tail of every batch, so goodput is bounded by
+``mean_len / max_len`` of each tick's composition.
+
+This executor removes that bound with lane recycling over the segmented
+Graves beam (decoding/transducer_graves.py): the decoder state is a fixed
+pool of ``n_lanes`` lanes, each with its own frame clock; every tick advances
+all lanes by ``frames_per_segment`` encoder frames, finished lanes are
+finalized and immediately refilled from the request queue. Per-lane results
+are bit-identical to a dedicated ``graves_beam_decode`` (pops are
+element-local — tests/test_graves_segment.py), so continuous batching is a
+pure scheduling change.
+
+Device-interaction design (TPU-first):
+
+- lane frame clocks are mirrored DETERMINISTICALLY on the host
+  (``min(fidx + n_frames, lane_len)`` — the exact arithmetic of the device
+  frame loop), so scheduling needs NO device→host readback;
+- the only sync point per tick is materializing finalized outputs, and it is
+  issued AFTER the next segment is dispatched, so the transfer overlaps
+  device compute (JAX async dispatch);
+- new requests are encoded in one jitted frontend→encoder→joint-projection
+  call per tick and scattered straight into the per-lane enc-projection ring
+  (power-of-two request-count buckets + waveform-length buckets keep the
+  compiled-program set bounded; padded rows write a scratch lane).
+"""
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import replace
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..decoding.transducer_graves import (
+    GravesBeamConfig,
+    graves_beam_segment,
+    graves_finalize,
+    graves_state_init,
+)
+from ..frontend.features import log_mel_spectrogram, num_frames
+from ..models.fastconformer import encoder_output_length, fastconformer_encode
+from ..models.rnnt import joint_precompute_enc
+
+__all__ = ["ContinuousBatcher"]
+
+
+@partial(jax.jit, static_argnames=("fe_cfg", "enc_cfg", "rnnt_cfg", "t_buf"))
+def _encode_into_ring(params, wav, lens, lanes, ring,
+                      fe_cfg, enc_cfg, rnnt_cfg, t_buf):
+    """frontend → encoder → joint enc-projection, scattered into ring lanes.
+
+    ``lanes`` rows for padding entries point at the scratch lane (index B);
+    every write covers the lane's full ``t_buf`` rows, so stale frames from
+    the lane's previous occupant never survive a swap.
+    """
+    from ..espnet.asr.model import _apply_mvn
+
+    feats, flens = log_mel_spectrogram(wav, lens, fe_cfg)
+    feats = _apply_mvn(params, feats, flens)
+    enc, elens = fastconformer_encode(params["encoder"], feats, flens, enc_cfg)
+    proj = joint_precompute_enc(params["joint"], enc, rnnt_cfg)  # [M, t, J]
+    t = proj.shape[1]
+    if t < t_buf:
+        proj = jnp.pad(proj, ((0, 0), (0, t_buf - t), (0, 0)))
+    else:
+        proj = proj[:, :t_buf]
+    return ring.at[lanes].set(proj.astype(ring.dtype)), elens
+
+
+class ContinuousBatcher:
+    """Lane-recycling executor for Graves-beam flavor containers.
+
+    Args:
+      model: an espnet-flavor container (``EspnetTPUModel``) whose
+        ``decode_cfg`` is a :class:`GravesBeamConfig`
+      n_lanes: decoder lane-pool width (the effective batch size; every
+        segment runs all lanes)
+      frames_per_segment: encoder frames each lane advances per tick — the
+        recycling granularity. Smaller = finished lanes refill sooner but
+        more per-tick dispatch overhead; 32 ≈ 1.3 s of audio at espnet's
+        40 ms frame rate.
+      max_seconds: longest accepted utterance (longer audio belongs to the
+        chunking transcribe layer, pkg/espnet-asr/src/transcribe.py:56-60)
+      drain_timeout: close() waits this long for in-flight lanes
+
+    Results resolve to ``(token_ids, frames)`` — the MicroBatcher contract —
+    and are bit-identical to ``decode_single`` under the same
+    ``max_tokens`` emission cap (the pool shares one cap; dedicated decodes
+    default theirs to their own padded T).
+    """
+
+    def __init__(self, model, n_lanes=16, frames_per_segment=32,
+                 max_seconds=20.0, drain_timeout=300.0):
+        if not isinstance(model.decode_cfg, GravesBeamConfig):
+            raise TypeError(
+                "ContinuousBatcher drives the segmented Graves beam; the "
+                "container's decode_cfg must be a GravesBeamConfig "
+                f"(got {type(model.decode_cfg).__name__}). Use MicroBatcher "
+                "for greedy/ALSD containers.")
+        self.model = model
+        self.n_lanes = int(n_lanes)
+        self.n_frames = int(frames_per_segment)
+        self.bucket_samples = getattr(model, "bucket_samples", 2 * 16000)
+        self.max_samples = int(
+            -(-max_seconds * 16000 // self.bucket_samples)
+            * self.bucket_samples)
+        self.t_buf = int(encoder_output_length(
+            num_frames(model.fe_cfg, self.max_samples), model.enc_cfg))
+        cfg = model.decode_cfg
+        self.cfg = cfg if cfg.max_tokens > 0 else replace(
+            cfg, max_tokens=self.t_buf)
+        self.drain_timeout = drain_timeout
+
+        j = model.rnnt_cfg.joint_hidden
+        # +1 scratch lane: encode-bucket padding rows scatter there
+        self._ring = jnp.zeros((self.n_lanes + 1, self.t_buf, j), jnp.float32)
+        self._state = graves_state_init(
+            self.n_lanes, model.rnnt_cfg, self.cfg)
+        # COPY-ON-WRITE invariant: self._lane_len is REPLACED, never mutated
+        # in place. jnp.array(np_buf)'s host->device fill can execute
+        # deferred under a busy async dispatch queue (measured on the CPU
+        # backend: a dispatched segment's lane_len buffer held a value the
+        # host wrote AFTER the jnp.array call), so any numpy array handed to
+        # JAX must be immutable from then on. _set_lane_len enforces this.
+        self._lane_len = np.zeros(self.n_lanes, np.int32)
+        self._fidx = np.zeros(self.n_lanes, np.int32)
+        self._lane_fut = [None] * self.n_lanes
+
+        self._queue = queue.Queue()
+        self._closing = False
+        # observability
+        self.segments = 0
+        self.encode_ticks = 0
+        self.encode_shapes = []  # (m_pad, samples) per encode dispatch
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # -- public API ---------------------------------------------------------
+
+    def submit(self, waveform) -> Future:
+        """Enqueue one float32 waveform; resolves to (token_ids, frames)."""
+        fut = Future()
+        w = np.asarray(waveform, np.float32)
+        if len(w) > self.max_samples:
+            fut.set_exception(ValueError(
+                f"utterance of {len(w)} samples exceeds the executor's "
+                f"max_seconds window ({self.max_samples} samples); chunk "
+                "long audio through the transcribe layer"))
+            return fut
+        self._queue.put((w, fut))
+        return fut
+
+    def transcribe(self, waveform):
+        return self.submit(waveform).result()
+
+    def host_frames(self, n_samples: int) -> int:
+        """Encoder frames the device will report for an n_samples utterance
+        (the deterministic host mirror the lane clocks run on)."""
+        return int(encoder_output_length(
+            num_frames(self.model.fe_cfg, int(n_samples)),
+            self.model.enc_cfg))
+
+    def warmup(self, seconds=(2.0, 5.0, 10.0, 15.0, 20.0)):
+        """Compile the encode buckets + segment + finalize programs before
+        taking traffic (one dummy request per waveform bucket)."""
+        rng = np.random.default_rng(0)
+        futs = [self.submit(
+            rng.standard_normal(int(min(s * 16000, self.max_samples)))
+            .astype(np.float32) * 0.01) for s in seconds]
+        for f in futs:
+            f.result(timeout=self.drain_timeout)
+
+    def close(self):
+        self._closing = True
+        self._queue.put(None)
+        self._thread.join(timeout=self.drain_timeout)
+
+    # -- internals ----------------------------------------------------------
+
+    def _set_lane_len(self, lanes, values):
+        """Replace self._lane_len with an updated COPY (see __init__: the
+        previous array may back an in-flight deferred device fill)."""
+        ll = self._lane_len.copy()
+        ll[lanes] = values
+        self._lane_len = ll
+
+    def _collect(self, n_free, block):
+        """Pull up to n_free queued requests; optionally block for the first."""
+        items = []
+        while len(items) < n_free:
+            try:
+                item = self._queue.get(block=block and not items)
+            except queue.Empty:
+                break
+            if item is None:  # shutdown marker: note it, keep draining
+                self._closing = True
+                if not block:
+                    break
+                if items:
+                    break
+                return items  # idle + closing -> caller exits
+            items.append(item)
+            block = False
+        return items
+
+    def _swap_in(self, items, lanes):
+        """Encode new utterances and scatter them into their lanes' rings."""
+        m = len(items)
+        m_pad = 1 << (m - 1).bit_length()
+        n_max = max(len(w) for w, _ in items)
+        samples = max(self.bucket_samples,
+                      -(-n_max // self.bucket_samples) * self.bucket_samples)
+        buf = np.zeros((m_pad, samples), np.float32)
+        lens = np.zeros(m_pad, np.int32)
+        lane_idx = np.full(m_pad, self.n_lanes, np.int32)  # scratch lane
+        for i, (w, _) in enumerate(items):
+            buf[i, : len(w)] = w
+            lens[i] = len(w)
+            lane_idx[i] = lanes[i]
+        m_cfg = self.model
+        self._ring, _ = _encode_into_ring(
+            m_cfg.params, buf, lens, lane_idx, self._ring,
+            m_cfg.fe_cfg, m_cfg.enc_cfg, m_cfg.rnnt_cfg, self.t_buf)
+        self.encode_ticks += 1
+        self.encode_shapes.append((m_pad, samples))
+        self._set_lane_len(
+            list(lanes), [self.host_frames(len(w)) for w, _ in items])
+        for (w, fut), lane in zip(items, lanes):
+            self._lane_fut[lane] = fut
+            self._fidx[lane] = 0
+
+    def _loop(self):
+        m = self.model
+        rnnt_cfg, cfg = m.rnnt_cfg, self.cfg
+        while True:
+            try:
+                occupied = any(f is not None for f in self._lane_fut)
+                # 1. harvest finished lanes (dispatch finalize; materialize
+                #    AFTER the next segment is in flight)
+                finished = [
+                    l for l in range(self.n_lanes)
+                    if self._lane_fut[l] is not None
+                    and self._fidx[l] >= self._lane_len[l]
+                ]
+                fin = None
+                if finished:
+                    # self._lane_len is copy-on-write (__init__), so this
+                    # handoff is safe even though finalize's host->device
+                    # fill may run after the zeroing below
+                    outs = graves_finalize(
+                        self._state, jnp.array(self._lane_len),
+                        rnnt_cfg, cfg)
+                    fin = (outs, [(l, self._lane_fut[l]) for l in finished])
+                    self._set_lane_len(finished, 0)
+                    for l in finished:
+                        self._lane_fut[l] = None
+                        self._fidx[l] = 0
+                    occupied = any(f is not None for f in self._lane_fut)
+
+                # 2. refill free lanes from the queue
+                free = [l for l in range(self.n_lanes)
+                        if self._lane_fut[l] is None]
+                block = not occupied and fin is None
+                if block and self._closing and self._queue.empty():
+                    return
+                new = self._collect(len(free), block) if free else []
+                if block and not new and fin is None:
+                    if self._closing:
+                        return
+                    continue  # spurious wake; block again
+                reset = np.zeros(self.n_lanes, bool)
+                if new:
+                    lanes = free[: len(new)]
+                    self._swap_in(new, lanes)
+                    reset[lanes] = True
+
+                # 3. advance every lane by one segment
+                if any(f is not None for f in self._lane_fut):
+                    self._state = graves_beam_segment(
+                        m.params["predictor"], m.params["joint"],
+                        self._ring[: self.n_lanes],
+                        jnp.array(self._lane_len), jnp.array(reset),
+                        self._state, rnnt_cfg, cfg, self.n_frames)
+                    self._fidx = np.minimum(
+                        self._fidx + self.n_frames, self._lane_len)
+                    self.segments += 1
+
+                # 4. resolve finished futures (overlaps the running segment)
+                if fin:
+                    outs, recs = fin
+                    tokens, frames, counts = (np.asarray(outs[0]),
+                                              np.asarray(outs[1]),
+                                              np.asarray(outs[2]))
+                    for l, fut in recs:
+                        c = int(counts[l])
+                        fut.set_result((tokens[l, :c].tolist(),
+                                        frames[l, :c].tolist()))
+            except Exception as e:  # pragma: no cover - fan the error out
+                for l in range(self.n_lanes):
+                    fut = self._lane_fut[l]
+                    if fut is not None and not fut.done():
+                        fut.set_exception(e)
+                    self._lane_fut[l] = None
+                    self._fidx[l] = 0
+                self._lane_len = np.zeros(self.n_lanes, np.int32)
+                while True:
+                    try:
+                        item = self._queue.get_nowait()
+                    except queue.Empty:
+                        break
+                    if item is not None and not item[1].done():
+                        item[1].set_exception(e)
+                if self._closing:
+                    return
+                time.sleep(0.01)

@@ -1,0 +1,146 @@
+"""Continuous-batching executor: lane recycling must be invisible to results.
+
+Every request through the ContinuousBatcher must decode to exactly what a
+dedicated whole-utterance decode of the same waveform produces (under the
+shared emission cap) — continuous batching is a pure scheduling change over
+the segmented Graves beam. Scales the reference's per-utterance serial loop
+(pkg/espnet-asr/src/transcribe.py:59-78)."""
+
+from dataclasses import replace
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from reazonspeech_tpu.espnet.asr.model import (
+    EspnetTPUModel,
+    load_model_container,
+)
+from reazonspeech_tpu.models.conformer import espnet_encoder_config
+from reazonspeech_tpu.serving import ContinuousBatcher
+
+
+@pytest.fixture(scope="module")
+def tiny_espnet():
+    return load_model_container(
+        checkpoint="random",
+        enc_cfg=espnet_encoder_config(
+            num_layers=2, d_model=32, num_heads=4, subsampling_channels=32,
+            compute_dtype="float32",
+        ),
+        decoding="beam",
+        beam_size=4,
+    )
+
+
+def _mixed_wavs(n, seed=0, seconds=(0.4, 0.9, 1.3, 2.1)):
+    rng = np.random.default_rng(seed)
+    return [
+        (rng.standard_normal(int(16000 * rng.choice(seconds))) * 0.1)
+        .astype(np.float32)
+        for _ in range(n)
+    ]
+
+
+def _dedicated(model: EspnetTPUModel, batcher: ContinuousBatcher, wav):
+    """decode_single under the executor's shared emission cap."""
+    capped = EspnetTPUModel(
+        params=model.params, fe_cfg=model.fe_cfg, enc_cfg=model.enc_cfg,
+        rnnt_cfg=model.rnnt_cfg,
+        decode_cfg=replace(model.decode_cfg, max_tokens=batcher.cfg.max_tokens),
+        tokenizer=model.tokenizer,
+    )
+    return capped.decode_single(wav)
+
+
+def test_results_match_dedicated_decode(tiny_espnet):
+    """Mixed-length traffic over a small lane pool: token + frame parity."""
+    batcher = ContinuousBatcher(
+        tiny_espnet, n_lanes=3, frames_per_segment=4, max_seconds=4.0)
+    try:
+        wavs = _mixed_wavs(8)
+        futs = [batcher.submit(w) for w in wavs]
+        got = [f.result(timeout=600) for f in futs]
+    finally:
+        batcher.close()
+    for i, (w, (tokens, frames)) in enumerate(zip(wavs, got)):
+        want_tokens, want_frames = _dedicated(tiny_espnet, batcher, w)
+        assert tokens == want_tokens, i
+        assert frames == want_frames, i
+    # 8 requests over 3 lanes: recycling had to happen
+    assert batcher.segments > 0
+    assert batcher.encode_ticks >= 3
+
+
+def test_lane_pool_saturation_and_reuse(tiny_espnet):
+    """More concurrent requests than lanes; all resolve, all correct."""
+    batcher = ContinuousBatcher(
+        tiny_espnet, n_lanes=2, frames_per_segment=8, max_seconds=4.0)
+    try:
+        wavs = _mixed_wavs(5, seed=3)
+        got = [None] * len(wavs)
+        futs = [batcher.submit(w) for w in wavs]
+        for i, f in enumerate(futs):
+            got[i] = f.result(timeout=600)
+    finally:
+        batcher.close()
+    for w, (tokens, _) in zip(wavs, got):
+        want_tokens, _ = _dedicated(tiny_espnet, batcher, w)
+        assert tokens == want_tokens
+
+
+def test_serial_requests(tiny_espnet):
+    batcher = ContinuousBatcher(
+        tiny_espnet, n_lanes=2, frames_per_segment=16, max_seconds=4.0)
+    try:
+        for w in _mixed_wavs(3, seed=5):
+            tokens, _ = batcher.transcribe(w)
+            want_tokens, _ = _dedicated(tiny_espnet, batcher, w)
+            assert tokens == want_tokens
+    finally:
+        batcher.close()
+
+
+def test_rejects_overlong_utterance(tiny_espnet):
+    batcher = ContinuousBatcher(
+        tiny_espnet, n_lanes=2, frames_per_segment=8, max_seconds=1.0)
+    try:
+        fut = batcher.submit(np.zeros(16000 * 3, np.float32))
+        with pytest.raises(ValueError):
+            fut.result(timeout=60)
+    finally:
+        batcher.close()
+
+
+def test_requires_graves_config(tiny_espnet):
+    greedy = load_model_container(
+        checkpoint="random",
+        enc_cfg=espnet_encoder_config(
+            num_layers=2, d_model=32, num_heads=4, subsampling_channels=32,
+            compute_dtype="float32",
+        ),
+        decoding="greedy",
+    )
+    with pytest.raises(TypeError):
+        ContinuousBatcher(greedy)
+
+
+def test_host_frame_clock_matches_device(tiny_espnet):
+    """The host-side lane clock formula must equal the encoder's reported
+    lengths for assorted sample counts (no readback = correctness hinges
+    on this mirror)."""
+    from reazonspeech_tpu.espnet.asr.model import encode_ctc
+
+    batcher = ContinuousBatcher(
+        tiny_espnet, n_lanes=2, frames_per_segment=8, max_seconds=4.0)
+    try:
+        for n in (1600, 6400, 16000, 16001, 31999, 48000):
+            buf = np.zeros((1, 64000), np.float32)
+            _, elens = encode_ctc(
+                tiny_espnet.params, jnp.asarray(buf),
+                jnp.asarray([n], np.int32),
+                tiny_espnet.fe_cfg, tiny_espnet.enc_cfg)
+            assert batcher.host_frames(n) == int(elens[0]), n
+    finally:
+        batcher.close()
