@@ -158,6 +158,29 @@ class EspnetTPUModel:
     def ids_to_text(self, ids):
         return self.tokenizer.ids_to_text(ids)
 
+    def decode_batch_fn(self):
+        """Pure per-shard pipeline ``(params, waveform, lengths) -> (tokens,
+        frames, counts, enc_lengths, saturated)`` closing over the static
+        configs — the unit parallel/serving.py shard_maps over the mesh data
+        axis. The CTC matrix is dropped inside the trace (DCE'd) so the
+        sharded serving path never materializes it."""
+        fe_cfg, enc_cfg = self.fe_cfg, self.enc_cfg
+        rnnt_cfg, decode_cfg = self.rnnt_cfg, self.decode_cfg
+
+        def fn(params, waveform, lengths):
+            _, tokens, frames, counts, elens, saturated = encode_ctc_decode(
+                params, waveform, lengths, fe_cfg, enc_cfg, rnnt_cfg,
+                decode_cfg)
+            return tokens, frames, counts, elens, saturated
+
+        return fn
+
+    def _host_decode_flags(self, outs):
+        """Host-side post for mesh-serving outputs (5th element = the
+        per-element pop-budget saturation flag)."""
+        if len(outs) > 4:
+            _warn_saturated(outs[4])
+
     def decode_batch(self, waveforms: np.ndarray, lengths: np.ndarray):
         """Padded-batch transducer decode (the serving/MicroBatcher
         interface the other flavors expose): returns host numpy

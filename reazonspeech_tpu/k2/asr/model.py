@@ -63,6 +63,20 @@ class K2TPUModel:
     def token_list(self):
         return self.tokenizer.pieces
 
+    def decode_batch_fn(self):
+        """Pure per-shard pipeline ``(params, waveform, lengths) -> (tokens,
+        frames, counts, enc_lengths)`` closing over the static configs — the
+        unit parallel/serving.py shard_maps over the mesh data axis."""
+        fe_cfg, enc_cfg = self.fe_cfg, self.enc_cfg
+        rnnt_cfg, decode_cfg = self.rnnt_cfg, self.decode_cfg
+
+        def fn(params, waveform, lengths):
+            return k2_forward(
+                params, waveform, lengths, fe_cfg, enc_cfg, rnnt_cfg,
+                decode_cfg)
+
+        return fn
+
     def decode_batch(self, waveforms: np.ndarray, lengths: np.ndarray):
         """Run the jitted pipeline on a padded [B, N] batch."""
         out = k2_forward(

@@ -1,7 +1,9 @@
 from .mesh import make_mesh, shard_batch, shard_params
 from .sequence import sequence_parallel_config, sequence_parallel_encode
+from .serving import DataParallelDecoder
 
 __all__ = [
+    "DataParallelDecoder",
     "make_mesh",
     "shard_params",
     "shard_batch",

@@ -42,6 +42,13 @@ class MicroBatcher:
         self.bucket_samples = bucket_samples or getattr(
             model, "bucket_samples", 4 * 16000
         )
+        # mesh-backed models (parallel/serving.py DataParallelDecoder) need
+        # batch sizes divisible over the data axis
+        self.batch_multiple = int(getattr(model, "batch_multiple", 1))
+        if self.batch_multiple > 1 and max_batch % self.batch_multiple:
+            raise ValueError(
+                f"max_batch={max_batch} must be a multiple of the model's "
+                f"batch_multiple={self.batch_multiple} (mesh data axis)")
         self._queue = queue.Queue()
         self._running = True
         self.batch_sizes = []  # observability: size of every executed batch
@@ -110,6 +117,9 @@ class MicroBatcher:
                 # max_batch so a non-power-of-two cap (say 24) never
                 # dispatches a batch shape (32) the cap was meant to preclude.
                 b_pad = min(1 << (b - 1).bit_length(), self.max_batch)
+                m = self.batch_multiple
+                if m > 1:
+                    b_pad = min(-(-b_pad // m) * m, self.max_batch)
                 buf = np.zeros((b_pad, padded), np.float32)
                 lens = np.zeros((b_pad,), np.int32)
                 for i, (w, _) in enumerate(items):
