@@ -134,6 +134,46 @@ def main():
         f"decode_emissions(mean)={counts.mean():.1f}",
         file=sys.stderr,
     )
+
+    # ---- all-flavor regression net (VERDICT r3 item 4): espnet beam-20 +
+    # greedy, k2, and AVSR measured in THIS process (the tunnel grant is
+    # exclusive — CLAUDE.md) and recorded driver-visibly.
+    rows = [
+        {
+            "flavor": "nemo FastConformer-XL ALSD-beam-4 (headline)",
+            "rtfx": round(rtfx, 1),
+            "batch": batch,
+            "chunk_seconds": chunk_seconds,
+            "iters": iters,
+            "compile_s": round(compile_s, 1),
+        },
+        {
+            "flavor": "nemo FastConformer-XL greedy",
+            "rtfx": round(greedy_rtfx, 1),
+            "batch": batch,
+            "chunk_seconds": chunk_seconds,
+            "iters": iters,
+        },
+    ]
+    skip_flavors = os.environ.get("REAZONSPEECH_TPU_BENCH_HEADLINE_ONLY")
+    if not skip_flavors:
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tools"))
+        try:
+            from tpu_bench_flavors import collect_rows
+
+            rows += collect_rows()
+        except Exception as e:  # flavor rows must never sink the headline
+            print(f"# flavor bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_FLAVORS.json")
+    with open(out_path, "w") as f:
+        json.dump({"device": jax.devices()[0].device_kind, "rows": rows}, f,
+                  indent=1)
+    for r in rows:
+        print(f"# flavor: {r}", file=sys.stderr)
+
     print(
         json.dumps(
             {

@@ -93,6 +93,11 @@ class ContinuousBatcher:
       max_seconds: longest accepted utterance (longer audio belongs to the
         chunking transcribe layer, pkg/espnet-asr/src/transcribe.py:56-60)
       drain_timeout: close() waits this long for in-flight lanes
+      max_encode_batch: at most this many new requests encode per tick —
+        bounds the compiled encode-program set to power-of-two request
+        counts <= this (a full-pool burst would otherwise compile an
+        m_pad=n_lanes program per waveform bucket); excess requests join
+        on the next tick, one segment (~frames_per_segment frames) later
 
     Results resolve to ``(token_ids, frames)`` — the MicroBatcher contract —
     and are bit-identical to ``decode_single`` under the same
@@ -101,7 +106,8 @@ class ContinuousBatcher:
     """
 
     def __init__(self, model, n_lanes=16, frames_per_segment=32,
-                 max_seconds=20.0, drain_timeout=300.0):
+                 max_seconds=20.0, drain_timeout=300.0,
+                 max_encode_batch=16):
         if not isinstance(model.decode_cfg, GravesBeamConfig):
             raise TypeError(
                 "ContinuousBatcher drives the segmented Graves beam; the "
@@ -121,6 +127,7 @@ class ContinuousBatcher:
         self.cfg = cfg if cfg.max_tokens > 0 else replace(
             cfg, max_tokens=self.t_buf)
         self.drain_timeout = drain_timeout
+        self.max_encode_batch = int(max_encode_batch)
 
         j = model.rnnt_cfg.joint_hidden
         # +1 scratch lane: encode-bucket padding rows scatter there
@@ -274,7 +281,8 @@ class ContinuousBatcher:
                 block = not occupied and fin is None
                 if block and self._closing and self._queue.empty():
                     return
-                new = self._collect(len(free), block) if free else []
+                n_take = min(len(free), self.max_encode_batch)
+                new = self._collect(n_take, block) if free else []
                 if block and not new and fin is None:
                     if self._closing:
                         return

@@ -47,7 +47,14 @@ def _measure(tag, run, wavs_host, batch, seconds, iters):
     rtfx = batch * seconds * iters / elapsed
     print(f"{tag}: RTFx {rtfx:.0f}  (compile+warmup {compile_s:.1f}s, "
           f"B={batch}x{seconds:.0f}s x{iters})", flush=True)
-    return rtfx
+    return {
+        "flavor": tag,
+        "rtfx": round(rtfx, 1),
+        "batch": batch,
+        "chunk_seconds": seconds,
+        "iters": iters,
+        "compile_s": round(compile_s, 1),
+    }
 
 
 def bench_k2(batch=32, seconds=30.0, iters=4, attn_impl="pallas"):
@@ -68,13 +75,15 @@ def bench_k2(batch=32, seconds=30.0, iters=4, attn_impl="pallas"):
     return _measure(f"k2 zipformer-L ({attn_impl})", run, wavs, batch, seconds, iters)
 
 
-def bench_espnet(batch=32, seconds=20.0, iters=4):
+def bench_espnet(batch=32, seconds=20.0, iters=4, decoding="beam"):
+    """decoding="beam" is the serving default (ESPnet default_beam_search,
+    width 20 — the reference's own strategy); "greedy" is the fast path."""
     from reazonspeech_tpu.espnet.asr.model import (
         encode_ctc_decode,
         load_model_container,
     )
 
-    model = load_model_container(checkpoint="random")
+    model = load_model_container(checkpoint="random", decoding=decoding)
     wavs, n = _wavs(batch, seconds, iters)
     lengths = jnp.full((batch,), n, jnp.int32)
 
@@ -83,7 +92,9 @@ def bench_espnet(batch=32, seconds=20.0, iters=4):
                                 model.enc_cfg, model.rnnt_cfg, model.decode_cfg)
         return np.asarray(out[1]), np.asarray(out[3])
 
-    return _measure("espnet conformer-CTC+T", run, wavs, batch, seconds, iters)
+    tag = ("espnet conformer-CTC+T graves-beam-20" if decoding == "beam"
+           else f"espnet conformer-CTC+T {decoding}")
+    return _measure(tag, run, wavs, batch, seconds, iters)
 
 
 def bench_avsr(batch=8, seconds=4.0, num_beams=5):
@@ -118,7 +129,37 @@ def bench_avsr(batch=8, seconds=4.0, num_beams=5):
     print(f"avsr AV-HuBERT base (beam={num_beams}): {dt*1e3:.0f} ms for "
           f"B={batch}x{seconds:.0f}s AV -> RTFx {rtfx:.0f} "
           f"(compile {compile_s:.1f}s)", flush=True)
-    return rtfx
+    return {
+        "flavor": f"avsr AV-HuBERT base beam-{num_beams}",
+        "rtfx": round(rtfx, 1),
+        "batch": batch,
+        "chunk_seconds": seconds,
+        "iters": iters,
+        "compile_s": round(compile_s, 1),
+    }
+
+
+def collect_rows(include_avsr=True):
+    """All non-nemo flavor rows at their serving shapes, for bench.py's
+    BENCH_FLAVORS.json (one TPU process — the driver-visible regression
+    net VERDICT r3 asked for). Failures are recorded, not raised, so one
+    flavor can't hide the others."""
+    specs = [
+        ("espnet-beam20", lambda: bench_espnet(128, 20.0, 2, "beam")),
+        ("espnet-greedy", lambda: bench_espnet(256, 20.0, 4, "greedy")),
+        ("k2-greedy", lambda: bench_k2(192, attn_impl="pallas")),
+    ]
+    if include_avsr:
+        specs.append(("avsr-beam5", lambda: bench_avsr(8)))
+    rows = []
+    for name, fn in specs:
+        try:
+            rows.append(fn())
+        except Exception as e:  # pragma: no cover - diagnostics only
+            print(f"{name}: FAILED {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+            rows.append({"flavor": name, "error": f"{type(e).__name__}: {e}"})
+    return rows
 
 
 if __name__ == "__main__":

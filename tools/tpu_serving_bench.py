@@ -12,7 +12,16 @@ NOTE dev-environment caveat: the chip sits behind a network tunnel with
 latency here includes tunnel hops that production (local PCIe) does not pay.
 Throughput remains meaningful because requests coalesce into batches.
 
-Usage: python tools/tpu_serving_bench.py [n_requests] [concurrency] [max_batch]
+Usage:
+  python tools/tpu_serving_bench.py [n_requests] [concurrency] [max_batch]
+  python tools/tpu_serving_bench.py continuous [n_requests] [n_lanes] [frames_per_segment]
+
+The ``continuous`` mode is the espnet beam-20 A/B the round-3 verdict asked
+for: the same mixed-length traffic through (a) the static MicroBatcher —
+every tick's batch runs until its SLOWEST element finishes its pop loop —
+and (b) the lane-recycling ContinuousBatcher (serving/continuous.py), which
+refills finished lanes mid-flight. Reports goodput (audio-sec/s == RTFx)
+for both and cross-checks token parity on sampled requests.
 """
 
 import sys
@@ -93,5 +102,87 @@ def main():
           flush=True)
 
 
+def main_continuous():
+    n_req = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    n_lanes = int(sys.argv[3]) if len(sys.argv) > 3 else 128
+    n_frames = int(sys.argv[4]) if len(sys.argv) > 4 else 64
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    from reazonspeech_tpu.espnet.asr.model import load_model_container
+    from reazonspeech_tpu.serving import ContinuousBatcher, MicroBatcher
+
+    print(f"device: {jax.devices()[0].device_kind}  requests={n_req} "
+          f"lanes={n_lanes} frames/segment={n_frames}", flush=True)
+    model = load_model_container(checkpoint="random")  # graves beam-20
+
+    # one shared emission cap (the continuous pool's 20 s buffer) so both
+    # executors run the same search bounds and parity is well-defined
+    from dataclasses import replace
+
+    from reazonspeech_tpu.frontend.features import num_frames
+    from reazonspeech_tpu.models.fastconformer import encoder_output_length
+
+    t_buf = int(encoder_output_length(
+        num_frames(model.fe_cfg, int(20.0 * 16000)), model.enc_cfg))
+    model.decode_cfg = replace(model.decode_cfg, max_tokens=t_buf)
+
+    # mixed-length traffic on a coarse bucket grid (4 waveform buckets keeps
+    # the encode program set small; see ContinuousBatcher.max_encode_batch)
+    rng = np.random.default_rng(0)
+    secs = rng.choice([4.0, 8.0, 12.0, 20.0], size=n_req,
+                      p=[0.35, 0.3, 0.2, 0.15])
+    wavs = [rng.standard_normal(int(s * 16000)).astype(np.float32) * 0.1
+            for s in secs]
+    audio_total = float(np.sum(secs))
+    print(f"traffic: {audio_total:.0f} audio-sec over {n_req} requests "
+          f"(mean {audio_total/n_req:.1f}s)", flush=True)
+
+    # ---- (a) static micro-batching baseline --------------------------------
+    static = MicroBatcher(model, max_batch=n_lanes, max_wait_ms=100.0)
+    for s in (4.0, 8.0, 12.0, 20.0):  # compile the buckets untimed
+        static.transcribe(rng.standard_normal(int(s * 16000))
+                          .astype(np.float32) * 0.1)
+    t0 = time.perf_counter()
+    futs = [static.submit(w) for w in wavs]
+    static_out = [f.result(timeout=3600) for f in futs]
+    static_wall = time.perf_counter() - t0
+    static.close()
+    print(f"static  micro-batching: wall {static_wall:.1f}s  goodput "
+          f"{audio_total/static_wall:.0f} audio-sec/s  "
+          f"ticks={len(static.batch_shapes)}", flush=True)
+
+    # ---- (b) continuous batching -------------------------------------------
+    cont = ContinuousBatcher(model, n_lanes=n_lanes,
+                             frames_per_segment=n_frames, max_seconds=20.0)
+    cont.warmup(seconds=(4.0, 8.0, 12.0, 20.0))
+    t0 = time.perf_counter()
+    futs = [cont.submit(w) for w in wavs]
+    cont_out = [f.result(timeout=3600) for f in futs]
+    cont_wall = time.perf_counter() - t0
+    cont.close()
+    print(f"continuous batching:    wall {cont_wall:.1f}s  goodput "
+          f"{audio_total/cont_wall:.0f} audio-sec/s  "
+          f"segments={cont.segments} encode_ticks={cont.encode_ticks}",
+          flush=True)
+    print(f"speedup: {static_wall/cont_wall:.2f}x  (continuous RTFx "
+          f"{audio_total/cont_wall:.0f} vs static {audio_total/static_wall:.0f})",
+          flush=True)
+
+    # token parity on sampled requests (emission caps differ between the two
+    # executors only above the continuous pool's shared cap; 20 s audio stays
+    # far below it)
+    idx = rng.choice(n_req, size=min(16, n_req), replace=False)
+    mismatch = [int(i) for i in idx if static_out[i][0] != cont_out[i][0]]
+    print(f"parity check on {len(idx)} sampled requests: "
+          f"{'OK' if not mismatch else f'MISMATCH at {mismatch}'}", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "continuous":
+        main_continuous()
+    else:
+        main()
