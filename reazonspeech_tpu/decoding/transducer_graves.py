@@ -159,6 +159,10 @@ class GravesBeamState(NamedTuple):
     slast: jnp.ndarray  # [B, KC] int32 last non-blank token (blank at start)
     sph: jnp.ndarray  # [B, KC, L, H] fp32 pre-step LSTM h
     spc: jnp.ndarray  # [B, KC, L, H] fp32 pre-step LSTM c
+    # pop-budget telemetry (sizes max_pops_per_frame from real traffic —
+    # tools/run_real_parity.py emission stats):
+    pmax: jnp.ndarray  # [B] int32 max pops in any single frame so far
+    ptot: jnp.ndarray  # [B] int32 total pops across all frames
 
 
 def _dims(rnnt_cfg: RNNTConfig, cfg: GravesBeamConfig, t_default: int):
@@ -205,6 +209,8 @@ def _fresh_state(b, rnnt_cfg: RNNTConfig, cfg: GravesBeamConfig, u_buf):
         slast=jnp.full((b, kc), rnnt_cfg.blank_id, jnp.int32),
         sph=jnp.zeros((b, kc, lyr, h), jnp.float32),
         spc=jnp.zeros((b, kc, lyr, h), jnp.float32),
+        pmax=jnp.zeros((b,), jnp.int32),
+        ptot=jnp.zeros((b,), jnp.int32),
     )
 
 
@@ -237,6 +243,8 @@ def _apply_reset(state: GravesBeamState, reset, rnnt_cfg: RNNTConfig):
         slast=jnp.where(r1, rnnt_cfg.blank_id, state.slast),
         sph=jnp.where(r3, 0.0, state.sph),
         spc=jnp.where(r3, 0.0, state.spc),
+        pmax=jnp.where(reset, 0, state.pmax),
+        ptot=jnp.where(reset, 0, state.ptot),
     )
 
 
@@ -325,6 +333,7 @@ def _run_frames(pred_params, joint_params, enc_proj, lane_len, state,
     cs = state.cs
     saturated = state.saturated
     fidx0 = state.fidx
+    pmax0, ptot0 = state.pmax, state.ptot
 
     bi = jnp.arange(b)
 
@@ -332,7 +341,7 @@ def _run_frames(pred_params, joint_params, enc_proj, lane_len, state,
         """One encoder frame per still-active lane: run pops until every
         lane's frame terminated, then compact survivors once."""
         (step, fidx, saturated, nt, nf, nc, nlast,
-         npre_h, npre_c, npost_h, npost_c, cs) = fstate
+         npre_h, npre_c, npost_h, npost_c, cs, pmax, ptot) = fstate
 
         in_frame = fidx < lane_len  # [B]
         # the frame's enc-projection row, per lane (loop-invariant for the
@@ -653,22 +662,28 @@ def _run_frames(pred_params, joint_params, enc_proj, lane_len, state,
         npre_c = npre_c.at[:, :kc].set(sel(rows(npre_c), npre_c[:, :kc]))
         cs = jnp.where(in_frame[:, None], new_cs, cs)
 
+        # pop telemetry: pop_i is 0 for lanes that sat this frame out
+        pmax = jnp.maximum(pmax, pop_i)
+        ptot = ptot + pop_i
+
         return (step + 1, fidx + in_frame.astype(jnp.int32), saturated,
-                nt, nf, nc, nlast, npre_h, npre_c, npost_h, npost_c, cs)
+                nt, nf, nc, nlast, npre_h, npre_c, npost_h, npost_c, cs,
+                pmax, ptot)
 
     def frame_cond(fstate):
         return (fstate[0] < n_frames) & jnp.any(fstate[1] < lane_len)
 
     fstate = (jnp.int32(0), fidx0, saturated, nt, nf, nc, nlast,
-              npre_h, npre_c, npost_h, npost_c, cs)
+              npre_h, npre_c, npost_h, npost_c, cs, pmax0, ptot0)
     fstate = jax.lax.while_loop(frame_cond, frame_body, fstate)
     (_, fidx, saturated, nt, nf, nc, nlast,
-     npre_h, npre_c, npost_h, npost_c, cs) = fstate
+     npre_h, npre_c, npost_h, npost_c, cs, pmax, ptot) = fstate
 
     return GravesBeamState(
         fidx=fidx, saturated=saturated, cs=cs,
         st=nt[:, :kc], sf=nf[:, :kc], sc=nc[:, :kc], slast=nlast[:, :kc],
         sph=npre_h[:, :kc], spc=npre_c[:, :kc],
+        pmax=pmax, ptot=ptot,
     )
 
 
@@ -721,6 +736,32 @@ def graves_beam_decode(
     state = _run_frames(pred_params, joint_params, enc_proj, enc_lengths,
                         state, rnnt_cfg, cfg, jnp.int32(t))
     return _select_best(state, enc_lengths, cfg)
+
+
+@partial(jax.jit, static_argnames=("rnnt_cfg", "cfg"))
+def graves_beam_decode_stats(
+    pred_params,
+    joint_params,
+    enc,
+    enc_lengths,
+    rnnt_cfg: RNNTConfig,
+    cfg: GravesBeamConfig = GravesBeamConfig(),
+):
+    """:func:`graves_beam_decode` plus pop-budget telemetry.
+
+    Returns the decode 5-tuple followed by ``(pmax [B], ptot [B])`` — the
+    max pops any single frame needed and the total pops per element. Sizes
+    ``max_pops_per_frame`` against real-weight emission density
+    (tools/run_real_parity.py) instead of the modeled worst case.
+    """
+    _validate(rnnt_cfg)
+    b, t, e = enc.shape
+    u_buf = cfg.max_tokens or t
+    enc_proj = joint_precompute_enc(joint_params, enc, rnnt_cfg)
+    state = _fresh_state(b, rnnt_cfg, cfg, u_buf)
+    state = _run_frames(pred_params, joint_params, enc_proj, enc_lengths,
+                        state, rnnt_cfg, cfg, jnp.int32(t))
+    return _select_best(state, enc_lengths, cfg) + (state.pmax, state.ptot)
 
 
 @partial(jax.jit, static_argnames=("rnnt_cfg", "cfg", "n_frames"))

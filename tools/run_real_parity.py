@@ -242,11 +242,165 @@ def eval_espnet(conv_path, rows, report):
     entry["beam20_default"] = {"cer": cer_b}
     entry["greedy"] = {"cer": cer_g}
     entry["beam_vs_greedy_text_flip_rate"] = _flip_rate(beam_texts, greedy_texts)
+    entry["emission_stats"] = emission_stats(conv_path, rows)
     entry["decisions"] = {
         "decode_default": "espnet default_beam_search 20 (reference parity)",
         "beam_cer_delta_vs_greedy": cer_b - cer_g,
+        "max_pops_per_frame":
+            entry["emission_stats"]["recommended_max_pops_per_frame"],
     }
     report["espnet_eval"] = entry
+
+
+def emission_stats(conv_path, rows):
+    """Pop-budget + blank-run statistics on real weights (VERDICT r3 item 5:
+    size GravesBeamConfig.max_pops_per_frame and frame_window from measured
+    emission density instead of the modeled worst case)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from reazonspeech_tpu.core.audio import audio_from_path, norm_audio, pad_audio
+    from reazonspeech_tpu.decoding.transducer_graves import (
+        GravesBeamConfig,
+        graves_beam_decode_stats,
+    )
+    from reazonspeech_tpu.espnet.asr.model import (
+        _apply_mvn,
+        load_model_container,
+    )
+    from reazonspeech_tpu.frontend.features import log_mel_spectrogram
+    from reazonspeech_tpu.models.fastconformer import fastconformer_encode
+
+    model = load_model_container(checkpoint=conv_path)
+    cfg = model.decode_cfg
+    assert isinstance(cfg, GravesBeamConfig)
+
+    pmaxes, mean_pops, sat, gaps, density = [], [], 0, [], []
+    for wav_path, _ in rows:
+        audio = pad_audio(norm_audio(audio_from_path(wav_path)), 0.5)
+        buf, lens = model._bucket(audio.waveform)
+        feats, flens = log_mel_spectrogram(
+            jnp.asarray(buf), jnp.asarray(lens), model.fe_cfg)
+        feats = _apply_mvn(model.params, feats, flens)
+        enc, elens = fastconformer_encode(
+            model.params["encoder"], feats, flens, model.enc_cfg)
+        tokens, frames, counts, _, saturated, pmax, ptot = (
+            graves_beam_decode_stats(
+                model.params["predictor"], model.params["joint"],
+                enc, elens, model.rnnt_cfg, cfg))
+        t = max(int(elens[0]), 1)
+        c = int(counts[0])
+        pmaxes.append(int(pmax[0]))
+        mean_pops.append(float(ptot[0]) / t)
+        sat += int(bool(saturated[0]))
+        density.append(c / t)
+        f = np.asarray(frames[0, :c])
+        if c > 1:
+            gaps.extend(np.diff(f).tolist())
+
+    p_default = cfg.max_pops_per_frame or (6 * min(cfg.beam_size, 1 << 30) + 8)
+    observed = max(pmaxes) if pmaxes else 0
+    rec = int(-(-max(1, round(observed * 1.25)) // 8) * 8)
+    stats = {
+        "rows": len(rows),
+        "pops_per_frame_max_observed": observed,
+        "pops_per_frame_mean": round(float(np.mean(mean_pops)), 2)
+        if mean_pops else None,
+        "pop_budget_default": p_default,
+        "saturation_rows": sat,
+        "emissions_per_frame_mean": round(float(np.mean(density)), 3)
+        if density else None,
+        "inter_emission_gap_median": float(np.median(gaps)) if gaps else None,
+        "inter_emission_gap_p10": float(np.percentile(gaps, 10))
+        if gaps else None,
+        # headroom rule: 1.25x the worst observed frame, rounded up to 8;
+        # never below the default when saturation was seen at the default
+        "recommended_max_pops_per_frame": max(rec, p_default) if sat else rec,
+        # frame_window can skip blank runs only if real emissions are
+        # sparse; the CER-delta decision in nemo_eval stays authoritative
+        "frame_window_supported_by_gaps":
+            bool(gaps) and float(np.percentile(gaps, 10)) >= 4.0,
+    }
+    return stats
+
+
+def eval_v1(conv_path, rows, report):
+    """v1 streaming path on converted weights: caption generator runs
+    end-to-end, timings are monotonic in-bounds, and the concatenated text
+    is CER-scored (VERDICT r3 item 5)."""
+    import numpy as np
+
+    from reazonspeech_tpu.core.audio import audio_from_path, norm_audio
+    from reazonspeech_tpu.espnet.asr.model import load_model_container
+    from reazonspeech_tpu.v1.transcribe import transcribe as v1_transcribe
+
+    model = load_model_container(checkpoint=conv_path)
+    entry = {"rows": []}
+    texts = []
+    for wav_path, _ in rows:
+        audio = norm_audio(audio_from_path(wav_path))
+        dur = len(audio.waveform) / 16000.0
+        try:
+            caps = list(v1_transcribe(audio.waveform, speech2text=model))
+            mono = all(
+                0.0 <= c.start_seconds <= c.end_seconds <= dur + 1e-6
+                for c in caps)
+            texts.append("".join(c.text for c in caps))
+            entry["rows"].append(
+                {"captions": len(caps), "timings_in_bounds": mono})
+        except Exception as e:
+            texts.append("")
+            entry["rows"].append({"error": f"{type(e).__name__}: {e}"})
+    entry["cer"] = _cer([(t, p) for (_, t), p in zip(rows, texts)])
+    entry["all_timings_in_bounds"] = all(
+        r.get("timings_in_bounds", False) or "error" in r
+        for r in entry["rows"])
+    report["v1_eval"] = entry
+
+
+def eval_oneseg(conv_path, rows, report):
+    """oneseg forced aligner on converted weights: ground-truth text aligned
+    against its audio; segment bounds + re-ASR QC recorded (the corpus
+    builder's QC loop, pkg/espnet-oneseg/src/align.py)."""
+    import numpy as np
+
+    from reazonspeech_tpu.core.audio import audio_from_path, norm_audio
+    from reazonspeech_tpu.espnet.asr.model import load_model_container
+    from reazonspeech_tpu.oneseg.align import CTCSegmentationAligner, _recognize
+    from reazonspeech_tpu.core.text import cer as _cer_pair
+
+    model = load_model_container(checkpoint=conv_path)
+    aligner = CTCSegmentationAligner(model)
+    vocab = set(model.tokenizer.pieces)
+    entry = {"rows": []}
+    for wav_path, text in rows:
+        audio = norm_audio(audio_from_path(wav_path))
+        dur = len(audio.waveform) / 16000.0
+        in_vocab = "".join(c for c in text if c in vocab)
+        stripped = in_vocab != text
+        if not in_vocab:
+            entry["rows"].append(
+                {"error": "no in-vocabulary characters to align"})
+            continue
+        text = in_vocab
+        try:
+            seg = aligner(audio.waveform, text).segments[0]
+            start, end, score = seg
+            asr = _recognize(model, audio.waveform)
+            entry["rows"].append({
+                "in_bounds": bool(0.0 <= start <= end <= dur + 1e-6),
+                "score": float(score),
+                "qc_cer": _cer_pair(text, asr),
+                "oov_stripped": stripped,
+            })
+        except ValueError as e:
+            entry["rows"].append({"error": f"{type(e).__name__}: {e}"})
+    aligned = [r for r in entry["rows"] if "error" not in r]
+    entry["aligned_rows"] = len(aligned)
+    entry["all_in_bounds"] = all(r["in_bounds"] for r in aligned)
+    entry["mean_qc_cer"] = (
+        float(np.mean([r["qc_cer"] for r in aligned])) if aligned else None)
+    report["oneseg_eval"] = entry
 
 
 def eval_k2(repo_path, conv_base, rows, report):
@@ -366,6 +520,10 @@ def main(argv=None):
                 cfg = _glob1(args.espnet, "config.yaml")
                 convert_espnet_checkpoint(pth, conv + "_esp", config_yaml=cfg)
                 eval_espnet(conv + "_esp", rows, report)
+                # the espnet weights also back the v1 streaming path and the
+                # oneseg corpus aligner — gate them on the same conversion
+                eval_v1(conv + "_esp", rows, report)
+                eval_oneseg(conv + "_esp", rows, report)
             if args.k2:
                 eval_k2(args.k2, conv + "_k2", rows, report)
 
@@ -378,6 +536,14 @@ def main(argv=None):
         if fam in report:
             print(fam, json.dumps(report[fam].get("decisions",
                                                   report[fam])))
+    if "espnet_eval" in report:
+        print("emission_stats",
+              json.dumps(report["espnet_eval"].get("emission_stats", {}),
+                         ensure_ascii=False))
+    for fam in ("v1_eval", "oneseg_eval"):
+        if fam in report:
+            summary = {k: v for k, v in report[fam].items() if k != "rows"}
+            print(fam, json.dumps(summary, ensure_ascii=False))
     return 0 if ok else 1
 
 
