@@ -15,6 +15,9 @@ from reazonspeech_tpu.avsr import (
 )
 from reazonspeech_tpu.avsr.feature_extraction import logfbank, stack_features
 from reazonspeech_tpu.avsr.model import decode_logits, greedy_generate
+# heavy compile/integration module — excluded from the fast tier
+pytestmark = pytest.mark.slow
+
 
 
 @pytest.fixture(scope="module")

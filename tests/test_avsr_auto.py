@@ -21,6 +21,9 @@ from reazonspeech_tpu.avsr import (
     register_auto_classes,
 )
 
+# heavy compile/integration module — excluded from the fast tier
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def model_dir(tmp_path_factory):

@@ -11,6 +11,9 @@ import jax
 import jax.numpy as jnp
 
 from reazonspeech_tpu.models.rnnt import RNNTConfig, init_joint, init_predictor
+# heavy compile/integration module — excluded from the fast tier
+pytestmark = pytest.mark.slow
+
 
 
 def _setup(blank_position, seed=0):

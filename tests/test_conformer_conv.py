@@ -14,6 +14,9 @@ from reazonspeech_tpu.models.layers import (
     layer_norm_init,
 )
 from reazonspeech_tpu.ops.conformer_conv import fold_batch_norm, fused_conv_module
+# heavy compile/integration module — excluded from the fast tier
+pytestmark = pytest.mark.slow
+
 
 
 def _params(key, d, k):

@@ -19,6 +19,9 @@ from reazonspeech_tpu.espnet.asr.model import (
 )
 from reazonspeech_tpu.models.conformer import espnet_encoder_config
 from reazonspeech_tpu.serving import ContinuousBatcher
+# heavy compile/integration module — excluded from the fast tier
+pytestmark = pytest.mark.slow
+
 
 
 @pytest.fixture(scope="module")

@@ -28,6 +28,9 @@ from fixture_checkpoints import (
     synth_nemo_state_dict,
 )
 
+# heavy compile/integration module — excluded from the fast tier
+pytestmark = pytest.mark.slow
+
 RNG = np.random.default_rng(0)
 
 

@@ -16,6 +16,9 @@ from reazonspeech_tpu.espnet.asr.ctc import (
 )
 from reazonspeech_tpu.models.conformer import espnet_encoder_config
 from reazonspeech_tpu.models.rnnt import RNNTConfig
+# heavy compile/integration module — excluded from the fast tier
+pytestmark = pytest.mark.slow
+
 
 
 @pytest.fixture(scope="module")

@@ -12,6 +12,9 @@ import subprocess
 import sys
 
 import pytest
+# heavy compile/integration module — excluded from the fast tier
+pytestmark = pytest.mark.slow
+
 
 EXAMPLES = os.path.join(os.path.dirname(__file__), "..", "examples", "evaluation")
 REPO_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))

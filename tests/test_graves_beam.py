@@ -20,6 +20,9 @@ from reazonspeech_tpu.decoding.transducer_graves import (
     graves_beam_decode,
 )
 from reazonspeech_tpu.models.rnnt import RNNTConfig
+# heavy compile/integration module — excluded from the fast tier
+pytestmark = pytest.mark.slow
+
 
 
 @pytest.fixture(scope="module")

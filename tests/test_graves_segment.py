@@ -31,6 +31,9 @@ from reazonspeech_tpu.models.rnnt import (
     joint_precompute_enc,
 )
 
+# heavy compile/integration module — excluded from the fast tier
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tiny_rnnt():

@@ -12,6 +12,9 @@ from reazonspeech_tpu.k2.asr import (
 )
 from reazonspeech_tpu.k2.asr.model import SECONDS_PER_FRAME, load_model_container
 from reazonspeech_tpu.models.zipformer import ZipformerConfig
+# heavy compile/integration module — excluded from the fast tier
+pytestmark = pytest.mark.slow
+
 
 
 @pytest.fixture(scope="module")

@@ -20,6 +20,9 @@ from reazonspeech_tpu.ops.ln_dense import (
     ln_dense_supported,
 )
 
+# heavy compile/integration module — excluded from the fast tier
+pytestmark = pytest.mark.slow
+
 
 def make_inputs(b, t, d, n, seed=0, x_dtype=jnp.float32):
     rng = np.random.default_rng(seed)

@@ -65,6 +65,9 @@ def test_pallas_masking():
 
 
 from reazonspeech_tpu.ops.relpos_attention import relpos_attention_blockwise
+# heavy compile/integration module — excluded from the fast tier
+pytestmark = pytest.mark.slow
+
 
 
 @pytest.mark.parametrize("t,block", [(32, 16), (40, 16), (23, 8), (64, 16)])

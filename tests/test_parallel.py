@@ -19,6 +19,9 @@ from reazonspeech_tpu.parallel.mesh import (
     shard_params,
 )
 from reazonspeech_tpu.training.train_step import make_train_step
+# heavy compile/integration module — excluded from the fast tier
+pytestmark = pytest.mark.slow
+
 
 
 def small_cfgs():

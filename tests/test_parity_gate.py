@@ -9,6 +9,11 @@ It caught the subsampling flatten-order bug (C-major vs F-major) that round
 import json
 import os
 import sys
+import pytest
+
+# heavy compile/integration module — excluded from the fast tier
+pytestmark = pytest.mark.slow
+
 
 TOOLS = os.path.join(os.path.dirname(__file__), "..", "tools")
 sys.path.insert(0, TOOLS)

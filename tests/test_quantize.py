@@ -7,6 +7,9 @@ from reazonspeech_tpu.convert.quantize import (
     quantize_tree,
 )
 from reazonspeech_tpu.convert.store import load_param_tree, save_param_tree
+# heavy compile/integration module — excluded from the fast tier
+pytestmark = pytest.mark.slow
+
 
 
 def test_quantize_roundtrip_accuracy():

@@ -5,6 +5,11 @@ CER variants -> decision record, all in one invocation."""
 import json
 import os
 import sys
+import pytest
+
+# heavy compile/integration module — excluded from the fast tier
+pytestmark = pytest.mark.slow
+
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 

@@ -16,6 +16,9 @@ from reazonspeech_tpu.models.rnnt import (
     predictor_zero_state,
 )
 
+# heavy compile/integration module — excluded from the fast tier
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tiny():

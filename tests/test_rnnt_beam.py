@@ -7,6 +7,9 @@ import jax.numpy as jnp
 from reazonspeech_tpu.decoding.rnnt_beam import BeamDecodeConfig, rnnt_beam_decode
 from reazonspeech_tpu.decoding.rnnt_greedy import GreedyDecodeConfig, rnnt_greedy_decode
 from reazonspeech_tpu.models.rnnt import RNNTConfig, init_joint, init_predictor
+# heavy compile/integration module — excluded from the fast tier
+pytestmark = pytest.mark.slow
+
 
 
 def make_model(kind="lstm", seed=1):

@@ -13,6 +13,9 @@ from reazonspeech_tpu.models.rnnt import RNNTConfig
 from reazonspeech_tpu.nemo.asr.model import load_model
 from reazonspeech_tpu.serving import MicroBatcher
 from reazonspeech_tpu.serving.http import make_app
+# heavy compile/integration module — excluded from the fast tier
+pytestmark = pytest.mark.slow
+
 
 
 @pytest.fixture(scope="module")

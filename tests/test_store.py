@@ -10,6 +10,9 @@ from reazonspeech_tpu.convert.store import (
     save_param_tree,
 )
 
+# heavy compile/integration module — excluded from the fast tier
+pytestmark = pytest.mark.slow
+
 
 def tree():
     rng = np.random.default_rng(0)

@@ -14,6 +14,9 @@ from reazonspeech_tpu.models.fastconformer_streaming import (
     streaming_step,
 )
 
+# heavy compile/integration module — excluded from the fast tier
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def setup():

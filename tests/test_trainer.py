@@ -15,6 +15,9 @@ from reazonspeech_tpu.models.rnnt import RNNTConfig
 from reazonspeech_tpu.nemo.asr.model import default_ja_tokenizer, init_params
 from reazonspeech_tpu.training.data import manifest_batches, read_manifest
 from reazonspeech_tpu.training.trainer import Trainer, TrainerConfig
+# heavy compile/integration module — excluded from the fast tier
+pytestmark = pytest.mark.slow
+
 
 EXAMPLES = os.path.join(os.path.dirname(__file__), "..", "examples", "evaluation")
 

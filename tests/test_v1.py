@@ -9,6 +9,9 @@ import pytest
 from reazonspeech_tpu.models.conformer import espnet_encoder_config
 from reazonspeech_tpu.v1 import Caption, TranscribeConfig, transcribe
 from reazonspeech_tpu.v1.transcribe import _split_text
+# heavy compile/integration module — excluded from the fast tier
+pytestmark = pytest.mark.slow
+
 
 
 @pytest.fixture(scope="module")

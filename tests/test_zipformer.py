@@ -17,6 +17,9 @@ from reazonspeech_tpu.models.zipformer import (
     zipformer_encode,
 )
 
+# heavy compile/integration module — excluded from the fast tier
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tiny():

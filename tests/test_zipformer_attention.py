@@ -14,6 +14,9 @@ from reazonspeech_tpu.models.zipformer import (
     zipformer_encode,
 )
 from reazonspeech_tpu.ops import zipformer_attention as za
+# heavy compile/integration module — excluded from the fast tier
+pytestmark = pytest.mark.slow
+
 
 
 @pytest.fixture(autouse=True)
