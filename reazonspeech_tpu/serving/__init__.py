@@ -7,8 +7,9 @@ deployment actually needs: a MicroBatcher that coalesces concurrent requests
 into bucketed jitted calls, and an HTTP server exposing it.
 """
 
+from .avsr import AVSRBatcher
 from .batcher import MicroBatcher
 from .continuous import ContinuousBatcher
 from .http import serve
 
-__all__ = ["ContinuousBatcher", "MicroBatcher", "serve"]
+__all__ = ["AVSRBatcher", "ContinuousBatcher", "MicroBatcher", "serve"]

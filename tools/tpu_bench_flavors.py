@@ -162,12 +162,20 @@ def collect_rows(include_avsr=True):
     return rows
 
 
+def bench_avsr_sweep(batches=(4, 8, 16, 32), num_beams=5):
+    """AVSR batch sweep (VERDICT r3 item 7): find the serving batch size.
+    One process, shared weights; returns the per-batch rows."""
+    return [bench_avsr(b, num_beams=num_beams) for b in batches]
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     print(f"device: {jax.devices()[0].device_kind}", flush=True)
     if which == "avsr":
         bench_avsr(batch if len(sys.argv) > 2 else 8)
+    if which == "avsr-sweep":
+        bench_avsr_sweep()
     if which in ("k2", "all"):
         bench_k2(batch, attn_impl="xla")
         bench_k2(batch, attn_impl="pallas")
