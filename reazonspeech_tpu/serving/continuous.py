@@ -98,6 +98,13 @@ class ContinuousBatcher:
         counts <= this (a full-pool burst would otherwise compile an
         m_pad=n_lanes program per waveform bucket); excess requests join
         on the next tick, one segment (~frames_per_segment frames) later
+      fixed_encode_shape: pad EVERY encode tick to
+        (max_encode_batch, max_samples) — exactly ONE compiled encoder
+        program. The right default for beam flavors: the pop loop, not the
+        encoder, is the cost (espnet encode runs >10x the beam's RTFx), so
+        the wasted pad FLOPs are noise while a compile through the dev
+        tunnel is ~30 s. Set False to bucket encode shapes organically
+        (encoder-bound flavors at steady load).
 
     Results resolve to ``(token_ids, frames)`` — the MicroBatcher contract —
     and are bit-identical to ``decode_single`` under the same
@@ -107,7 +114,7 @@ class ContinuousBatcher:
 
     def __init__(self, model, n_lanes=16, frames_per_segment=32,
                  max_seconds=20.0, drain_timeout=300.0,
-                 max_encode_batch=16):
+                 max_encode_batch=16, fixed_encode_shape=True):
         if not isinstance(model.decode_cfg, GravesBeamConfig):
             raise TypeError(
                 "ContinuousBatcher drives the segmented Graves beam; the "
@@ -128,6 +135,7 @@ class ContinuousBatcher:
             cfg, max_tokens=self.t_buf)
         self.drain_timeout = drain_timeout
         self.max_encode_batch = int(max_encode_batch)
+        self.fixed_encode_shape = bool(fixed_encode_shape)
 
         j = model.rnnt_cfg.joint_hidden
         # +1 scratch lane: encode-bucket padding rows scatter there
@@ -224,10 +232,15 @@ class ContinuousBatcher:
     def _swap_in(self, items, lanes):
         """Encode new utterances and scatter them into their lanes' rings."""
         m = len(items)
-        m_pad = 1 << (m - 1).bit_length()
-        n_max = max(len(w) for w, _ in items)
-        samples = max(self.bucket_samples,
-                      -(-n_max // self.bucket_samples) * self.bucket_samples)
+        if self.fixed_encode_shape:
+            m_pad = self.max_encode_batch
+            samples = self.max_samples
+        else:
+            m_pad = 1 << (m - 1).bit_length()
+            n_max = max(len(w) for w, _ in items)
+            samples = max(self.bucket_samples,
+                          -(-n_max // self.bucket_samples)
+                          * self.bucket_samples)
         buf = np.zeros((m_pad, samples), np.float32)
         lens = np.zeros(m_pad, np.int32)
         lane_idx = np.full(m_pad, self.n_lanes, np.int32)  # scratch lane
