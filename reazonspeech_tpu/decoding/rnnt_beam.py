@@ -37,10 +37,27 @@ gathers; all state is fixed-shape. Emissions carry (token, frame) pairs on
 the same 0.08 s grid as the greedy decoder, so decode_hypothesis timestamp
 math is unchanged (nemo/asr/decode.py reconstructs the ALSD timestamp
 artifact convention from them).
+
+Segmented API (continuous batching)
+-----------------------------------
+
+``alsd_state_init`` / ``alsd_segment`` / ``alsd_finalize`` expose the same
+search as a resumable per-lane state machine — the ALSD twin of the
+segmented Graves beam (transducer_graves.py): a fixed pool of lanes, each
+with its own alignment-step clock, advances ``n_steps`` per call; finished
+lanes are finalized and reset for new requests mid-flight. The per-step
+body has no cross-lane ops, so per-lane results are bit-identical to a
+dedicated ``rnnt_beam_decode`` (tests/test_alsd_segment.py). Unlike the
+frame-clocked Graves beam, a lane's completion is data-dependent (the beam
+can die before the step budget when every hypothesis consumes its last
+frame), so ``alsd_segment`` also returns a ``done`` flag per lane — the
+scheduler may harvest on it early, or fall back to the deterministic
+host-side bound ``lane_len + floor(alsd_max_target_len * lane_len)``.
 """
 
 from dataclasses import dataclass
 from functools import partial
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -53,7 +70,15 @@ from ..models.rnnt import (
     predictor_zero_state,
 )
 
-__all__ = ["BeamDecodeConfig", "rnnt_beam_decode"]
+__all__ = [
+    "BeamDecodeConfig",
+    "rnnt_beam_decode",
+    "ALSDBeamState",
+    "alsd_state_init",
+    "alsd_segment",
+    "alsd_finalize",
+    "alsd_step_bound",
+]
 
 _DEAD = -1.0e30  # score of an empty/killed beam slot
 _ALIVE = -1.0e25  # scores above this are live hypotheses (real scores are
@@ -101,6 +126,35 @@ class BeamDecodeConfig:
     unroll: int = 1
 
 
+class ALSDBeamState(NamedTuple):
+    """Cross-segment ALSD beam state (per lane).
+
+    ``step`` is the lane's alignment-step clock (increments every body
+    iteration while the pool runs, frozen lanes included — so the host can
+    mirror it deterministically as ``step + n_steps`` per segment).
+    ``pred_state`` holds whatever the predictor kind carries: an ``(h, c)``
+    tuple of [B, K, L, H] for LSTM predictors, one [B, K, S] array for
+    stateless ones.
+    """
+
+    step: jnp.ndarray  # [B] int32
+    scores: jnp.ndarray  # [B, K] fp32 (_DEAD = empty slot)
+    time_idx: jnp.ndarray  # [B, K] int32 encoder frame per hypothesis
+    counts: jnp.ndarray  # [B, K] int32 emissions per hypothesis
+    tokens: jnp.ndarray  # [B, K, U] int32
+    frames: jnp.ndarray  # [B, K, U] int32
+    last_tok: jnp.ndarray  # [B, K] int32
+    pred_out: jnp.ndarray  # [B, K, H] fp32 predictor output
+    pred_state: Any
+    # recorded best final per lane (value snapshots; see module notes)
+    fin_key: jnp.ndarray  # [B] fp32 in the selection metric
+    fin_raw: jnp.ndarray  # [B] fp32 raw score
+    fin_tokens: jnp.ndarray  # [B, U] int32
+    fin_frames: jnp.ndarray  # [B, U] int32
+    fin_count: jnp.ndarray  # [B] int32
+    fin_any: jnp.ndarray  # [B] bool
+
+
 def _tree_take_beams(state, idx):
     """Gather along the beam axis (axis=1 of [B, K, ...] arrays)."""
     def take(x):
@@ -110,39 +164,15 @@ def _tree_take_beams(state, idx):
     return jax.tree.map(take, state)
 
 
-@partial(jax.jit, static_argnames=("rnnt_cfg", "cfg"))
-def rnnt_beam_decode(
-    pred_params,
-    joint_params,
-    enc,
-    enc_lengths,
-    rnnt_cfg: RNNTConfig,
-    cfg: BeamDecodeConfig = BeamDecodeConfig(),
-):
-    """ALSD beam-search decode a batch.
+def _norm_key(cfg, score, counts):
+    if not cfg.score_norm:
+        return score
+    return score / (counts.astype(jnp.float32) + 1.0)
 
-    Args:
-      enc: [B, T, E] fp32; enc_lengths: [B]
 
-    Returns:
-      (tokens [B, U] int32 of the best hypothesis, frames [B, U] int32,
-       counts [B] int32, scores [B] fp32 — raw, unnormalised)
-    """
-    b, t, e = enc.shape
-    enc_proj = joint_precompute_enc(joint_params, enc, rnnt_cfg)  # [B, T, J]
-    k = cfg.beam_size
-    m = min(k, rnnt_cfg.num_classes - 1)  # label expansions per hypothesis
-    blank = rnnt_cfg.blank_id
-    u_buf = cfg.max_tokens or (t + int(cfg.alsd_max_target_len * t))
-    bk = b * k
-
-    # per-utterance alignment budget (NeMo: int(ratio * T) emissions)
-    u_max_el = jnp.floor(cfg.alsd_max_target_len * enc_lengths).astype(jnp.int32)
-    max_steps = t + int(cfg.alsd_max_target_len * t)
-
-    def flat(x):  # [B, K, ...] -> [B*K, ...]
-        return x.reshape((bk,) + x.shape[2:])
-
+def _make_pred_step(pred_params, rnnt_cfg: RNNTConfig, cfg: BeamDecodeConfig):
+    """predictor_step over flat [R] token rows, optionally via the fused
+    cell kernel (state stays (h, c) [L, R, H] either way)."""
     use_lstm_kernel = (
         cfg.lstm_impl == "pallas"
         and rnnt_cfg.predictor_kind == "lstm"
@@ -150,8 +180,6 @@ def rnnt_beam_decode(
     )
 
     def pred_step(tokens_flat, state_flat):
-        """predictor_step, optionally via the fused cell kernel (state
-        stays (h, c) [L, R, H] either way)."""
         if not use_lstm_kernel:
             return predictor_step(pred_params, tokens_flat, state_flat, rnnt_cfg)
         from ..models.rnnt import _embed_tokens
@@ -175,8 +203,14 @@ def rnnt_beam_decode(
             x = hn
         return x, (jnp.stack(hs), jnp.stack(cs))
 
+    return pred_step
+
+
+def _make_joint_topm(joint_params, rnnt_cfg: RNNTConfig, cfg: BeamDecodeConfig,
+                     m: int, blank: int):
+    """Per-step joint tail -> (lp_blank, top_lp, top_tok), each [R, ...]."""
+
     def joint_topm_step(enc_rows, dec_rows):
-        """Per-step joint tail -> (lp_blank, top_lp, top_tok), each [R, ...]."""
         if cfg.joint_impl == "pallas":
             from ..ops.beam_topk import joint_topm
 
@@ -198,32 +232,23 @@ def rnnt_beam_decode(
 
         return topm_logsoftmax_xla(logits, m, blank)
 
-    def norm_key(score, counts):
-        if not cfg.score_norm:
-            return score
-        return score / (counts.astype(jnp.float32) + 1.0)
+    return joint_topm_step
 
-    # beam state: slot 0 is the initial hypothesis, the rest are dead
-    scores = jnp.tile(jnp.array([0.0] + [_DEAD] * (k - 1), jnp.float32), (b, 1))
-    time_idx = jnp.zeros((b, k), jnp.int32)
-    counts = jnp.zeros((b, k), jnp.int32)
-    tokens = jnp.full((b, k, u_buf), blank, jnp.int32)
-    frames = jnp.zeros((b, k, u_buf), jnp.int32)
-    last_tok = jnp.full((b, k), blank, jnp.int32)
 
-    # recorded best final per element (value snapshots; see module notes)
-    fin_key = jnp.full((b,), _DEAD, jnp.float32)  # in the selection metric
-    fin_raw = jnp.full((b,), _DEAD, jnp.float32)
-    fin_tokens = jnp.full((b, u_buf), blank, jnp.int32)
-    fin_frames = jnp.zeros((b, u_buf), jnp.int32)
-    fin_count = jnp.zeros((b,), jnp.int32)
-    fin_any = jnp.zeros((b,), bool)
+def _init_state(pred_params, b, rnnt_cfg: RNNTConfig, cfg: BeamDecodeConfig,
+                u_buf: int) -> ALSDBeamState:
+    """Fresh beam state: slot 0 is the initial hypothesis (blank consumed by
+    one predictor step), the rest are dead."""
+    k = cfg.beam_size
+    bk = b * k
+    blank = rnnt_cfg.blank_id
+    h = rnnt_cfg.pred_hidden
+    pred_step = _make_pred_step(pred_params, rnnt_cfg, cfg)
 
     pred_state0 = predictor_zero_state(bk, rnnt_cfg)
     pred_out0, pred_state0 = pred_step(
         jnp.full((bk,), blank, jnp.int32), pred_state0
     )
-    h = rnnt_cfg.pred_hidden
     pred_out = pred_out0.reshape(b, k, h)
     if rnnt_cfg.predictor_kind == "stateless":
         pred_state = pred_state0.reshape(b, k, -1)
@@ -233,20 +258,72 @@ def rnnt_beam_decode(
             jnp.transpose(s, (1, 0, 2)).reshape(b, k, -1, h) for s in pred_state0
         )
 
-    def el_active(step, scores):
-        """Elements still inside their ALSD budget with a live hypothesis."""
-        return (step < enc_lengths + u_max_el) & jnp.any(scores > _ALIVE, axis=1)
+    return ALSDBeamState(
+        step=jnp.zeros((b,), jnp.int32),
+        scores=jnp.tile(
+            jnp.array([0.0] + [_DEAD] * (k - 1), jnp.float32), (b, 1)),
+        time_idx=jnp.zeros((b, k), jnp.int32),
+        counts=jnp.zeros((b, k), jnp.int32),
+        tokens=jnp.full((b, k, u_buf), blank, jnp.int32),
+        frames=jnp.zeros((b, k, u_buf), jnp.int32),
+        last_tok=jnp.full((b, k), blank, jnp.int32),
+        pred_out=pred_out,
+        pred_state=pred_state,
+        fin_key=jnp.full((b,), _DEAD, jnp.float32),
+        fin_raw=jnp.full((b,), _DEAD, jnp.float32),
+        fin_tokens=jnp.full((b, u_buf), blank, jnp.int32),
+        fin_frames=jnp.zeros((b, u_buf), jnp.int32),
+        fin_count=jnp.zeros((b,), jnp.int32),
+        fin_any=jnp.zeros((b,), bool),
+    )
 
-    def cond(state):
-        step, scores = state[0], state[1]
-        return (step < max_steps) & jnp.any(el_active(step, scores))
 
-    def body(state):
+def _apply_reset(state: ALSDBeamState, reset,
+                 fresh: ALSDBeamState) -> ALSDBeamState:
+    """Re-initialise lanes flagged in ``reset`` (new request joins)."""
+    b = state.scores.shape[0]
+
+    def pick(new, old):
+        return jnp.where(reset.reshape((b,) + (1,) * (new.ndim - 1)), new, old)
+
+    return jax.tree.map(pick, fresh, state)
+
+
+def _el_active(state: ALSDBeamState, enc_lengths, u_max_el):
+    """Lanes still inside their ALSD budget with a live hypothesis."""
+    return (state.step < enc_lengths + u_max_el) & jnp.any(
+        state.scores > _ALIVE, axis=1)
+
+
+def _make_body(pred_params, joint_params, enc_proj, enc_lengths, u_max_el,
+               rnnt_cfg: RNNTConfig, cfg: BeamDecodeConfig):
+    """One ALSD alignment step over the whole lane pool.
+
+    The body has NO cross-lane ops (top-k, recombination, and finals are all
+    per-element), so each lane's trajectory is identical to a dedicated
+    decode of its own utterance — the property the segmented API rests on.
+    Frozen lanes (outside their budget or beam-dead) keep their state;
+    ``step`` increments unconditionally so the host can mirror it.
+    """
+    b, t, _ = enc_proj.shape
+    k = cfg.beam_size
+    m = min(k, rnnt_cfg.num_classes - 1)  # label expansions per hypothesis
+    blank = rnnt_cfg.blank_id
+    h = rnnt_cfg.pred_hidden
+    bk = b * k
+    pred_step = _make_pred_step(pred_params, rnnt_cfg, cfg)
+    joint_topm_step = _make_joint_topm(joint_params, rnnt_cfg, cfg, m, blank)
+
+    def flat(x):  # [B, K, ...] -> [B*K, ...]
+        return x.reshape((bk,) + x.shape[2:])
+
+    def body(state: ALSDBeamState) -> ALSDBeamState:
         (step, scores, time_idx, counts, tokens, frames, last_tok,
          pred_out, pred_state,
          fin_key, fin_raw, fin_tokens, fin_frames, fin_count, fin_any) = state
+        u_buf = tokens.shape[-1]
 
-        active_el = el_active(step, scores)  # [B] — frozen elements keep state
+        active_el = _el_active(state, enc_lengths, u_max_el)  # [B]
         alive = scores > _ALIVE  # [B, K]
 
         safe_t = jnp.minimum(time_idx, t - 1)  # [B, K]
@@ -268,7 +345,7 @@ def rnnt_beam_decode(
 
         # --- finals: blank extension of a hypothesis at its last frame ----
         finalize = alive & (time_idx == enc_lengths[:, None] - 1)  # [B, K]
-        f_key = jnp.where(finalize, norm_key(blank_scores, counts), _DEAD)
+        f_key = jnp.where(finalize, _norm_key(cfg, blank_scores, counts), _DEAD)
         best_k = jnp.argmax(f_key, axis=1)  # [B]
         best_key = jnp.take_along_axis(f_key, best_k[:, None], axis=1)[:, 0]
         improved = active_el & (best_key > fin_key)
@@ -403,31 +480,160 @@ def rnnt_beam_decode(
                 keep(n, o) for n, o in zip(n_pred_state, pred_state)
             )
 
-        return (step + 1, scores, time_idx, counts, tokens, frames, last_tok,
-                pred_out, pred_state,
-                fin_key, fin_raw, fin_tokens, fin_frames, fin_count, fin_any)
-
-    init = (jnp.int32(0), scores, time_idx, counts, tokens, frames, last_tok,
+        return ALSDBeamState(
+            step + 1, scores, time_idx, counts, tokens, frames, last_tok,
             pred_out, pred_state,
             fin_key, fin_raw, fin_tokens, fin_frames, fin_count, fin_any)
+
+    return body
+
+
+def _select_best(state: ALSDBeamState, cfg: BeamDecodeConfig):
+    """Best recorded final, falling back to the best live hypothesis when
+    nothing finalised (NeMo returns ``B``)."""
+    beam_key = jnp.where(
+        state.scores > _ALIVE,
+        _norm_key(cfg, state.scores, state.counts), _DEAD)
+    best = jnp.argmax(beam_key, axis=1)  # [B]
+    take1 = lambda x: jnp.take_along_axis(x, best[:, None], axis=1)[:, 0]
+    take2 = lambda x: jnp.take_along_axis(x, best[:, None, None], axis=1)[:, 0]
+
+    fin_any = state.fin_any
+    out_tokens = jnp.where(fin_any[:, None], state.fin_tokens,
+                           take2(state.tokens))
+    out_frames = jnp.where(fin_any[:, None], state.fin_frames,
+                           take2(state.frames))
+    out_counts = jnp.where(fin_any, state.fin_count, take1(state.counts))
+    out_scores = jnp.where(fin_any, state.fin_raw, take1(state.scores))
+    return out_tokens, out_frames, out_counts, out_scores
+
+
+@partial(jax.jit, static_argnames=("rnnt_cfg", "cfg"))
+def rnnt_beam_decode(
+    pred_params,
+    joint_params,
+    enc,
+    enc_lengths,
+    rnnt_cfg: RNNTConfig,
+    cfg: BeamDecodeConfig = BeamDecodeConfig(),
+):
+    """ALSD beam-search decode a batch.
+
+    Args:
+      enc: [B, T, E] fp32; enc_lengths: [B]
+
+    Returns:
+      (tokens [B, U] int32 of the best hypothesis, frames [B, U] int32,
+       counts [B] int32, scores [B] fp32 — raw, unnormalised)
+    """
+    b, t, e = enc.shape
+    enc_proj = joint_precompute_enc(joint_params, enc, rnnt_cfg)  # [B, T, J]
+    u_buf = cfg.max_tokens or (t + int(cfg.alsd_max_target_len * t))
+
+    # per-utterance alignment budget (NeMo: int(ratio * T) emissions)
+    u_max_el = jnp.floor(cfg.alsd_max_target_len * enc_lengths).astype(jnp.int32)
+    max_steps = t + int(cfg.alsd_max_target_len * t)
+
+    body = _make_body(pred_params, joint_params, enc_proj, enc_lengths,
+                      u_max_el, rnnt_cfg, cfg)
+    init = _init_state(pred_params, b, rnnt_cfg, cfg, u_buf)
+
+    def cond(state):
+        return (state.step[0] < max_steps) & jnp.any(
+            _el_active(state, enc_lengths, u_max_el))
 
     def body_n(state):
         for _ in range(max(1, cfg.unroll)):
             state = body(state)
         return state
 
-    (_, scores, _, counts, tokens, frames, _, _, _,
-     fin_key, fin_raw, fin_tokens, fin_frames, fin_count, fin_any
-     ) = jax.lax.while_loop(cond, body_n, init)
+    state = jax.lax.while_loop(cond, body_n, init)
+    return _select_best(state, cfg)
 
-    # fall back to the best live hypothesis when nothing finalised
-    beam_key = jnp.where(scores > _ALIVE, norm_key(scores, counts), _DEAD)
-    best = jnp.argmax(beam_key, axis=1)  # [B]
-    take1 = lambda x: jnp.take_along_axis(x, best[:, None], axis=1)[:, 0]
-    take2 = lambda x: jnp.take_along_axis(x, best[:, None, None], axis=1)[:, 0]
 
-    out_tokens = jnp.where(fin_any[:, None], fin_tokens, take2(tokens))
-    out_frames = jnp.where(fin_any[:, None], fin_frames, take2(frames))
-    out_counts = jnp.where(fin_any, fin_count, take1(counts))
-    out_scores = jnp.where(fin_any, fin_raw, take1(scores))
+# --------------------------------------------------------------------------
+# segmented API (continuous batching; see module notes)
+# --------------------------------------------------------------------------
+
+
+def alsd_step_bound(lane_len: int, cfg: BeamDecodeConfig) -> int:
+    """Deterministic upper bound on a lane's alignment steps — the host-side
+    completion fallback (``done`` from :func:`alsd_segment` is usually much
+    earlier: the beam dies once every hypothesis consumes its last frame)."""
+    return int(lane_len) + int(cfg.alsd_max_target_len * int(lane_len))
+
+
+@partial(jax.jit, static_argnames=("b", "rnnt_cfg", "cfg"))
+def alsd_state_init(pred_params, b: int, rnnt_cfg: RNNTConfig,
+                    cfg: BeamDecodeConfig) -> ALSDBeamState:
+    """Fresh lane-pool state for the segmented API (cfg.max_tokens required —
+    segments can't default the emission buffer to T)."""
+    if cfg.max_tokens <= 0:
+        raise ValueError(
+            "alsd_state_init: cfg.max_tokens must be set for segmented "
+            "decode (the emission buffer cannot default to T)")
+    return _init_state(pred_params, b, rnnt_cfg, cfg, cfg.max_tokens)
+
+
+@partial(jax.jit, static_argnames=("rnnt_cfg", "cfg", "n_steps"))
+def alsd_segment(
+    pred_params,
+    joint_params,
+    enc_ring,
+    lane_len,
+    reset_mask,
+    state: ALSDBeamState,
+    rnnt_cfg: RNNTConfig,
+    cfg: BeamDecodeConfig,
+    n_steps: int,
+):
+    """Advance every lane by up to ``n_steps`` alignment steps.
+
+    Args:
+      enc_ring: [B, T_buf, J] per-lane joint enc projections
+        (``joint_precompute_enc`` of each lane's utterance, written at rows
+        0..len-1 of its lane)
+      lane_len: [B] int32 — valid encoder frames per lane (0 = idle lane)
+      reset_mask: [B] bool — lanes re-initialised before stepping (a new
+        request was swapped in)
+      state: lane-pool state from ``alsd_state_init`` / a prior segment
+
+    Returns ``(state, done)`` with ``done`` [B] bool — True once a lane's
+    search is over (budget exhausted or beam dead with its best final
+    recorded). ``state.step`` advances by exactly ``n_steps`` for every lane
+    unless the whole pool goes inactive early, so the host clock
+    ``min(step + n_steps, alsd_step_bound(lane_len))`` plus the returned
+    ``done`` flags schedule harvesting without any other readback. Per-lane
+    results are bit-identical to a dedicated ``rnnt_beam_decode``.
+    """
+    b = state.scores.shape[0]
+    fresh = _init_state(pred_params, b, rnnt_cfg, cfg, state.tokens.shape[-1])
+    state = _apply_reset(state, reset_mask, fresh)
+
+    u_max_el = jnp.floor(
+        cfg.alsd_max_target_len * lane_len).astype(jnp.int32)
+    body = _make_body(pred_params, joint_params, enc_ring, lane_len,
+                      u_max_el, rnnt_cfg, cfg)
+
+    def cond(carry):
+        i, state = carry
+        return (i < n_steps) & jnp.any(_el_active(state, lane_len, u_max_el))
+
+    def body_i(carry):
+        i, state = carry
+        return i + 1, body(state)
+
+    _, state = jax.lax.while_loop(cond, body_i, (jnp.int32(0), state))
+    done = ~_el_active(state, lane_len, u_max_el)
+    return state, done
+
+
+@partial(jax.jit, static_argnames=("rnnt_cfg", "cfg"))
+def alsd_finalize(state: ALSDBeamState, lane_len,
+                  rnnt_cfg: RNNTConfig, cfg: BeamDecodeConfig):
+    """Best-hypothesis extraction for (any subset of) lanes: returns
+    (tokens [B, U], frames [B, U], counts [B], scores [B])."""
+    out_tokens, out_frames, out_counts, out_scores = _select_best(state, cfg)
+    # empty-input rows: nothing decoded
+    out_counts = jnp.where(lane_len <= 0, 0, out_counts)
     return out_tokens, out_frames, out_counts, out_scores
