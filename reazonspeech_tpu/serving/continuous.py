@@ -1,33 +1,45 @@
-"""Continuous batching for the beam-transducer serving path.
+"""Continuous batching for the beam-transducer serving paths.
 
-The reference serves espnet beam-20 one utterance at a time
-(pkg/espnet-asr/src/transcribe.py:59-78). The static :class:`MicroBatcher`
+The reference serves its beam decodes one utterance at a time (espnet:
+pkg/espnet-asr/src/transcribe.py:59-78; nemo reaches NeMo's per-call ALSD via
+pkg/nemo-asr/src/transcribe.py:48-53). The static :class:`MicroBatcher`
 already converts request concurrency into the batch dimension, but a beam
 batch runs until its SLOWEST lane finishes: with mixed-length traffic most
 lanes sit masked-idle for the tail of every batch, so goodput is bounded by
 ``mean_len / max_len`` of each tick's composition.
 
-This executor removes that bound with lane recycling over the segmented
-Graves beam (decoding/transducer_graves.py): the decoder state is a fixed
-pool of ``n_lanes`` lanes, each with its own frame clock; every tick advances
-all lanes by ``frames_per_segment`` encoder frames, finished lanes are
+This executor removes that bound with lane recycling over a segmented beam:
+the decoder state is a fixed pool of ``n_lanes`` lanes, each with its own
+clock; every tick advances all lanes by one quantum, finished lanes are
 finalized and immediately refilled from the request queue. Per-lane results
-are bit-identical to a dedicated ``graves_beam_decode`` (pops are
-element-local — tests/test_graves_segment.py), so continuous batching is a
-pure scheduling change.
+are bit-identical to a dedicated decode (the per-step/pop bodies have no
+cross-lane ops — tests/test_graves_segment.py, tests/test_alsd_segment.py),
+so continuous batching is a pure scheduling change. Both beam flavors are
+supported through one adapter seam:
+
+- **Graves beam-20** (espnet serving default,
+  decoding/transducer_graves.py): lanes are frame-clocked; the quantum is
+  ``frames_per_segment`` encoder frames and completion is the deterministic
+  ``fidx >= lane_len``.
+- **ALSD beam** (nemo serving default, decoding/rnnt_beam.py): lanes are
+  alignment-step-clocked; the quantum is ``frames_per_segment`` steps,
+  completion is data-dependent (the beam can die before the
+  ``lane_len + floor(ratio*lane_len)`` step bound), so the device's per-lane
+  ``done`` flag is fetched one tick behind — the fetch overlaps the next
+  segment's compute — with the step bound as the deterministic fallback.
 
 Device-interaction design (TPU-first):
 
-- lane frame clocks are mirrored DETERMINISTICALLY on the host
-  (``min(fidx + n_frames, lane_len)`` — the exact arithmetic of the device
-  frame loop), so scheduling needs NO device→host readback;
-- the only sync point per tick is materializing finalized outputs, and it is
-  issued AFTER the next segment is dispatched, so the transfer overlaps
-  device compute (JAX async dispatch);
+- lane clocks are mirrored DETERMINISTICALLY on the host (the exact
+  arithmetic of the device loop), so scheduling needs NO device→host
+  readback on the critical path;
+- the only sync points per tick are materializing finalized outputs and the
+  (ALSD) lagged done flag, both issued AFTER the next segment is dispatched,
+  so the transfers overlap device compute (JAX async dispatch);
 - new requests are encoded in one jitted frontend→encoder→joint-projection
   call per tick and scattered straight into the per-lane enc-projection ring
-  (power-of-two request-count buckets + waveform-length buckets keep the
-  compiled-program set bounded; padded rows write a scratch lane).
+  (a fixed encode shape by default — exactly one compiled encoder program;
+  padded rows write a scratch lane).
 """
 
 import queue
@@ -42,6 +54,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..decoding.rnnt_beam import (
+    BeamDecodeConfig,
+    alsd_finalize,
+    alsd_segment,
+    alsd_state_init,
+    alsd_step_bound,
+)
 from ..decoding.transducer_graves import (
     GravesBeamConfig,
     graves_beam_segment,
@@ -55,19 +74,22 @@ from ..models.rnnt import joint_precompute_enc
 __all__ = ["ContinuousBatcher"]
 
 
-@partial(jax.jit, static_argnames=("fe_cfg", "enc_cfg", "rnnt_cfg", "t_buf"))
+@partial(jax.jit,
+         static_argnames=("fe_cfg", "enc_cfg", "rnnt_cfg", "t_buf", "mvn"))
 def _encode_into_ring(params, wav, lens, lanes, ring,
-                      fe_cfg, enc_cfg, rnnt_cfg, t_buf):
+                      fe_cfg, enc_cfg, rnnt_cfg, t_buf, mvn):
     """frontend → encoder → joint enc-projection, scattered into ring lanes.
 
     ``lanes`` rows for padding entries point at the scratch lane (index B);
     every write covers the lane's full ``t_buf`` rows, so stale frames from
-    the lane's previous occupant never survive a swap.
+    the lane's previous occupant never survive a swap. ``mvn`` applies the
+    espnet flavor's GlobalMVN between the frontend and the encoder.
     """
-    from ..espnet.asr.model import _apply_mvn
-
     feats, flens = log_mel_spectrogram(wav, lens, fe_cfg)
-    feats = _apply_mvn(params, feats, flens)
+    if mvn:
+        from ..espnet.asr.model import _apply_mvn
+
+        feats = _apply_mvn(params, feats, flens)
     enc, elens = fastconformer_encode(params["encoder"], feats, flens, enc_cfg)
     proj = joint_precompute_enc(params["joint"], enc, rnnt_cfg)  # [M, t, J]
     t = proj.shape[1]
@@ -78,18 +100,84 @@ def _encode_into_ring(params, wav, lens, lanes, ring,
     return ring.at[lanes].set(proj.astype(ring.dtype)), elens
 
 
+class _GravesAdapter:
+    """Frame-clocked segmented Graves beam (espnet flavor)."""
+
+    mvn = True
+    has_done_flag = False
+
+    def __init__(self, model, t_buf):
+        self.model = model
+        self.cfg = (model.decode_cfg if model.decode_cfg.max_tokens > 0
+                    else replace(model.decode_cfg, max_tokens=t_buf))
+
+    def bound(self, lane_len: int) -> int:
+        return int(lane_len)
+
+    def state_init(self, n_lanes):
+        return graves_state_init(n_lanes, self.model.rnnt_cfg, self.cfg)
+
+    def segment(self, ring, lane_len, reset, state, n):
+        m = self.model
+        state = graves_beam_segment(
+            m.params["predictor"], m.params["joint"], ring, lane_len, reset,
+            state, m.rnnt_cfg, self.cfg, n)
+        return state, None
+
+    def finalize(self, state, lane_len):
+        tokens, frames, counts, _, _ = graves_finalize(
+            state, lane_len, self.model.rnnt_cfg, self.cfg)
+        return tokens, frames, counts
+
+
+class _ALSDAdapter:
+    """Alignment-step-clocked segmented ALSD beam (nemo flavor)."""
+
+    mvn = False
+    has_done_flag = True
+
+    def __init__(self, model, t_buf):
+        self.model = model
+        self.cfg = (model.decode_cfg if model.decode_cfg.max_tokens > 0
+                    else replace(model.decode_cfg,
+                                 max_tokens=alsd_step_bound(t_buf,
+                                                            model.decode_cfg)))
+
+    def bound(self, lane_len: int) -> int:
+        return alsd_step_bound(lane_len, self.cfg)
+
+    def state_init(self, n_lanes):
+        return alsd_state_init(
+            self.model.params["predictor"], n_lanes, self.model.rnnt_cfg,
+            self.cfg)
+
+    def segment(self, ring, lane_len, reset, state, n):
+        m = self.model
+        return alsd_segment(
+            m.params["predictor"], m.params["joint"], ring, lane_len, reset,
+            state, m.rnnt_cfg, self.cfg, n)
+
+    def finalize(self, state, lane_len):
+        tokens, frames, counts, _ = alsd_finalize(
+            state, lane_len, self.model.rnnt_cfg, self.cfg)
+        return tokens, frames, counts
+
+
 class ContinuousBatcher:
-    """Lane-recycling executor for Graves-beam flavor containers.
+    """Lane-recycling executor for beam-decode flavor containers.
 
     Args:
-      model: an espnet-flavor container (``EspnetTPUModel``) whose
-        ``decode_cfg`` is a :class:`GravesBeamConfig`
+      model: a flavor container whose ``decode_cfg`` selects the beam:
+        :class:`GravesBeamConfig` (espnet ``EspnetTPUModel``) or
+        :class:`BeamDecodeConfig` (nemo ``NemoTPUModel`` with the ALSD
+        serving default)
       n_lanes: decoder lane-pool width (the effective batch size; every
         segment runs all lanes)
-      frames_per_segment: encoder frames each lane advances per tick — the
-        recycling granularity. Smaller = finished lanes refill sooner but
-        more per-tick dispatch overhead; 32 ≈ 1.3 s of audio at espnet's
-        40 ms frame rate.
+      frames_per_segment: the recycling quantum — encoder frames (Graves) or
+        alignment steps (ALSD) each lane advances per tick. Smaller =
+        finished lanes refill sooner but more per-tick dispatch overhead;
+        32 frames ≈ 1.3 s of audio at espnet's 40 ms frame rate (ALSD takes
+        ~2 steps per frame, so double it for a similar audio quantum).
       max_seconds: longest accepted utterance (longer audio belongs to the
         chunking transcribe layer, pkg/espnet-asr/src/transcribe.py:56-60)
       drain_timeout: close() waits this long for in-flight lanes
@@ -97,14 +185,13 @@ class ContinuousBatcher:
         bounds the compiled encode-program set to power-of-two request
         counts <= this (a full-pool burst would otherwise compile an
         m_pad=n_lanes program per waveform bucket); excess requests join
-        on the next tick, one segment (~frames_per_segment frames) later
+        on the next tick, one segment later
       fixed_encode_shape: pad EVERY encode tick to
         (max_encode_batch, max_samples) — exactly ONE compiled encoder
-        program. The right default for beam flavors: the pop loop, not the
-        encoder, is the cost (espnet encode runs >10x the beam's RTFx), so
-        the wasted pad FLOPs are noise while a compile through the dev
-        tunnel is ~30 s. Set False to bucket encode shapes organically
-        (encoder-bound flavors at steady load).
+        program. The right default for beam flavors: the decode loop, not
+        the encoder, is the cost, so the wasted pad FLOPs are noise while a
+        compile through the dev tunnel is ~30 s. Set False to bucket encode
+        shapes organically (encoder-bound flavors at steady load).
 
     Results resolve to ``(token_ids, frames)`` — the MicroBatcher contract —
     and are bit-identical to ``decode_single`` under the same
@@ -115,12 +202,6 @@ class ContinuousBatcher:
     def __init__(self, model, n_lanes=16, frames_per_segment=32,
                  max_seconds=20.0, drain_timeout=300.0,
                  max_encode_batch=16, fixed_encode_shape=True):
-        if not isinstance(model.decode_cfg, GravesBeamConfig):
-            raise TypeError(
-                "ContinuousBatcher drives the segmented Graves beam; the "
-                "container's decode_cfg must be a GravesBeamConfig "
-                f"(got {type(model.decode_cfg).__name__}). Use MicroBatcher "
-                "for greedy/ALSD containers.")
         self.model = model
         self.n_lanes = int(n_lanes)
         self.n_frames = int(frames_per_segment)
@@ -130,9 +211,18 @@ class ContinuousBatcher:
             * self.bucket_samples)
         self.t_buf = int(encoder_output_length(
             num_frames(model.fe_cfg, self.max_samples), model.enc_cfg))
-        cfg = model.decode_cfg
-        self.cfg = cfg if cfg.max_tokens > 0 else replace(
-            cfg, max_tokens=self.t_buf)
+        if isinstance(model.decode_cfg, GravesBeamConfig):
+            self._ad = _GravesAdapter(model, self.t_buf)
+        elif isinstance(model.decode_cfg, BeamDecodeConfig):
+            self._ad = _ALSDAdapter(model, self.t_buf)
+        else:
+            raise TypeError(
+                "ContinuousBatcher drives a segmented beam; the container's "
+                "decode_cfg must be a GravesBeamConfig (espnet) or "
+                f"BeamDecodeConfig (nemo ALSD), got "
+                f"{type(model.decode_cfg).__name__}. Use MicroBatcher for "
+                "greedy containers.")
+        self.cfg = self._ad.cfg
         self.drain_timeout = drain_timeout
         self.max_encode_batch = int(max_encode_batch)
         self.fixed_encode_shape = bool(fixed_encode_shape)
@@ -140,8 +230,7 @@ class ContinuousBatcher:
         j = model.rnnt_cfg.joint_hidden
         # +1 scratch lane: encode-bucket padding rows scatter there
         self._ring = jnp.zeros((self.n_lanes + 1, self.t_buf, j), jnp.float32)
-        self._state = graves_state_init(
-            self.n_lanes, model.rnnt_cfg, self.cfg)
+        self._state = self._ad.state_init(self.n_lanes)
         # COPY-ON-WRITE invariant: self._lane_len is REPLACED, never mutated
         # in place. jnp.array(np_buf)'s host->device fill can execute
         # deferred under a busy async dispatch queue (measured on the CPU
@@ -150,7 +239,14 @@ class ContinuousBatcher:
         # JAX must be immutable from then on. _set_lane_len enforces this.
         self._lane_len = np.zeros(self.n_lanes, np.int32)
         self._fidx = np.zeros(self.n_lanes, np.int32)
+        self._bound = np.zeros(self.n_lanes, np.int32)
         self._lane_fut = [None] * self.n_lanes
+        # lagged device done flags (ALSD): the flag fetched this tick was
+        # computed by the PREVIOUS tick's segment; a lane refilled since then
+        # carries a stale True, masked by _done_skip for exactly one fetch
+        self._done_host = np.zeros(self.n_lanes, bool)
+        self._done_pending = None
+        self._done_skip = np.zeros(self.n_lanes, bool)
 
         self._queue = queue.Queue()
         self._closing = False
@@ -251,7 +347,8 @@ class ContinuousBatcher:
         m_cfg = self.model
         self._ring, _ = _encode_into_ring(
             m_cfg.params, buf, lens, lane_idx, self._ring,
-            m_cfg.fe_cfg, m_cfg.enc_cfg, m_cfg.rnnt_cfg, self.t_buf)
+            m_cfg.fe_cfg, m_cfg.enc_cfg, m_cfg.rnnt_cfg, self.t_buf,
+            self._ad.mvn)
         self.encode_ticks += 1
         self.encode_shapes.append((m_pad, samples))
         self._set_lane_len(
@@ -259,10 +356,16 @@ class ContinuousBatcher:
         for (w, fut), lane in zip(items, lanes):
             self._lane_fut[lane] = fut
             self._fidx[lane] = 0
+            self._bound[lane] = self._ad.bound(self.host_frames(len(w)))
+            self._done_host[lane] = False
+            # flags already in flight predate this swap — mask them once
+            self._done_skip[lane] = self._done_pending is not None
+
+    def _lane_done(self, lane: int) -> bool:
+        return (self._fidx[lane] >= self._bound[lane]
+                or bool(self._done_host[lane]))
 
     def _loop(self):
-        m = self.model
-        rnnt_cfg, cfg = m.rnnt_cfg, self.cfg
         while True:
             try:
                 occupied = any(f is not None for f in self._lane_fut)
@@ -270,22 +373,22 @@ class ContinuousBatcher:
                 #    AFTER the next segment is in flight)
                 finished = [
                     l for l in range(self.n_lanes)
-                    if self._lane_fut[l] is not None
-                    and self._fidx[l] >= self._lane_len[l]
+                    if self._lane_fut[l] is not None and self._lane_done(l)
                 ]
                 fin = None
                 if finished:
                     # self._lane_len is copy-on-write (__init__), so this
                     # handoff is safe even though finalize's host->device
                     # fill may run after the zeroing below
-                    outs = graves_finalize(
-                        self._state, jnp.array(self._lane_len),
-                        rnnt_cfg, cfg)
+                    outs = self._ad.finalize(
+                        self._state, jnp.array(self._lane_len))
                     fin = (outs, [(l, self._lane_fut[l]) for l in finished])
                     self._set_lane_len(finished, 0)
                     for l in finished:
                         self._lane_fut[l] = None
                         self._fidx[l] = 0
+                        self._bound[l] = 0
+                        self._done_host[l] = False
                     occupied = any(f is not None for f in self._lane_fut)
 
                 # 2. refill free lanes from the queue
@@ -308,14 +411,15 @@ class ContinuousBatcher:
 
                 # 3. advance every lane by one segment
                 if any(f is not None for f in self._lane_fut):
-                    self._state = graves_beam_segment(
-                        m.params["predictor"], m.params["joint"],
+                    self._state, done_dev = self._ad.segment(
                         self._ring[: self.n_lanes],
                         jnp.array(self._lane_len), jnp.array(reset),
-                        self._state, rnnt_cfg, cfg, self.n_frames)
+                        self._state, self.n_frames)
                     self._fidx = np.minimum(
-                        self._fidx + self.n_frames, self._lane_len)
+                        self._fidx + self.n_frames, self._bound)
                     self.segments += 1
+                else:
+                    done_dev = None
 
                 # 4. resolve finished futures (overlaps the running segment)
                 if fin:
@@ -327,6 +431,19 @@ class ContinuousBatcher:
                         c = int(counts[l])
                         fut.set_result((tokens[l, :c].tolist(),
                                         frames[l, :c].tolist()))
+
+                # 5. fetch the PREVIOUS tick's done flags (the segment that
+                #    produced them has finished or is ahead of the one just
+                #    dispatched, so this transfer overlaps compute), then
+                #    queue this tick's flags for the next fetch
+                if self._done_pending is not None:
+                    got = np.asarray(self._done_pending)
+                    keep = ~self._done_skip
+                    self._done_host = (self._done_host | got) & keep
+                    self._done_skip[:] = False
+                    self._done_pending = None
+                if done_dev is not None:
+                    self._done_pending = done_dev
             except Exception as e:  # pragma: no cover - fan the error out
                 for l in range(self.n_lanes):
                     fut = self._lane_fut[l]
@@ -334,7 +451,11 @@ class ContinuousBatcher:
                         fut.set_exception(e)
                     self._lane_fut[l] = None
                     self._fidx[l] = 0
+                    self._bound[l] = 0
                 self._lane_len = np.zeros(self.n_lanes, np.int32)
+                self._done_host[:] = False
+                self._done_skip[:] = False
+                self._done_pending = None
                 while True:
                     try:
                         item = self._queue.get_nowait()

@@ -116,7 +116,7 @@ def test_rejects_overlong_utterance(tiny_espnet):
         batcher.close()
 
 
-def test_requires_graves_config(tiny_espnet):
+def test_requires_beam_config(tiny_espnet):
     greedy = load_model_container(
         checkpoint="random",
         enc_cfg=espnet_encoder_config(
@@ -127,6 +127,76 @@ def test_requires_graves_config(tiny_espnet):
     )
     with pytest.raises(TypeError):
         ContinuousBatcher(greedy)
+
+
+# --- nemo ALSD flavor through the same executor -----------------------------
+
+
+@pytest.fixture(scope="module")
+def tiny_nemo():
+    from reazonspeech_tpu.models.fastconformer import FastConformerConfig
+    from reazonspeech_tpu.models.rnnt import RNNTConfig
+    from reazonspeech_tpu.nemo.asr.model import load_model
+
+    enc = FastConformerConfig.tiny(compute_dtype="float32")
+    rnnt = RNNTConfig.tiny(enc_dim=enc.d_model, compute_dtype="float32")
+    return load_model(checkpoint="random", enc_cfg=enc, rnnt_cfg=rnnt,
+                      decoding="alsd", beam_size=4)
+
+
+def _dedicated_nemo(model, batcher, wav):
+    """Whole-utterance ALSD decode under the executor's shared emission cap
+    (direct rnnt_beam_decode: decode_single defaults the cap to its own
+    padded T + u_max, which differs from the pool's)."""
+    import jax.numpy as jnp2
+
+    from reazonspeech_tpu.decoding.rnnt_beam import rnnt_beam_decode
+    from reazonspeech_tpu.frontend.features import log_mel_spectrogram
+    from reazonspeech_tpu.models.fastconformer import fastconformer_encode
+
+    buf = np.zeros((1, batcher.max_samples), np.float32)
+    buf[0, : len(wav)] = wav
+    feats, flens = log_mel_spectrogram(
+        jnp2.asarray(buf), jnp2.asarray([len(wav)], np.int32), model.fe_cfg)
+    enc, elens = fastconformer_encode(
+        model.params["encoder"], feats, flens, model.enc_cfg)
+    tokens, frames, counts, _ = rnnt_beam_decode(
+        model.params["predictor"], model.params["joint"], enc, elens,
+        model.rnnt_cfg, batcher.cfg)
+    c = int(counts[0])
+    return (np.asarray(tokens)[0, :c].tolist(),
+            np.asarray(frames)[0, :c].tolist())
+
+
+def test_alsd_results_match_dedicated_decode(tiny_nemo):
+    """nemo ALSD flavor through the lane-recycling executor: token + frame
+    parity vs a dedicated whole-utterance decode under the shared cap."""
+    batcher = ContinuousBatcher(
+        tiny_nemo, n_lanes=3, frames_per_segment=8, max_seconds=4.0)
+    try:
+        wavs = _mixed_wavs(8, seed=7)
+        futs = [batcher.submit(w) for w in wavs]
+        got = [f.result(timeout=600) for f in futs]
+    finally:
+        batcher.close()
+    for i, (w, (tokens, frames)) in enumerate(zip(wavs, got)):
+        want_tokens, want_frames = _dedicated_nemo(tiny_nemo, batcher, w)
+        assert tokens == want_tokens, i
+        assert frames == want_frames, i
+    assert batcher.segments > 0
+    assert batcher.encode_ticks >= 3
+
+
+def test_alsd_serial_requests(tiny_nemo):
+    batcher = ContinuousBatcher(
+        tiny_nemo, n_lanes=2, frames_per_segment=16, max_seconds=4.0)
+    try:
+        for w in _mixed_wavs(3, seed=9):
+            tokens, _ = batcher.transcribe(w)
+            want_tokens, _ = _dedicated_nemo(tiny_nemo, batcher, w)
+            assert tokens == want_tokens
+    finally:
+        batcher.close()
 
 
 def test_host_frame_clock_matches_device(tiny_espnet):
