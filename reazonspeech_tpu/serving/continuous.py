@@ -39,7 +39,7 @@ Device-interaction design (TPU-first):
 - new requests are encoded in one jitted frontend→encoder→joint-projection
   call per tick and scattered straight into the per-lane enc-projection ring
   (a fixed encode shape by default — exactly one compiled encoder program;
-  padded rows write a scratch lane).
+  padded rows scatter out of bounds and are dropped).
 """
 
 import queue
@@ -80,10 +80,11 @@ def _encode_into_ring(params, wav, lens, lanes, ring,
                       fe_cfg, enc_cfg, rnnt_cfg, t_buf, mvn):
     """frontend → encoder → joint enc-projection, scattered into ring lanes.
 
-    ``lanes`` rows for padding entries point at the scratch lane (index B);
-    every write covers the lane's full ``t_buf`` rows, so stale frames from
-    the lane's previous occupant never survive a swap. ``mvn`` applies the
-    espnet flavor's GlobalMVN between the frontend and the encoder.
+    ``lanes`` rows for padding entries point out of bounds (index B) and are
+    dropped by the scatter; every real write covers the lane's full
+    ``t_buf`` rows, so stale frames from the lane's previous occupant never
+    survive a swap. ``mvn`` applies the espnet flavor's GlobalMVN between
+    the frontend and the encoder.
     """
     feats, flens = log_mel_spectrogram(wav, lens, fe_cfg)
     if mvn:
@@ -97,11 +98,15 @@ def _encode_into_ring(params, wav, lens, lanes, ring,
         proj = jnp.pad(proj, ((0, 0), (0, t_buf - t), (0, 0)))
     else:
         proj = proj[:, :t_buf]
-    return ring.at[lanes].set(proj.astype(ring.dtype)), elens
+    return ring.at[lanes].set(proj.astype(ring.dtype), mode="drop"), elens
 
 
 class _GravesAdapter:
-    """Frame-clocked segmented Graves beam (espnet flavor)."""
+    """Frame-clocked segmented Graves beam (espnet flavor).
+
+    ``segment_call``/``finalize_call`` take the param tree explicitly (never
+    closed over — closure constants inflate compile payloads and defeat the
+    mesh path's replicated-params device placement)."""
 
     mvn = True
     has_done_flag = False
@@ -114,17 +119,17 @@ class _GravesAdapter:
     def bound(self, lane_len: int) -> int:
         return int(lane_len)
 
-    def state_init(self, n_lanes):
+    def state_init(self, params, n_lanes):
+        del params
         return graves_state_init(n_lanes, self.model.rnnt_cfg, self.cfg)
 
-    def segment(self, ring, lane_len, reset, state, n):
-        m = self.model
+    def segment_call(self, params, ring, lane_len, reset, state, n):
         state = graves_beam_segment(
-            m.params["predictor"], m.params["joint"], ring, lane_len, reset,
-            state, m.rnnt_cfg, self.cfg, n)
-        return state, None
+            params["predictor"], params["joint"], ring, lane_len, reset,
+            state, self.model.rnnt_cfg, self.cfg, n)
+        return state, state.fidx >= lane_len
 
-    def finalize(self, state, lane_len):
+    def finalize_call(self, state, lane_len):
         tokens, frames, counts, _, _ = graves_finalize(
             state, lane_len, self.model.rnnt_cfg, self.cfg)
         return tokens, frames, counts
@@ -146,18 +151,16 @@ class _ALSDAdapter:
     def bound(self, lane_len: int) -> int:
         return alsd_step_bound(lane_len, self.cfg)
 
-    def state_init(self, n_lanes):
+    def state_init(self, params, n_lanes):
         return alsd_state_init(
-            self.model.params["predictor"], n_lanes, self.model.rnnt_cfg,
-            self.cfg)
+            params["predictor"], n_lanes, self.model.rnnt_cfg, self.cfg)
 
-    def segment(self, ring, lane_len, reset, state, n):
-        m = self.model
+    def segment_call(self, params, ring, lane_len, reset, state, n):
         return alsd_segment(
-            m.params["predictor"], m.params["joint"], ring, lane_len, reset,
-            state, m.rnnt_cfg, self.cfg, n)
+            params["predictor"], params["joint"], ring, lane_len, reset,
+            state, self.model.rnnt_cfg, self.cfg, n)
 
-    def finalize(self, state, lane_len):
+    def finalize_call(self, state, lane_len):
         tokens, frames, counts, _ = alsd_finalize(
             state, lane_len, self.model.rnnt_cfg, self.cfg)
         return tokens, frames, counts
@@ -192,6 +195,17 @@ class ContinuousBatcher:
         the encoder, is the cost, so the wasted pad FLOPs are noise while a
         compile through the dev tunnel is ~30 s. Set False to bucket encode
         shapes organically (encoder-bound flavors at steady load).
+      mesh: optional :func:`parallel.mesh.make_mesh` mesh — the lane pool is
+        sharded over its ``data`` axis, so ONE executor (and one HTTP
+        server) spans a whole TPU slice. Segments run under ``shard_map``
+        (the per-lane beam bodies have no cross-lane ops, and the Pallas
+        decode kernels are opaque to the GSPMD partitioner — same rationale
+        as parallel/serving.py); the encode tick shards its request batch
+        over ``data`` and the ring scatter is a plain GSPMD jit (lanes land
+        on whichever chip owns them). Requires ``n_lanes`` and
+        ``max_encode_batch`` divisible by the data-axis size. Per-request
+        results remain bit-identical to the single-device executor
+        (tests/test_continuous_serving.py::test_mesh_matches_single_device).
 
     Results resolve to ``(token_ids, frames)`` — the MicroBatcher contract —
     and are bit-identical to ``decode_single`` under the same
@@ -201,7 +215,7 @@ class ContinuousBatcher:
 
     def __init__(self, model, n_lanes=16, frames_per_segment=32,
                  max_seconds=20.0, drain_timeout=300.0,
-                 max_encode_batch=16, fixed_encode_shape=True):
+                 max_encode_batch=16, fixed_encode_shape=True, mesh=None):
         self.model = model
         self.n_lanes = int(n_lanes)
         self.n_frames = int(frames_per_segment)
@@ -226,11 +240,18 @@ class ContinuousBatcher:
         self.drain_timeout = drain_timeout
         self.max_encode_batch = int(max_encode_batch)
         self.fixed_encode_shape = bool(fixed_encode_shape)
+        self.mesh = mesh
 
         j = model.rnnt_cfg.joint_hidden
-        # +1 scratch lane: encode-bucket padding rows scatter there
-        self._ring = jnp.zeros((self.n_lanes + 1, self.t_buf, j), jnp.float32)
-        self._state = self._ad.state_init(self.n_lanes)
+        if mesh is not None:
+            self._init_mesh(mesh)
+        else:
+            self._params = model.params
+        self._ring = jnp.zeros((self.n_lanes, self.t_buf, j), jnp.float32)
+        self._state = self._ad.state_init(self._params, self.n_lanes)
+        if mesh is not None:
+            self._ring = jax.device_put(self._ring, self._lane_sh)
+            self._state = jax.device_put(self._state, self._lane_sh)
         # COPY-ON-WRITE invariant: self._lane_len is REPLACED, never mutated
         # in place. jnp.array(np_buf)'s host->device fill can execute
         # deferred under a busy async dispatch queue (measured on the CPU
@@ -256,6 +277,70 @@ class ContinuousBatcher:
         self.encode_shapes = []  # (m_pad, samples) per encode dispatch
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
+
+    def _init_mesh(self, mesh):
+        """Shard the lane pool over the mesh ``data`` axis (see class doc)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS
+
+        n_data = int(mesh.shape[DATA_AXIS])
+        if self.n_lanes % n_data:
+            raise ValueError(
+                f"n_lanes={self.n_lanes} must divide over the mesh data "
+                f"axis ({n_data})")
+        if self.max_encode_batch % n_data:
+            raise ValueError(
+                f"max_encode_batch={self.max_encode_batch} must divide over "
+                f"the mesh data axis ({n_data})")
+        dspec = P(DATA_AXIS)
+        self._lane_sh = NamedSharding(mesh, dspec)
+        # replicate params across the slice once, up front
+        self._params = jax.device_put(
+            self.model.params, NamedSharding(mesh, P()))
+
+        m = self.model
+        fe_cfg, enc_cfg, rnnt_cfg = m.fe_cfg, m.enc_cfg, m.rnnt_cfg
+        t_buf, mvn, ad, n = self.t_buf, self._ad.mvn, self._ad, self.n_frames
+
+        def proj_fn(params, wav, lens):
+            feats, flens = log_mel_spectrogram(wav, lens, fe_cfg)
+            if mvn:
+                from ..espnet.asr.model import _apply_mvn
+
+                feats = _apply_mvn(params, feats, flens)
+            enc, _ = fastconformer_encode(
+                params["encoder"], feats, flens, enc_cfg)
+            proj = joint_precompute_enc(params["joint"], enc, rnnt_cfg)
+            t = proj.shape[1]
+            if t < t_buf:
+                return jnp.pad(proj, ((0, 0), (0, t_buf - t), (0, 0)))
+            return proj[:, :t_buf]
+
+        # check_vma=False: the decode while_loops seed carries from constants
+        # and mix in shard data (same rationale as parallel/serving.py); every
+        # shard is independent — no collectives to protect.
+        proj_sm = jax.jit(jax.shard_map(
+            proj_fn, mesh=mesh, in_specs=(P(), dspec, dspec),
+            out_specs=dspec, check_vma=False))
+        scatter = jax.jit(
+            lambda ring, lanes, proj: ring.at[lanes].set(
+                proj.astype(ring.dtype), mode="drop"),
+            out_shardings=self._lane_sh)
+
+        def encode(params, wav, lens, lanes, ring):
+            proj = proj_sm(params, wav, lens)
+            return scatter(ring, lanes, proj)
+
+        self._mesh_encode = encode
+        self._mesh_segment = jax.jit(jax.shard_map(
+            lambda params, ring, lane_len, reset, state:
+                ad.segment_call(params, ring, lane_len, reset, state, n),
+            mesh=mesh, in_specs=(P(), dspec, dspec, dspec, dspec),
+            out_specs=(dspec, dspec), check_vma=False))
+        self._mesh_finalize = jax.jit(jax.shard_map(
+            ad.finalize_call, mesh=mesh, in_specs=(dspec, dspec),
+            out_specs=dspec, check_vma=False))
 
     # -- public API ---------------------------------------------------------
 
@@ -339,16 +424,21 @@ class ContinuousBatcher:
                           * self.bucket_samples)
         buf = np.zeros((m_pad, samples), np.float32)
         lens = np.zeros(m_pad, np.int32)
-        lane_idx = np.full(m_pad, self.n_lanes, np.int32)  # scratch lane
+        lane_idx = np.full(m_pad, self.n_lanes, np.int32)  # OOB -> dropped
         for i, (w, _) in enumerate(items):
             buf[i, : len(w)] = w
             lens[i] = len(w)
             lane_idx[i] = lanes[i]
         m_cfg = self.model
-        self._ring, _ = _encode_into_ring(
-            m_cfg.params, buf, lens, lane_idx, self._ring,
-            m_cfg.fe_cfg, m_cfg.enc_cfg, m_cfg.rnnt_cfg, self.t_buf,
-            self._ad.mvn)
+        if self.mesh is not None:
+            self._ring = self._mesh_encode(
+                self._params, jnp.asarray(buf), jnp.asarray(lens),
+                jnp.asarray(lane_idx), self._ring)
+        else:
+            self._ring, _ = _encode_into_ring(
+                self._params, buf, lens, lane_idx, self._ring,
+                m_cfg.fe_cfg, m_cfg.enc_cfg, m_cfg.rnnt_cfg, self.t_buf,
+                self._ad.mvn)
         self.encode_ticks += 1
         self.encode_shapes.append((m_pad, samples))
         self._set_lane_len(
@@ -380,8 +470,12 @@ class ContinuousBatcher:
                     # self._lane_len is copy-on-write (__init__), so this
                     # handoff is safe even though finalize's host->device
                     # fill may run after the zeroing below
-                    outs = self._ad.finalize(
-                        self._state, jnp.array(self._lane_len))
+                    if self.mesh is not None:
+                        outs = self._mesh_finalize(
+                            self._state, jnp.array(self._lane_len))
+                    else:
+                        outs = self._ad.finalize_call(
+                            self._state, jnp.array(self._lane_len))
                     fin = (outs, [(l, self._lane_fut[l]) for l in finished])
                     self._set_lane_len(finished, 0)
                     for l in finished:
@@ -411,10 +505,18 @@ class ContinuousBatcher:
 
                 # 3. advance every lane by one segment
                 if any(f is not None for f in self._lane_fut):
-                    self._state, done_dev = self._ad.segment(
-                        self._ring[: self.n_lanes],
-                        jnp.array(self._lane_len), jnp.array(reset),
-                        self._state, self.n_frames)
+                    if self.mesh is not None:
+                        self._state, done_dev = self._mesh_segment(
+                            self._params, self._ring,
+                            jnp.array(self._lane_len), jnp.array(reset),
+                            self._state)
+                    else:
+                        self._state, done_dev = self._ad.segment_call(
+                            self._params, self._ring,
+                            jnp.array(self._lane_len), jnp.array(reset),
+                            self._state, self.n_frames)
+                    if not self._ad.has_done_flag:
+                        done_dev = None
                     self._fidx = np.minimum(
                         self._fidx + self.n_frames, self._bound)
                     self.segments += 1

@@ -187,6 +187,46 @@ def test_alsd_results_match_dedicated_decode(tiny_nemo):
     assert batcher.encode_ticks >= 3
 
 
+def test_mesh_matches_single_device(tiny_espnet, tiny_nemo):
+    """Lane pool sharded over the emulated mesh data axis: per-request
+    outputs must be identical to the single-device executor (both flavors).
+    One process spans the slice — beyond the reference's process-DP
+    (pkg/evaluation/src/base.py:194-215)."""
+    import jax
+
+    from reazonspeech_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_data=4, devices=jax.devices()[:4])
+    for model in (tiny_espnet, tiny_nemo):
+        wavs = _mixed_wavs(6, seed=13)
+        single = ContinuousBatcher(
+            model, n_lanes=4, frames_per_segment=8, max_seconds=4.0)
+        try:
+            want = [f.result(timeout=600)
+                    for f in [single.submit(w) for w in wavs]]
+        finally:
+            single.close()
+        sharded = ContinuousBatcher(
+            model, n_lanes=4, frames_per_segment=8, max_seconds=4.0,
+            mesh=mesh)
+        try:
+            got = [f.result(timeout=600)
+                   for f in [sharded.submit(w) for w in wavs]]
+        finally:
+            sharded.close()
+        assert got == want, type(model).__name__
+
+
+def test_mesh_rejects_indivisible_lanes(tiny_espnet):
+    import jax
+
+    from reazonspeech_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_data=4, devices=jax.devices()[:4])
+    with pytest.raises(ValueError):
+        ContinuousBatcher(tiny_espnet, n_lanes=3, mesh=mesh)
+
+
 def test_alsd_serial_requests(tiny_nemo):
     batcher = ContinuousBatcher(
         tiny_nemo, n_lanes=2, frames_per_segment=16, max_seconds=4.0)

@@ -14,7 +14,9 @@ Throughput remains meaningful because requests coalesce into batches.
 
 Usage:
   python tools/tpu_serving_bench.py [n_requests] [concurrency] [max_batch]
-  python tools/tpu_serving_bench.py continuous [n_requests] [n_lanes] [frames_per_segment]
+  python tools/tpu_serving_bench.py continuous [n_requests] [n_lanes] \
+      [frames_per_segment] [--nemo]   # default flavor: espnet beam-20;
+                                      # --nemo = ALSD beam-4 lane pool
 
 The ``continuous`` mode is the espnet beam-20 A/B the round-3 verdict asked
 for: the same mixed-length traffic through (a) the static MicroBatcher —
@@ -103,21 +105,22 @@ def main():
 
 
 def main_continuous():
-    n_req = int(sys.argv[2]) if len(sys.argv) > 2 else 256
-    n_lanes = int(sys.argv[3]) if len(sys.argv) > 3 else 128
-    n_frames = int(sys.argv[4]) if len(sys.argv) > 4 else 64
+    args = [a for a in sys.argv[2:] if not a.startswith("--")]
+    flavor = "nemo" if "--nemo" in sys.argv else "espnet"
+    n_req = int(args[0]) if len(args) > 0 else 256
+    n_lanes = int(args[1]) if len(args) > 1 else 128
+    n_frames = int(args[2]) if len(args) > 2 else 64
 
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
-    from reazonspeech_tpu.espnet.asr.model import load_model_container
     from reazonspeech_tpu.serving import ContinuousBatcher, MicroBatcher
 
-    print(f"device: {jax.devices()[0].device_kind}  requests={n_req} "
-          f"lanes={n_lanes} frames/segment={n_frames}", flush=True)
-    model = load_model_container(checkpoint="random")  # graves beam-20
+    print(f"device: {jax.devices()[0].device_kind}  flavor={flavor} "
+          f"requests={n_req} lanes={n_lanes} quantum/segment={n_frames}",
+          flush=True)
 
     # one shared emission cap (the continuous pool's 20 s buffer) so both
     # executors run the same search bounds and parity is well-defined
@@ -126,9 +129,23 @@ def main_continuous():
     from reazonspeech_tpu.frontend.features import num_frames
     from reazonspeech_tpu.models.fastconformer import encoder_output_length
 
-    t_buf = int(encoder_output_length(
-        num_frames(model.fe_cfg, int(20.0 * 16000)), model.enc_cfg))
-    model.decode_cfg = replace(model.decode_cfg, max_tokens=t_buf)
+    if flavor == "nemo":
+        from reazonspeech_tpu.decoding.rnnt_beam import alsd_step_bound
+        from reazonspeech_tpu.nemo.asr.model import load_model
+
+        model = load_model(checkpoint="random")  # ALSD beam-4 default
+        t_buf = int(encoder_output_length(
+            num_frames(model.fe_cfg, int(20.0 * 16000)), model.enc_cfg))
+        model.decode_cfg = replace(
+            model.decode_cfg,
+            max_tokens=alsd_step_bound(t_buf, model.decode_cfg))
+    else:
+        from reazonspeech_tpu.espnet.asr.model import load_model_container
+
+        model = load_model_container(checkpoint="random")  # graves beam-20
+        t_buf = int(encoder_output_length(
+            num_frames(model.fe_cfg, int(20.0 * 16000)), model.enc_cfg))
+        model.decode_cfg = replace(model.decode_cfg, max_tokens=t_buf)
 
     # mixed-length traffic on a coarse bucket grid (4 waveform buckets keeps
     # the encode program set small; see ContinuousBatcher.max_encode_batch)
@@ -172,13 +189,58 @@ def main_continuous():
           f"{audio_total/cont_wall:.0f} vs static {audio_total/static_wall:.0f})",
           flush=True)
 
-    # token parity on sampled requests (emission caps differ between the two
-    # executors only above the continuous pool's shared cap; 20 s audio stays
-    # far below it)
+    # token parity on sampled requests. The ground truth is a DEDICATED
+    # whole-utterance decode at the pool's fixed encode shape (pad to
+    # max_seconds): the segmented lane decode is bit-identical to that by
+    # construction (tests/test_{graves,alsd}_segment.py). The static
+    # executor encodes at per-request waveform buckets instead, and bf16
+    # encoder outputs differ in low bits across pad shapes — near-tie beam
+    # flips from that noise are a property of re-bucketing, not of the
+    # scheduler, so static-vs-continuous token diffs are reported separately.
+    import jax.numpy as jnp
+
+    from reazonspeech_tpu.frontend.features import log_mel_spectrogram
+
+    def dedicated_fixed(wav):
+        buf = np.zeros((1, cont.max_samples), np.float32)
+        buf[0, : len(wav)] = wav
+        feats, flens = log_mel_spectrogram(
+            jnp.asarray(buf), jnp.asarray([len(wav)], np.int32), model.fe_cfg)
+        from reazonspeech_tpu.models.fastconformer import fastconformer_encode
+
+        if flavor == "nemo":
+            enc, elens = fastconformer_encode(
+                model.params["encoder"], feats, flens, model.enc_cfg)
+            from reazonspeech_tpu.decoding.rnnt_beam import rnnt_beam_decode
+
+            tk, _, ct, _ = rnnt_beam_decode(
+                model.params["predictor"], model.params["joint"], enc, elens,
+                model.rnnt_cfg, cont.cfg)
+        else:
+            from reazonspeech_tpu.espnet.asr.model import _apply_mvn
+
+            feats = _apply_mvn(model.params, feats, flens)
+            enc, elens = fastconformer_encode(
+                model.params["encoder"], feats, flens, model.enc_cfg)
+            from reazonspeech_tpu.decoding.transducer_graves import (
+                graves_beam_decode,
+            )
+
+            tk, _, ct, _, _ = graves_beam_decode(
+                model.params["predictor"], model.params["joint"], enc, elens,
+                model.rnnt_cfg, cont.cfg)
+        return np.asarray(tk)[0, : int(ct[0])].tolist()
+
     idx = rng.choice(n_req, size=min(16, n_req), replace=False)
-    mismatch = [int(i) for i in idx if static_out[i][0] != cont_out[i][0]]
-    print(f"parity check on {len(idx)} sampled requests: "
-          f"{'OK' if not mismatch else f'MISMATCH at {mismatch}'}", flush=True)
+    bad_sched = [int(i) for i in idx if cont_out[i][0] != dedicated_fixed(wavs[i])]
+    bucket_diff = sum(static_out[i][0] != cont_out[i][0] for i in idx)
+    print(f"parity: continuous vs dedicated fixed-shape decode on {len(idx)} "
+          f"sampled requests: "
+          f"{'OK' if not bad_sched else f'MISMATCH at {bad_sched}'}",
+          flush=True)
+    print(f"        static-bucket vs fixed-shape token diffs (encode-shape "
+          f"bf16 numerics, not scheduling): {bucket_diff}/{len(idx)}",
+          flush=True)
 
 
 if __name__ == "__main__":
