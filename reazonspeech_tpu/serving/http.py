@@ -69,9 +69,19 @@ def _result_json(model, token_ids, frames, seconds_per_frame):
     return {"text": text, "subwords": subwords}
 
 
-def make_app(model, seconds_per_frame=0.08, **batcher_kw):
-    """Build (handler_class, batcher) for an HTTP server over ``model``."""
-    batcher = MicroBatcher(model, **batcher_kw)
+def make_app(model, seconds_per_frame=0.08, executor="micro", **batcher_kw):
+    """Build (handler_class, batcher) for an HTTP server over ``model``.
+
+    ``executor="continuous"`` serves through the lane-recycling
+    :class:`~reazonspeech_tpu.serving.ContinuousBatcher` (beam-decode
+    flavors; pass ``mesh=`` to span a TPU slice); the default is the static
+    :class:`MicroBatcher`."""
+    if executor == "continuous":
+        from .continuous import ContinuousBatcher
+
+        batcher = ContinuousBatcher(model, **batcher_kw)
+    else:
+        batcher = MicroBatcher(model, **batcher_kw)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet by default
@@ -87,14 +97,16 @@ def make_app(model, seconds_per_frame=0.08, **batcher_kw):
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._send(200, {
-                    "ok": True,
-                    "batches": len(batcher.batch_sizes),
-                    "mean_batch": (
-                        float(np.mean(batcher.batch_sizes))
-                        if batcher.batch_sizes else 0.0
-                    ),
-                })
+                sizes = getattr(batcher, "batch_sizes", None)
+                stats = {"ok": True, "executor": executor}
+                if sizes is not None:
+                    stats["batches"] = len(sizes)
+                    stats["mean_batch"] = (
+                        float(np.mean(sizes)) if sizes else 0.0)
+                else:  # continuous executor
+                    stats["segments"] = batcher.segments
+                    stats["encode_ticks"] = batcher.encode_ticks
+                self._send(200, stats)
             else:
                 self._send(404, {"error": "not found"})
 
@@ -118,10 +130,11 @@ def make_app(model, seconds_per_frame=0.08, **batcher_kw):
 
 
 def serve(model, host="0.0.0.0", port=8080, seconds_per_frame=0.08,
-          **batcher_kw):
+          executor="micro", **batcher_kw):
     """Serve ``model`` until interrupted. Returns (server, batcher) when
     started with block=False semantics via threading by the caller."""
-    handler, batcher = make_app(model, seconds_per_frame, **batcher_kw)
+    handler, batcher = make_app(model, seconds_per_frame, executor,
+                                **batcher_kw)
     server = ThreadingHTTPServer((host, port), handler)
     try:
         server.serve_forever()
@@ -139,13 +152,41 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--max-batch", type=int, default=32)
     ap.add_argument("--max-wait-ms", type=float, default=20.0)
+    ap.add_argument("--continuous", action="store_true",
+                    help="lane-recycling continuous batching (beam-decode "
+                         "nemo/espnet flavors; higher goodput under "
+                         "mixed-length load)")
+    ap.add_argument("--lanes", type=int, default=32,
+                    help="continuous executor lane-pool width")
+    ap.add_argument("--frames-per-segment", type=int, default=32,
+                    help="continuous recycling quantum (frames/steps)")
+    ap.add_argument("--max-seconds", type=float, default=20.0,
+                    help="continuous executor max utterance length")
+    ap.add_argument("--mesh-data", type=int, default=0,
+                    help="shard the continuous lane pool over this many "
+                         "devices (one server spans the slice)")
     args = ap.parse_args(argv)
 
     model = _load_flavor(args.flavor, args.checkpoint)
     spf = {"nemo": 0.08, "espnet": 0.04, "k2": 0.04}[args.flavor]
     print(f"serving {args.flavor} on {args.host}:{args.port}")
-    serve(model, args.host, args.port, seconds_per_frame=spf,
-          max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
+    if args.continuous:
+        kw = dict(n_lanes=args.lanes,
+                  frames_per_segment=args.frames_per_segment,
+                  max_seconds=args.max_seconds)
+        if args.mesh_data:
+            import jax
+
+            from ..parallel.mesh import make_mesh
+
+            kw["mesh"] = make_mesh(
+                n_data=args.mesh_data,
+                devices=jax.devices()[: args.mesh_data])
+        serve(model, args.host, args.port, seconds_per_frame=spf,
+              executor="continuous", **kw)
+    else:
+        serve(model, args.host, args.port, seconds_per_frame=spf,
+              max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
 
 
 if __name__ == "__main__":

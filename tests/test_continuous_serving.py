@@ -257,3 +257,39 @@ def test_host_frame_clock_matches_device(tiny_espnet):
             assert batcher.host_frames(n) == int(elens[0]), n
     finally:
         batcher.close()
+
+
+def test_http_server_continuous_executor(tiny_nemo):
+    """reazonspeech-serve --continuous: the HTTP front over the
+    lane-recycling executor (same contract as the MicroBatcher app)."""
+    import http.client
+    import json
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    from reazonspeech_tpu.serving.http import make_app
+
+    handler, batcher = make_app(
+        tiny_nemo, executor="continuous", n_lanes=2, frames_per_segment=16,
+        max_seconds=2.0)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        wav = _mixed_wavs(1, seed=21, seconds=(0.7,))[0]
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+        conn.request("POST", "/transcribe", body=wav.tobytes(),
+                     headers={"Content-Type": "application/octet-stream"})
+        resp = conn.getresponse()
+        assert resp.status == 200, resp.read()
+        payload = json.loads(resp.read())
+        assert "text" in payload and "subwords" in payload
+
+        conn.request("GET", "/healthz")
+        health = json.loads(conn.getresponse().read())
+        assert health["ok"] and health["executor"] == "continuous"
+        assert health["segments"] >= 1
+    finally:
+        server.shutdown()
+        batcher.close()
