@@ -14,28 +14,40 @@ from reazonspeech_tpu.evaluation import (
     EvaluationResultBatch,
 )
 from reazonspeech_tpu.k2.asr import audio_from_path, load_model, transcribe
+from reazonspeech_tpu.k2.asr.transcribe import transcribe_batch
 
 warnings.filterwarnings("ignore")
 
 
 class RSK2Evaluator(BaseEvaluator):
+    def __init__(self, mesh_data: int | None = None, **kwargs):
+        super().__init__(**kwargs)
+        self.mesh_data = mesh_data
+
+    def _make_model(self):
+        model = load_model()
+        if self.mesh_data:
+            # one evaluation process spans the slice (see evaluation/mesh.py)
+            from reazonspeech_tpu.evaluation import mesh_model
+
+            model = mesh_model(model, self.mesh_data)
+        return model
+
     def _evaluate(
         self, example, rank: int | None = None, num_gpus: int | None = None, **kwargs
     ) -> EvaluationResult:
         if self.model is None:
             print(f"Loading model (rank {rank or 0})")
-            self.model = load_model()
+            self.model = self._make_model()
         ret = transcribe(self.model, audio_from_path(example["audio"]["path"]))
         return {"prediction": ret.text}
 
     def _evaluate_batch(self, batch, **kwargs) -> EvaluationResultBatch:
         if self.model is None:
-            self.model = load_model()
-        preds = [
-            transcribe(self.model, audio_from_path(a["path"])).text
-            for a in batch["audio"]
-        ]
-        return {"predictions": preds}
+            self.model = self._make_model()
+        audios = [audio_from_path(a["path"]) for a in batch["audio"]]
+        rets = transcribe_batch(self.model, audios)
+        return {"predictions": [r.text for r in rets]}
 
 
 if __name__ == "__main__":
@@ -44,6 +56,7 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--num_gpus", type=int, default=None)
     parser.add_argument("--num_proc", type=int, default=None)
+    parser.add_argument("--batch_size", type=int, default=None)
     parser.add_argument("--output_file", type=str, default=None)
     parser.add_argument(
         "--local-fixture",
@@ -52,9 +65,17 @@ if __name__ == "__main__":
         help="directory of a local 10-row dataset (built on first use) "
         "instead of the hub dataset — offline/CI runs",
     )
+    parser.add_argument(
+        "--mesh-data",
+        type=int,
+        default=None,
+        help="shard the decode batch over this many devices (one process "
+        "spans the TPU slice; use with a batch_size, not num_proc)",
+    )
     args = parser.parse_args()
 
-    evaluator = RSK2Evaluator(output_file=args.output_file)
+    evaluator = RSK2Evaluator(
+        output_file=args.output_file, mesh_data=args.mesh_data)
     if args.local_fixture:
         import os
         import sys
@@ -66,9 +87,13 @@ if __name__ == "__main__":
     else:
         dataset = load_dataset("reazon-research/reazonspeech", "tiny", split="train")
         dataset = dataset.cast_column("audio", Audio(decode=False)).select(range(10))
+    batch_size = args.batch_size
+    if batch_size is None and args.mesh_data:
+        batch_size = 2 * args.mesh_data  # mesh decode wants real batches
     evaluated = evaluator.evaluate(
         dataset=dataset,
         text_column="transcription",
+        batch_size=batch_size,
         num_gpus=args.num_gpus,
         num_proc=args.num_proc,
     )

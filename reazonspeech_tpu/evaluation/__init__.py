@@ -6,6 +6,7 @@ data parallelism via datasets.map.
 """
 
 from .base import BaseEvaluator, EvaluationResult, EvaluationResultBatch
+from .mesh import mesh_model
 from .utils import CERResult, calculate_cer, normalize
 
 __all__ = [
@@ -15,4 +16,5 @@ __all__ = [
     "CERResult",
     "calculate_cer",
     "normalize",
+    "mesh_model",
 ]

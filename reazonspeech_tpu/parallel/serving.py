@@ -78,20 +78,31 @@ class DataParallelDecoder:
         # replicate params across the slice once, up front
         self._params = jax.device_put(model.params, NamedSharding(mesh, P()))
 
+    def __getattr__(self, name):
+        # delegate everything else (tokenizer, rnnt_cfg, fe_cfg, ...) to the
+        # wrapped container so flavor-level code — transcribe_batch(), the
+        # evaluation examples, decode_hypothesis() — runs unchanged over the
+        # slice. Only fires on attribute MISS, so the decoder's own state
+        # (set in __init__) never recurses here.
+        return getattr(self.model, name)
+
     def decode_batch(self, waveforms, lengths):
-        """[B, N] float32 + [B] int32, B divisible by the data axis ->
-        host numpy per-element outputs (same tuple as the wrapped
-        container's ``decode_batch``)."""
+        """[B, N] float32 + [B] int32 -> host numpy per-element outputs
+        (same tuple as the wrapped container's ``decode_batch``). Batches
+        not divisible by the data axis are padded with empty rows (decoded
+        as silence on the spare shards) and trimmed from the outputs."""
+        waveforms = np.asarray(waveforms, np.float32)
+        lengths = np.asarray(lengths, np.int32)
         b = waveforms.shape[0]
-        if b % self.n_data:
-            raise ValueError(
-                f"batch {b} not divisible by the mesh data axis "
-                f"({self.n_data}); pad to batch_multiple")
+        b_pad = -(-b // self.n_data) * self.n_data
+        if b_pad != b:
+            waveforms = np.pad(waveforms, ((0, b_pad - b), (0, 0)))
+            lengths = np.pad(lengths, (0, b_pad - b))
         wav = jax.device_put(
             jnp.asarray(waveforms, jnp.float32), self._wav_sh)
         lens = jax.device_put(jnp.asarray(lengths, jnp.int32), self._wav_sh)
         outs = self._jit(self._params, wav, lens)
-        outs = tuple(np.asarray(x) for x in outs)
+        outs = tuple(np.asarray(x)[:b] for x in outs)
         post = getattr(self.model, "_host_decode_flags", None)
         if post is not None:
             post(outs)

@@ -72,6 +72,33 @@ def test_rs_nemo_example_runs_offline(fixture_dir, nemo_checkpoint):
     assert "CER:" in proc.stdout, proc.stdout
 
 
+def test_rs_nemo_example_mesh_data(fixture_dir, nemo_checkpoint, tmp_path):
+    """--mesh-data: ONE evaluation process spans an emulated 2-device slice
+    (evaluation/mesh.py) — predictions identical to the single-device run.
+    Replaces the reference's spawn-per-GPU evaluation parallelism
+    (pkg/evaluation/src/base.py:194-215) with mesh data parallelism."""
+    import json
+
+    outs = {}
+    for tag, extra in (("single", []), ("mesh", ["--mesh-data", "2"])):
+        out = str(tmp_path / f"{tag}.jsonl")
+        env = _subprocess_env(
+            REAZONSPEECH_TPU_NEMO_CHECKPOINT=nemo_checkpoint,
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        )
+        proc = subprocess.run(
+            [sys.executable, os.path.join(EXAMPLES, "rs-nemo", "eval.py"),
+             "--local-fixture", fixture_dir, "--batch_size", "4",
+             "--output_file", out] + extra,
+            capture_output=True, text=True, timeout=900, env=env,
+        )
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        assert "CER:" in proc.stdout, proc.stdout
+        with open(out) as f:
+            outs[tag] = [json.loads(line)["prediction"] for line in f]
+    assert outs["mesh"] == outs["single"]
+
+
 def test_rs_k2_example_runs_offline(fixture_dir, tmp_path):
     """k2 example with an explicitly random tiny model (checkpoint env)."""
     from fixture_checkpoints import write_k2_repo

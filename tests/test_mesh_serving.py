@@ -84,11 +84,39 @@ def test_dp_decode_single(tiny_nemo, mesh):
     assert dp.decode_single(w) == tiny_nemo.decode_single(w)
 
 
-def test_dp_rejects_indivisible_batch(tiny_nemo, mesh):
+def test_dp_pads_indivisible_batch(tiny_nemo, mesh):
+    """Batches that don't divide over the data axis are padded with empty
+    rows and trimmed — row-for-row equal to the unsharded decode."""
     dp = DataParallelDecoder(tiny_nemo, mesh)
-    with pytest.raises(ValueError):
-        dp.decode_batch(np.zeros((3, dp.bucket_samples), np.float32),
-                        np.zeros(3, np.int32))
+    wavs = _mixed_wavs(3, seed=13)
+    padded = -(-max(len(w) for w in wavs) // dp.bucket_samples) \
+        * dp.bucket_samples
+    buf = np.zeros((3, padded), np.float32)
+    lens = np.zeros(3, np.int32)
+    for i, w in enumerate(wavs):
+        buf[i, : len(w)] = w
+        lens[i] = len(w)
+    want = tiny_nemo.decode_batch(buf, lens)
+    got = dp.decode_batch(buf, lens)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+
+def test_transcribe_batch_over_mesh(tiny_nemo, mesh):
+    """The public flavor API runs over the slice unchanged: attribute
+    delegation makes DataParallelDecoder a drop-in container, so
+    transcribe_batch (and the evaluation examples' --mesh-data path,
+    evaluation/mesh.py) produce identical results to single-device."""
+    from reazonspeech_tpu.core.audio import audio_from_numpy
+    from reazonspeech_tpu.nemo.asr.transcribe import transcribe_batch
+
+    dp = DataParallelDecoder(tiny_nemo, mesh)
+    audios = [audio_from_numpy(w, 16000) for w in _mixed_wavs(5, seed=17)]
+    want = transcribe_batch(tiny_nemo, audios)
+    got = transcribe_batch(dp, audios)
+    assert [r.text for r in got] == [r.text for r in want]
+    assert [[s.seconds for s in r.subwords] for r in got] == \
+        [[s.seconds for s in r.subwords] for r in want]
 
 
 def test_microbatcher_over_mesh(tiny_nemo, mesh):
