@@ -11,10 +11,21 @@ Emitted (token, frame) pairs preserve the frame-index timestamp semantics the
 reference's decode math depends on (pkg/nemo-asr/src/decode.py:44-49): the
 ``frames`` output holds the encoder frame index (0.08 s grid) at which each
 token was emitted.
+
+``greedy_state_init`` / ``greedy_segment`` / ``greedy_finalize`` expose the
+same search as a resumable per-lane state machine — the greedy sibling of the
+segmented ALSD/Graves beams (rnnt_beam.py / transducer_graves.py) behind the
+continuous-batching executor (serving/continuous.py): a fixed pool of lanes
+advances ``n_steps`` loop iterations per call over a ring of pre-projected
+encoder frames; finished lanes are finalized and reset for new requests
+mid-flight. The loop body is shared with :func:`rnnt_greedy_decode`, so
+per-lane results are bit-identical to a dedicated decode
+(tests/test_greedy_segment.py).
 """
 
 from dataclasses import dataclass
 from functools import partial
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +38,15 @@ from ..models.rnnt import (
     predictor_zero_state,
 )
 
-__all__ = ["GreedyDecodeConfig", "rnnt_greedy_decode"]
+__all__ = [
+    "GreedyDecodeConfig",
+    "rnnt_greedy_decode",
+    "GreedyLaneState",
+    "greedy_state_init",
+    "greedy_segment",
+    "greedy_finalize",
+    "greedy_step_bound",
+]
 
 
 @dataclass(frozen=True)
@@ -52,6 +71,137 @@ class GreedyDecodeConfig:
     frame_window: int = 1
 
 
+class GreedyLaneState(NamedTuple):
+    """Cross-segment greedy decode state (one row per lane).
+
+    ``pred_state`` is stored BATCH-LEADING — stateless predictors carry
+    their [B, S] context natively; LSTM predictors' (h, c) are transposed
+    from the predictor's [L, B, H] layout so every leaf shards over the
+    mesh data axis like the beam states do."""
+
+    tokens: jnp.ndarray  # [B, U] int32 (blank-padded)
+    frames: jnp.ndarray  # [B, U] int32
+    counts: jnp.ndarray  # [B] int32
+    time_idx: jnp.ndarray  # [B] int32 encoder frame clock
+    sym_at_frame: jnp.ndarray  # [B] int32 emissions at the current frame
+    last_tok: jnp.ndarray  # [B] int32
+    pred_out: jnp.ndarray  # [B, H] fp32
+    pred_state: Any
+
+
+def _state_to_bl(pred_state, cfg: RNNTConfig):
+    if cfg.predictor_kind == "stateless":
+        return pred_state
+    h, c = pred_state
+    return (h.transpose(1, 0, 2), c.transpose(1, 0, 2))
+
+
+def _state_from_bl(pred_state, cfg: RNNTConfig):
+    if cfg.predictor_kind == "stateless":
+        return pred_state
+    h, c = pred_state
+    return (h.transpose(1, 0, 2), c.transpose(1, 0, 2))
+
+
+def _greedy_init(pred_params, b, u_max, rnnt_cfg: RNNTConfig):
+    blank = rnnt_cfg.blank_id
+    last_tok = jnp.full((b,), blank, jnp.int32)
+    pred_out, pred_state = predictor_step(
+        pred_params, last_tok, predictor_zero_state(b, rnnt_cfg), rnnt_cfg)
+    return GreedyLaneState(
+        tokens=jnp.full((b, u_max), blank, jnp.int32),
+        frames=jnp.zeros((b, u_max), jnp.int32),
+        counts=jnp.zeros((b,), jnp.int32),
+        time_idx=jnp.zeros((b,), jnp.int32),
+        sym_at_frame=jnp.zeros((b,), jnp.int32),
+        last_tok=last_tok,
+        pred_out=pred_out,
+        pred_state=_state_to_bl(pred_state, rnnt_cfg),
+    )
+
+
+def _make_body(pred_params, joint_params, enc_proj, enc_lengths, emit_cap,
+               rnnt_cfg: RNNTConfig, decode_cfg: GreedyDecodeConfig):
+    """(active, body) over GreedyLaneState — shared by the monolithic decode
+    and the resumable segments, so the two are bit-identical per lane."""
+    blank = rnnt_cfg.blank_id
+    t = enc_proj.shape[1]
+    w = max(int(decode_cfg.frame_window), 1)
+
+    def active(s: GreedyLaneState):
+        return (s.time_idx < enc_lengths) & (s.counts < emit_cap)
+
+    def body(s: GreedyLaneState) -> GreedyLaneState:
+        act = active(s)
+        force_advance = s.sym_at_frame >= decode_cfg.max_symbols_per_step
+
+        if w == 1:
+            safe_t = jnp.minimum(s.time_idx, t - 1)
+            enc_frame = jnp.take_along_axis(
+                enc_proj, safe_t[:, None, None], axis=1
+            )[:, 0]
+            logits = joint_step_from_enc_proj(
+                joint_params, enc_frame, s.pred_out, rnnt_cfg
+            )
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            is_blank = (tok == blank) | force_advance
+            emit = act & ~is_blank
+            advance_n = (act & is_blank).astype(jnp.int32)
+        else:
+            # blank-run skipping: joint over a W-frame window against the
+            # CURRENT prediction-network output (blanks don't change it, so
+            # jumping the leading blank run at once is bit-exact), then
+            # advance by the run length in one iteration.
+            idx = jnp.minimum(
+                s.time_idx[:, None] + jnp.arange(w)[None, :], t - 1
+            )  # [B, W]
+            enc_frames = jnp.take_along_axis(
+                enc_proj, idx[:, :, None], axis=1
+            )  # [B, W, J]
+            logits = joint_step_from_enc_proj(
+                joint_params, enc_frames, s.pred_out[:, None, :], rnnt_cfg
+            )  # [B, W, V]
+            tok_w = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            tok = tok_w[:, 0]
+            in_range = (s.time_idx[:, None] + jnp.arange(w)[None, :]) \
+                < enc_lengths[:, None]
+            blank_w = (tok_w == blank) | ~in_range  # past-end counts as blank
+            blank_w = blank_w.at[:, 0].set(blank_w[:, 0] | force_advance)
+            lead = jnp.sum(
+                jnp.cumprod(blank_w.astype(jnp.int32), axis=1), axis=1
+            )  # leading blank-run length, 0 if frame 0 emits
+            emit = act & (lead == 0)
+            advance_n = jnp.where(act, lead, 0)
+
+        # record emissions at position counts[b]
+        slot = jnp.arange(s.tokens.shape[1])[None, :] == s.counts[:, None]
+        put = slot & emit[:, None]
+        tokens = jnp.where(put, tok[:, None], s.tokens)
+        frames = jnp.where(put, s.time_idx[:, None], s.frames)
+        counts = s.counts + emit.astype(jnp.int32)
+        sym_at_frame = jnp.where(emit, s.sym_at_frame + 1, s.sym_at_frame)
+
+        time_idx = s.time_idx + advance_n
+        sym_at_frame = jnp.where(advance_n > 0, 0, sym_at_frame)
+
+        # advance prediction network only where a token was emitted
+        new_last = jnp.where(emit, tok, s.last_tok)
+        step_out, step_state = predictor_step(
+            pred_params, new_last, _state_from_bl(s.pred_state, rnnt_cfg),
+            rnnt_cfg)
+        pred_out = jnp.where(emit[:, None], step_out, s.pred_out)
+        step_state = _state_to_bl(step_state, rnnt_cfg)
+        pred_state = jax.tree.map(
+            lambda new, old: jnp.where(
+                emit.reshape((-1,) + (1,) * (new.ndim - 1)), new, old),
+            step_state, s.pred_state)
+
+        return GreedyLaneState(tokens, frames, counts, time_idx,
+                               sym_at_frame, new_last, pred_out, pred_state)
+
+    return active, body
+
+
 @partial(jax.jit, static_argnames=("rnnt_cfg", "decode_cfg"))
 def rnnt_greedy_decode(
     pred_params,
@@ -73,7 +223,6 @@ def rnnt_greedy_decode(
       counts: [B] int32 number of valid emissions per element
     """
     b, t, _ = enc.shape
-    blank = rnnt_cfg.blank_id
     u_max = decode_cfg.max_tokens or t
     # per-element emission cap tied to the VALID length, so results are
     # invariant to how much the batch was padded (an utterance cannot emit
@@ -84,93 +233,92 @@ def rnnt_greedy_decode(
     # encoder-side joint projection hoisted out of the loop: [B, T, J]
     enc_proj = joint_precompute_enc(joint_params, enc, rnnt_cfg)
 
-    tokens = jnp.full((b, u_max), blank, jnp.int32)
-    frames = jnp.zeros((b, u_max), jnp.int32)
-    counts = jnp.zeros((b,), jnp.int32)
-    time_idx = jnp.zeros((b,), jnp.int32)
-    sym_at_frame = jnp.zeros((b,), jnp.int32)
-    last_tok = jnp.full((b,), blank, jnp.int32)
-    pred_state = predictor_zero_state(b, rnnt_cfg)
-    # prediction-network output for the current context (SOS at start)
-    pred_out, pred_state = predictor_step(pred_params, last_tok, pred_state, rnnt_cfg)
+    state = _greedy_init(pred_params, b, u_max, rnnt_cfg)
+    active, body = _make_body(pred_params, joint_params, enc_proj,
+                              enc_lengths, emit_cap, rnnt_cfg, decode_cfg)
+    state = jax.lax.while_loop(
+        lambda s: jnp.any(active(s)), body, state)
+    return state.tokens, state.frames, state.counts
 
-    def cond(state):
-        time_idx, counts = state[3], state[2]
-        return jnp.any((time_idx < enc_lengths) & (counts < emit_cap))
 
-    w = max(int(decode_cfg.frame_window), 1)
+# --- resumable per-lane segments (continuous batching) -----------------------
 
-    def body(state):
-        tokens, frames, counts, time_idx, sym_at_frame, last_tok, pred_out, pred_state = state
 
-        active = (time_idx < enc_lengths) & (counts < emit_cap)
-        force_advance = sym_at_frame >= decode_cfg.max_symbols_per_step
+def greedy_step_bound(lane_len: int, cfg: GreedyDecodeConfig) -> int:
+    """Deterministic upper bound on loop iterations for one lane: every
+    iteration either advances >=1 frame (<= lane_len advances) or emits one
+    token (<= the emission cap). The ``done`` flag from
+    :func:`greedy_segment` usually harvests far earlier."""
+    cap = int(lane_len) * int(cfg.max_symbols_per_step)
+    if cfg.max_tokens:
+        cap = min(cap, int(cfg.max_tokens))
+    return int(lane_len) + cap
 
-        if w == 1:
-            safe_t = jnp.minimum(time_idx, t - 1)
-            enc_frame = jnp.take_along_axis(
-                enc_proj, safe_t[:, None, None], axis=1
-            )[:, 0]
-            logits = joint_step_from_enc_proj(
-                joint_params, enc_frame, pred_out, rnnt_cfg
-            )
-            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            is_blank = (tok == blank) | force_advance
-            emit = active & ~is_blank
-            advance_n = (active & is_blank).astype(jnp.int32)
-        else:
-            # blank-run skipping: joint over a W-frame window against the
-            # CURRENT prediction-network output (blanks don't change it, so
-            # jumping the leading blank run at once is bit-exact), then
-            # advance by the run length in one iteration.
-            idx = jnp.minimum(
-                time_idx[:, None] + jnp.arange(w)[None, :], t - 1
-            )  # [B, W]
-            enc_frames = jnp.take_along_axis(
-                enc_proj, idx[:, :, None], axis=1
-            )  # [B, W, J]
-            logits = joint_step_from_enc_proj(
-                joint_params, enc_frames, pred_out[:, None, :], rnnt_cfg
-            )  # [B, W, V]
-            tok_w = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            tok = tok_w[:, 0]
-            in_range = (time_idx[:, None] + jnp.arange(w)[None, :]) < enc_lengths[
-                :, None
-            ]
-            blank_w = (tok_w == blank) | ~in_range  # past-end counts as blank
-            blank_w = blank_w.at[:, 0].set(blank_w[:, 0] | force_advance)
-            lead = jnp.sum(
-                jnp.cumprod(blank_w.astype(jnp.int32), axis=1), axis=1
-            )  # leading blank-run length, 0 if frame 0 emits
-            emit = active & (lead == 0)
-            advance_n = jnp.where(active, lead, 0)
 
-        # record emissions at position counts[b]
-        slot = jnp.arange(u_max)[None, :] == counts[:, None]  # [B, U]
-        put = slot & emit[:, None]
-        tokens = jnp.where(put, tok[:, None], tokens)
-        frames = jnp.where(put, time_idx[:, None], frames)
-        counts = counts + emit.astype(jnp.int32)
-        sym_at_frame = jnp.where(emit, sym_at_frame + 1, sym_at_frame)
+@partial(jax.jit, static_argnames=("b", "rnnt_cfg", "cfg"))
+def greedy_state_init(pred_params, b: int, rnnt_cfg: RNNTConfig,
+                      cfg: GreedyDecodeConfig) -> GreedyLaneState:
+    """Fresh lane-pool state (cfg.max_tokens required — segments can't
+    default the emission buffer to T)."""
+    if cfg.max_tokens <= 0:
+        raise ValueError(
+            "greedy_state_init: cfg.max_tokens must be set for segmented "
+            "decode (the emission buffer cannot default to T)")
+    return _greedy_init(pred_params, b, cfg.max_tokens, rnnt_cfg)
 
-        time_idx = time_idx + advance_n
-        sym_at_frame = jnp.where(advance_n > 0, 0, sym_at_frame)
 
-        # advance prediction network only where a token was emitted
-        new_last = jnp.where(emit, tok, last_tok)
-        step_out, step_state = predictor_step(pred_params, new_last, pred_state, rnnt_cfg)
-        pred_out = jnp.where(emit[:, None], step_out, pred_out)
-        if rnnt_cfg.predictor_kind == "stateless":
-            pred_state = jnp.where(emit[:, None], step_state, pred_state)
-        else:
-            pred_state = (
-                jnp.where(emit[None, :, None], step_state[0], pred_state[0]),
-                jnp.where(emit[None, :, None], step_state[1], pred_state[1]),
-            )
-        last_tok = new_last
+@partial(jax.jit, static_argnames=("rnnt_cfg", "cfg", "n_steps"))
+def greedy_segment(
+    pred_params,
+    joint_params,
+    enc_ring,
+    lane_len,
+    reset_mask,
+    state: GreedyLaneState,
+    rnnt_cfg: RNNTConfig,
+    cfg: GreedyDecodeConfig,
+    n_steps: int,
+):
+    """Advance every lane by up to ``n_steps`` loop iterations.
 
-        return (tokens, frames, counts, time_idx, sym_at_frame, last_tok, pred_out, pred_state)
+    Args:
+      enc_ring: [B, T_buf, J] per-lane joint enc projections
+        (``joint_precompute_enc`` rows, like the beam rings)
+      lane_len: [B] int32 valid encoder frames per lane (0 = idle)
+      reset_mask: [B] bool — lanes re-initialised before stepping
 
-    init = (tokens, frames, counts, time_idx, sym_at_frame, last_tok, pred_out, pred_state)
-    tokens, frames, counts, *_ = jax.lax.while_loop(cond, body, init)
-    return tokens, frames, counts
+    Returns ``(state, done)`` with ``done`` [B] bool — True once a lane has
+    consumed its frames or hit its emission cap. Per-lane results are
+    bit-identical to a dedicated :func:`rnnt_greedy_decode` under the same
+    ``max_tokens`` cap.
+    """
+    b = state.counts.shape[0]
+    u_max = state.tokens.shape[-1]
+    fresh = _greedy_init(pred_params, b, u_max, rnnt_cfg)
+    state = jax.tree.map(
+        lambda old, new: jnp.where(
+            reset_mask.reshape((-1,) + (1,) * (old.ndim - 1)), new, old),
+        state, fresh)
+
+    emit_cap = jnp.minimum(
+        u_max, lane_len * cfg.max_symbols_per_step).astype(jnp.int32)
+    active, body = _make_body(pred_params, joint_params, enc_ring,
+                              lane_len, emit_cap, rnnt_cfg, cfg)
+
+    def cond(carry):
+        i, s = carry
+        return (i < n_steps) & jnp.any(active(s))
+
+    def body_i(carry):
+        i, s = carry
+        return i + 1, body(s)
+
+    _, state = jax.lax.while_loop(cond, body_i, (jnp.int32(0), state))
+    return state, ~active(state)
+
+
+@jax.jit
+def greedy_finalize(state: GreedyLaneState, lane_len):
+    """Extract (tokens [B, U], frames [B, U], counts [B]) for the lanes."""
+    counts = jnp.where(lane_len <= 0, 0, state.counts)
+    return state.tokens, state.frames, counts

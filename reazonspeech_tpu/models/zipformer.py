@@ -36,7 +36,14 @@ import numpy as np
 
 from .layers import conv2d, conv2d_init, dense, dense_init, depthwise_conv1d, depthwise_conv1d_init
 
-__all__ = ["ZipformerConfig", "init_zipformer", "zipformer_encode", "swoosh_l", "swoosh_r"]
+__all__ = [
+    "ZipformerConfig",
+    "init_zipformer",
+    "zipformer_encode",
+    "zipformer_output_length",
+    "swoosh_l",
+    "swoosh_r",
+]
 
 
 @dataclass(frozen=True)
@@ -436,6 +443,17 @@ def _convert_channels(x, new_dim):
     if new_dim < d:
         return x[..., :new_dim]
     return jnp.pad(x, ((0, 0), (0, 0), (0, new_dim - d)))
+
+
+def zipformer_output_length(n_frames, cfg: ZipformerConfig):
+    """Encoder frames produced for ``n_frames`` feature frames — the exact
+    host-side mirror of the length arithmetic in :func:`_embed` (three VALID
+    convs, middle one strided) followed by the output pair-averaging
+    downsample in :func:`zipformer_encode`. Serving lane clocks use this to
+    avoid any device readback (same contract as
+    fastconformer.encoder_output_length)."""
+    e = max((int(n_frames) - 2 - 3) // 2 + 1 - 2, 0)
+    return -(-e // cfg.output_downsampling)
 
 
 def zipformer_encode(params, feats, feat_lengths, cfg: ZipformerConfig):

@@ -14,8 +14,8 @@ clock; every tick advances all lanes by one quantum, finished lanes are
 finalized and immediately refilled from the request queue. Per-lane results
 are bit-identical to a dedicated decode (the per-step/pop bodies have no
 cross-lane ops — tests/test_graves_segment.py, tests/test_alsd_segment.py),
-so continuous batching is a pure scheduling change. Both beam flavors are
-supported through one adapter seam:
+so continuous batching is a pure scheduling change. All transducer decode
+flavors are supported through one adapter seam:
 
 - **Graves beam-20** (espnet serving default,
   decoding/transducer_graves.py): lanes are frame-clocked; the quantum is
@@ -27,6 +27,12 @@ supported through one adapter seam:
   ``lane_len + floor(ratio*lane_len)`` step bound), so the device's per-lane
   ``done`` flag is fetched one tick behind — the fetch overlaps the next
   segment's compute — with the step bound as the deterministic fallback.
+- **Greedy RNN-T** (k2 zipformer's pinned greedy_search plus the nemo/espnet
+  ``decoding='greedy'`` option, decoding/rnnt_greedy.py): lanes are
+  loop-iteration-clocked; completion is data-dependent (an iteration either
+  advances a frame or emits), handled exactly like ALSD's lagged done flag
+  with ``lane_len + emission_cap`` as the bound. The encode tick dispatches
+  to the container's encoder (FastConformer or Zipformer2) by config type.
 
 Device-interaction design (TPU-first):
 
@@ -61,6 +67,13 @@ from ..decoding.rnnt_beam import (
     alsd_state_init,
     alsd_step_bound,
 )
+from ..decoding.rnnt_greedy import (
+    GreedyDecodeConfig,
+    greedy_finalize,
+    greedy_segment,
+    greedy_state_init,
+    greedy_step_bound,
+)
 from ..decoding.transducer_graves import (
     GravesBeamConfig,
     graves_beam_segment,
@@ -70,34 +83,53 @@ from ..decoding.transducer_graves import (
 from ..frontend.features import log_mel_spectrogram, num_frames
 from ..models.fastconformer import encoder_output_length, fastconformer_encode
 from ..models.rnnt import joint_precompute_enc
+from ..models.zipformer import (
+    ZipformerConfig,
+    zipformer_encode,
+    zipformer_output_length,
+)
 
 __all__ = ["ContinuousBatcher"]
 
 
-@partial(jax.jit,
-         static_argnames=("fe_cfg", "enc_cfg", "rnnt_cfg", "t_buf", "mvn"))
-def _encode_into_ring(params, wav, lens, lanes, ring,
-                      fe_cfg, enc_cfg, rnnt_cfg, t_buf, mvn):
-    """frontend → encoder → joint enc-projection, scattered into ring lanes.
+def _proj_from_wav(params, wav, lens, fe_cfg, enc_cfg, rnnt_cfg, t_buf, mvn):
+    """frontend → encoder → joint enc-projection, padded/cropped to t_buf.
 
-    ``lanes`` rows for padding entries point out of bounds (index B) and are
-    dropped by the scatter; every real write covers the lane's full
-    ``t_buf`` rows, so stale frames from the lane's previous occupant never
-    survive a swap. ``mvn`` applies the espnet flavor's GlobalMVN between
-    the frontend and the encoder.
-    """
+    The encoder is dispatched on the (static) config type: FastConformer for
+    the nemo/espnet flavors, Zipformer2 for k2. ``mvn`` applies the espnet
+    flavor's GlobalMVN between the frontend and the encoder."""
     feats, flens = log_mel_spectrogram(wav, lens, fe_cfg)
     if mvn:
         from ..espnet.asr.model import _apply_mvn
 
         feats = _apply_mvn(params, feats, flens)
-    enc, elens = fastconformer_encode(params["encoder"], feats, flens, enc_cfg)
+    if isinstance(enc_cfg, ZipformerConfig):
+        enc, elens = zipformer_encode(params["encoder"], feats, flens, enc_cfg)
+    else:
+        enc, elens = fastconformer_encode(
+            params["encoder"], feats, flens, enc_cfg)
     proj = joint_precompute_enc(params["joint"], enc, rnnt_cfg)  # [M, t, J]
     t = proj.shape[1]
     if t < t_buf:
         proj = jnp.pad(proj, ((0, 0), (0, t_buf - t), (0, 0)))
     else:
         proj = proj[:, :t_buf]
+    return proj, elens
+
+
+@partial(jax.jit,
+         static_argnames=("fe_cfg", "enc_cfg", "rnnt_cfg", "t_buf", "mvn"))
+def _encode_into_ring(params, wav, lens, lanes, ring,
+                      fe_cfg, enc_cfg, rnnt_cfg, t_buf, mvn):
+    """:func:`_proj_from_wav` scattered into ring lanes.
+
+    ``lanes`` rows for padding entries point out of bounds (index B) and are
+    dropped by the scatter; every real write covers the lane's full
+    ``t_buf`` rows, so stale frames from the lane's previous occupant never
+    survive a swap.
+    """
+    proj, elens = _proj_from_wav(
+        params, wav, lens, fe_cfg, enc_cfg, rnnt_cfg, t_buf, mvn)
     return ring.at[lanes].set(proj.astype(ring.dtype), mode="drop"), elens
 
 
@@ -166,14 +198,52 @@ class _ALSDAdapter:
         return tokens, frames, counts
 
 
+class _GreedyAdapter:
+    """Loop-iteration-clocked segmented greedy RNN-T (decoding/rnnt_greedy.py).
+
+    Serves every greedy transducer container through the same lane pool:
+    nemo ``decoding='greedy'``, k2 Zipformer (the reference's pinned
+    greedy_search, pkg/k2-asr/src/huggingface.py:73-83), espnet
+    ``decoding='greedy'``. A greedy iteration either advances >=1 frame or
+    emits one token, so the deterministic bound is
+    ``lane_len + emission_cap`` (greedy_step_bound); the data-dependent
+    ``done`` flag usually harvests far earlier — fetched one tick behind
+    like ALSD's. MVN is detected from the param tree (only the espnet
+    converter emits a ``normalize`` entry)."""
+
+    has_done_flag = True
+
+    def __init__(self, model, t_buf):
+        self.model = model
+        self.mvn = "normalize" in model.params
+        self.cfg = (model.decode_cfg if model.decode_cfg.max_tokens > 0
+                    else replace(model.decode_cfg, max_tokens=t_buf))
+
+    def bound(self, lane_len: int) -> int:
+        return greedy_step_bound(lane_len, self.cfg)
+
+    def state_init(self, params, n_lanes):
+        return greedy_state_init(
+            params["predictor"], n_lanes, self.model.rnnt_cfg, self.cfg)
+
+    def segment_call(self, params, ring, lane_len, reset, state, n):
+        return greedy_segment(
+            params["predictor"], params["joint"], ring, lane_len, reset,
+            state, self.model.rnnt_cfg, self.cfg, n)
+
+    def finalize_call(self, state, lane_len):
+        return greedy_finalize(state, lane_len)
+
+
 class ContinuousBatcher:
     """Lane-recycling executor for beam-decode flavor containers.
 
     Args:
-      model: a flavor container whose ``decode_cfg`` selects the beam:
-        :class:`GravesBeamConfig` (espnet ``EspnetTPUModel``) or
+      model: a flavor container whose ``decode_cfg`` selects the decode:
+        :class:`GravesBeamConfig` (espnet ``EspnetTPUModel``),
         :class:`BeamDecodeConfig` (nemo ``NemoTPUModel`` with the ALSD
-        serving default)
+        serving default), or :class:`GreedyDecodeConfig` (k2
+        ``K2TPUModel`` and the nemo/espnet greedy options)
       n_lanes: decoder lane-pool width (the effective batch size; every
         segment runs all lanes)
       frames_per_segment: the recycling quantum — encoder frames (Graves) or
@@ -223,19 +293,20 @@ class ContinuousBatcher:
         self.max_samples = int(
             -(-max_seconds * 16000 // self.bucket_samples)
             * self.bucket_samples)
-        self.t_buf = int(encoder_output_length(
-            num_frames(model.fe_cfg, self.max_samples), model.enc_cfg))
+        self.t_buf = int(self.host_frames(self.max_samples))
         if isinstance(model.decode_cfg, GravesBeamConfig):
             self._ad = _GravesAdapter(model, self.t_buf)
         elif isinstance(model.decode_cfg, BeamDecodeConfig):
             self._ad = _ALSDAdapter(model, self.t_buf)
+        elif isinstance(model.decode_cfg, GreedyDecodeConfig):
+            self._ad = _GreedyAdapter(model, self.t_buf)
         else:
             raise TypeError(
-                "ContinuousBatcher drives a segmented beam; the container's "
-                "decode_cfg must be a GravesBeamConfig (espnet) or "
-                f"BeamDecodeConfig (nemo ALSD), got "
-                f"{type(model.decode_cfg).__name__}. Use MicroBatcher for "
-                "greedy containers.")
+                "ContinuousBatcher drives a segmented transducer decode; the "
+                "container's decode_cfg must be a GravesBeamConfig (espnet), "
+                "BeamDecodeConfig (nemo ALSD), or GreedyDecodeConfig "
+                f"(nemo/k2/espnet greedy), got "
+                f"{type(model.decode_cfg).__name__}.")
         self.cfg = self._ad.cfg
         self.drain_timeout = drain_timeout
         self.max_encode_batch = int(max_encode_batch)
@@ -304,18 +375,9 @@ class ContinuousBatcher:
         t_buf, mvn, ad, n = self.t_buf, self._ad.mvn, self._ad, self.n_frames
 
         def proj_fn(params, wav, lens):
-            feats, flens = log_mel_spectrogram(wav, lens, fe_cfg)
-            if mvn:
-                from ..espnet.asr.model import _apply_mvn
-
-                feats = _apply_mvn(params, feats, flens)
-            enc, _ = fastconformer_encode(
-                params["encoder"], feats, flens, enc_cfg)
-            proj = joint_precompute_enc(params["joint"], enc, rnnt_cfg)
-            t = proj.shape[1]
-            if t < t_buf:
-                return jnp.pad(proj, ((0, 0), (0, t_buf - t), (0, 0)))
-            return proj[:, :t_buf]
+            proj, _ = _proj_from_wav(
+                params, wav, lens, fe_cfg, enc_cfg, rnnt_cfg, t_buf, mvn)
+            return proj
 
         # check_vma=False: the decode while_loops seed carries from constants
         # and mix in shard data (same rationale as parallel/serving.py); every
@@ -363,9 +425,10 @@ class ContinuousBatcher:
     def host_frames(self, n_samples: int) -> int:
         """Encoder frames the device will report for an n_samples utterance
         (the deterministic host mirror the lane clocks run on)."""
-        return int(encoder_output_length(
-            num_frames(self.model.fe_cfg, int(n_samples)),
-            self.model.enc_cfg))
+        f = num_frames(self.model.fe_cfg, int(n_samples))
+        if isinstance(self.model.enc_cfg, ZipformerConfig):
+            return int(zipformer_output_length(f, self.model.enc_cfg))
+        return int(encoder_output_length(f, self.model.enc_cfg))
 
     def warmup(self, seconds=(2.0, 5.0, 10.0, 15.0, 20.0)):
         """Compile the encode buckets + segment + finalize programs before

@@ -116,7 +116,10 @@ def test_rejects_overlong_utterance(tiny_espnet):
         batcher.close()
 
 
-def test_requires_beam_config(tiny_espnet):
+def test_greedy_flavor_through_executor():
+    """espnet ``decoding='greedy'`` rides the same lane pool (round-4
+    greedy adapter): token + frame parity vs a dedicated decode under the
+    executor's shared emission cap."""
     greedy = load_model_container(
         checkpoint="random",
         enc_cfg=espnet_encoder_config(
@@ -125,8 +128,54 @@ def test_requires_beam_config(tiny_espnet):
         ),
         decoding="greedy",
     )
+    batcher = ContinuousBatcher(
+        greedy, n_lanes=2, frames_per_segment=8, max_seconds=4.0)
+    try:
+        wavs = _mixed_wavs(5, seed=9)
+        futs = [batcher.submit(w) for w in wavs]
+        got = [f.result(timeout=600) for f in futs]
+    finally:
+        batcher.close()
+    for i, (w, (tokens, frames)) in enumerate(zip(wavs, got)):
+        want_tokens, want_frames = _dedicated(greedy, batcher, w)
+        assert tokens == want_tokens, i
+        assert frames == want_frames, i
+
+
+def test_k2_zipformer_through_executor():
+    """k2's pinned greedy_search (pkg/k2-asr/src/huggingface.py:73-83)
+    through the executor: exercises the Zipformer2 encode-tick dispatch and
+    the zipformer_output_length host lane clock."""
+    from reazonspeech_tpu.k2.asr.model import (
+        load_model_container as load_k2,
+    )
+    from reazonspeech_tpu.models.zipformer import ZipformerConfig
+
+    model = load_k2(
+        checkpoint="random",
+        enc_cfg=ZipformerConfig.tiny(compute_dtype="float32"),
+    )
+    batcher = ContinuousBatcher(
+        model, n_lanes=2, frames_per_segment=8, max_seconds=4.0)
+    try:
+        wavs = _mixed_wavs(4, seed=13)
+        futs = [batcher.submit(w) for w in wavs]
+        got = [f.result(timeout=600) for f in futs]
+    finally:
+        batcher.close()
+    for i, (w, (tokens, frames)) in enumerate(zip(wavs, got)):
+        capped = replace(model,
+                         decode_cfg=replace(model.decode_cfg,
+                                            max_tokens=batcher.cfg.max_tokens))
+        want_tokens, want_frames = capped.decode_single(w)
+        assert tokens == want_tokens, i
+        assert frames == want_frames, i
+
+
+def test_rejects_unknown_decode_cfg(tiny_espnet):
+    broken = replace(tiny_espnet, decode_cfg=object())
     with pytest.raises(TypeError):
-        ContinuousBatcher(greedy)
+        ContinuousBatcher(broken)
 
 
 # --- nemo ALSD flavor through the same executor -----------------------------

@@ -97,3 +97,20 @@ def test_zipformer_batch_independence(tiny):
         params, jnp.asarray(np.concatenate([b, a])), jnp.array([128, 128]), cfg
     )
     np.testing.assert_allclose(np.asarray(ea[0]), np.asarray(eboth[1]), atol=2e-4, rtol=1e-3)
+
+
+def test_zipformer_output_length_mirrors_device(tiny):
+    """zipformer_output_length is the serving lane clock's host mirror of
+    the device-reported elens (serving/continuous.py host_frames) — it must
+    agree frame-for-frame across length parities and the short tail."""
+    from reazonspeech_tpu.models.zipformer import zipformer_output_length
+
+    cfg, params = tiny
+    t = 209
+    rng = np.random.default_rng(4)
+    feats = jnp.asarray(
+        rng.standard_normal((6, t, cfg.feat_in)), jnp.float32)
+    lens = jnp.array([209, 208, 101, 100, 13, 7])
+    _, out_lens = zipformer_encode(params, feats, lens, cfg)
+    for n, e in zip(np.asarray(lens), np.asarray(out_lens)):
+        assert zipformer_output_length(int(n), cfg) == int(e), int(n)
