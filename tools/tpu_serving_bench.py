@@ -15,8 +15,9 @@ Throughput remains meaningful because requests coalesce into batches.
 Usage:
   python tools/tpu_serving_bench.py [n_requests] [concurrency] [max_batch]
   python tools/tpu_serving_bench.py continuous [n_requests] [n_lanes] \
-      [frames_per_segment] [--nemo]   # default flavor: espnet beam-20;
-                                      # --nemo = ALSD beam-4 lane pool
+      [frames_per_segment] [--nemo | --k2]  # default flavor: espnet beam-20;
+                                      # --nemo = ALSD beam-4 lane pool,
+                                      # --k2 = zipformer greedy lane pool
 
 The ``continuous`` mode is the espnet beam-20 A/B the round-3 verdict asked
 for: the same mixed-length traffic through (a) the static MicroBatcher —
@@ -106,7 +107,8 @@ def main():
 
 def main_continuous():
     args = [a for a in sys.argv[2:] if not a.startswith("--")]
-    flavor = "nemo" if "--nemo" in sys.argv else "espnet"
+    flavor = ("nemo" if "--nemo" in sys.argv
+              else "k2" if "--k2" in sys.argv else "espnet")
     n_req = int(args[0]) if len(args) > 0 else 256
     n_lanes = int(args[1]) if len(args) > 1 else 128
     n_frames = int(args[2]) if len(args) > 2 else 64
@@ -139,6 +141,14 @@ def main_continuous():
         model.decode_cfg = replace(
             model.decode_cfg,
             max_tokens=alsd_step_bound(t_buf, model.decode_cfg))
+    elif flavor == "k2":
+        from reazonspeech_tpu.k2.asr.model import load_model_container
+        from reazonspeech_tpu.models.zipformer import zipformer_output_length
+
+        model = load_model_container(checkpoint="random")  # pinned greedy
+        t_buf = int(zipformer_output_length(
+            num_frames(model.fe_cfg, int(20.0 * 16000)), model.enc_cfg))
+        model.decode_cfg = replace(model.decode_cfg, max_tokens=t_buf)
     else:
         from reazonspeech_tpu.espnet.asr.model import load_model_container
 
