@@ -422,6 +422,83 @@ class ContinuousBatcher:
     def transcribe(self, waveform):
         return self.submit(waveform).result()
 
+    def submit_long(self, waveform, overlap_seconds=None) -> Future:
+        """Long audio through the lane pool: ``max_seconds`` windows sharing
+        ``overlap_seconds`` of context, each submitted as ordinary lane work
+        (concurrent, interleaved with other traffic — one long request never
+        monopolizes the pool), merged by keeping each window's center region.
+        Same merge rule as nemo.asr.transcribe._decode_chunked: tokens in an
+        overlap half belong to the neighbor with more context; the kept
+        ranges partition the global timeline exactly. Audio that fits one
+        window delegates to :meth:`submit` unchanged.
+
+        Resolves to ``(token_ids, frames)`` with frames on the global
+        encoder-frame grid of the whole waveform. The flavor transcribe()
+        APIs remain the reference-faithful long-form paths (espnet cuts at
+        CTC blank midpoints, pkg/espnet-asr/src/transcribe.py:59-78); the
+        serving merge trades those data-dependent boundaries for fixed
+        overlapped windows so the window set is known up front.
+        """
+        w = np.asarray(waveform, np.float32)
+        if len(w) <= self.max_samples:
+            return self.submit(w)
+        sr = 16000
+        chunk = self.max_samples
+        if overlap_seconds is None:
+            # TranscribeConfig.chunk_overlap_seconds' 4 s default, clamped
+            # to half the window so small pools still chunk
+            overlap_seconds = min(4.0, chunk / sr / 2)
+        overlap = int(overlap_seconds * sr)
+        hop = chunk - overlap
+        if hop <= 0:
+            raise ValueError(
+                f"overlap_seconds={overlap_seconds} must be shorter than "
+                f"the executor's max_seconds window ({chunk / sr:.1f}s)")
+        starts = list(range(0, max(len(w) - overlap, 1), hop))
+        futs = [self.submit(w[s:s + chunk]) for s in starts]
+
+        out = Future()
+        spf = self.seconds_per_frame()
+        half = overlap / 2 / sr
+        n_chunks = len(starts)
+        remaining = [n_chunks]
+        lock = threading.Lock()
+
+        def _gather(_fut):
+            with lock:
+                remaining[0] -= 1
+                if remaining[0]:
+                    return
+            try:
+                tokens, frames = [], []
+                for i, (s, f) in enumerate(zip(starts, futs)):
+                    toks, frs = f.result()
+                    chunk_sec = min(chunk, len(w) - s) / sr
+                    keep_lo = 0.0 if i == 0 else half
+                    keep_hi = (chunk_sec if i == n_chunks - 1
+                               else chunk_sec - half)
+                    for tok, fr in zip(toks, frs):
+                        t_local = fr * spf
+                        if keep_lo <= t_local < keep_hi:
+                            tokens.append(int(tok))
+                            frames.append(int(round(
+                                (t_local + s / sr) / spf)))
+                out.set_result((tokens, frames))
+            except Exception as e:  # a failed window fails the request
+                out.set_exception(e)
+
+        for f in futs:
+            f.add_done_callback(_gather)
+        return out
+
+    def seconds_per_frame(self) -> float:
+        """Encoder frame period in seconds on the host lane-clock grid
+        (0.08 for the FastConformer flavors, 0.04 for Zipformer). The
+        difference quotient cancels the frontend/subsampling edge constants,
+        so this is the exact steady-state grid period."""
+        return 16.0 / (self.host_frames(32 * 16000)
+                       - self.host_frames(16 * 16000))
+
     def host_frames(self, n_samples: int) -> int:
         """Encoder frames the device will report for an n_samples utterance
         (the deterministic host mirror the lane clocks run on)."""

@@ -120,7 +120,11 @@ def make_app(model, seconds_per_frame=0.08, executor="micro", **batcher_kw):
                 wav = _decode_audio_body(
                     body, self.headers.get("Content-Type", "")
                 )
-                tokens, frames = batcher.submit(wav).result(timeout=300)
+                # the continuous executor serves arbitrarily long audio by
+                # windowing it over the lane pool (submit_long); the static
+                # MicroBatcher buckets whole utterances
+                submit = getattr(batcher, "submit_long", batcher.submit)
+                tokens, frames = submit(wav).result(timeout=600)
                 self._send(200, _result_json(model, tokens, frames,
                                              seconds_per_frame))
             except Exception as e:

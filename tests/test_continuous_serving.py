@@ -172,6 +172,110 @@ def test_k2_zipformer_through_executor():
         assert frames == want_frames, i
 
 
+# --- long audio through the lane pool (submit_long) -------------------------
+
+
+def test_submit_long_short_delegates(tiny_espnet):
+    """Audio that fits one window goes through submit() unchanged."""
+    batcher = ContinuousBatcher(
+        tiny_espnet, n_lanes=2, frames_per_segment=8, max_seconds=4.0)
+    try:
+        w = _mixed_wavs(1, seed=17, seconds=(1.1,))[0]
+        got = batcher.submit_long(w).result(timeout=600)
+        want = batcher.submit(w).result(timeout=600)
+    finally:
+        batcher.close()
+    assert got == want
+
+
+def test_submit_long_merges_windows(tiny_nemo):
+    """A 10 s request over a 4 s window pool resolves to the center-keep
+    merge of solo window replays through the same pool (scheduling-exact),
+    frames rebased to the global encoder grid."""
+    batcher = ContinuousBatcher(
+        tiny_nemo, n_lanes=3, frames_per_segment=8, max_seconds=4.0)
+    try:
+        rng = np.random.default_rng(23)
+        w = (rng.standard_normal(16000 * 10) * 0.1).astype(np.float32)
+        got_tokens, got_frames = batcher.submit_long(
+            w, overlap_seconds=1.0).result(timeout=600)
+
+        sr = 16000
+        chunk = batcher.max_samples
+        overlap = int(1.0 * sr)
+        hop = chunk - overlap
+        starts = list(range(0, max(len(w) - overlap, 1), hop))
+        assert len(starts) > 1  # the request really was windowed
+        spf = batcher.seconds_per_frame()
+        half = overlap / 2 / sr
+        want_tokens, want_frames = [], []
+        for i, s in enumerate(starts):
+            toks, frs = batcher.transcribe(w[s:s + chunk])
+            chunk_sec = min(chunk, len(w) - s) / sr
+            lo = 0.0 if i == 0 else half
+            hi = chunk_sec if i == len(starts) - 1 else chunk_sec - half
+            for tok, fr in zip(toks, frs):
+                t = fr * spf
+                if lo <= t < hi:
+                    want_tokens.append(tok)
+                    want_frames.append(int(round((t + s / sr) / spf)))
+    finally:
+        batcher.close()
+    assert got_tokens == want_tokens
+    assert got_frames == want_frames
+    assert got_frames == sorted(got_frames)  # one global monotone grid
+
+
+def test_submit_long_interleaves_with_traffic(tiny_espnet):
+    """A windowed long request shares the pool with ordinary traffic; the
+    short requests still match their dedicated decodes and the long result
+    is replay-stable through the same pool."""
+    batcher = ContinuousBatcher(
+        tiny_espnet, n_lanes=2, frames_per_segment=8, max_seconds=4.0)
+    try:
+        shorts = _mixed_wavs(3, seed=19)
+        rng = np.random.default_rng(29)
+        long_w = (rng.standard_normal(16000 * 9) * 0.1).astype(np.float32)
+        long_fut = batcher.submit_long(long_w, overlap_seconds=1.0)
+        short_futs = [batcher.submit(w) for w in shorts]
+        long_got = long_fut.result(timeout=600)
+        short_got = [f.result(timeout=600) for f in short_futs]
+        long_replay = batcher.submit_long(
+            long_w, overlap_seconds=1.0).result(timeout=600)
+    finally:
+        batcher.close()
+    for w, (tokens, frames) in zip(shorts, short_got):
+        want_tokens, want_frames = _dedicated(tiny_espnet, batcher, w)
+        assert tokens == want_tokens
+        assert frames == want_frames
+    assert long_got == long_replay
+
+
+def test_submit_long_rejects_bad_overlap(tiny_espnet):
+    batcher = ContinuousBatcher(
+        tiny_espnet, n_lanes=2, frames_per_segment=8, max_seconds=2.0)
+    try:
+        with pytest.raises(ValueError):
+            batcher.submit_long(np.zeros(16000 * 5, np.float32),
+                                overlap_seconds=2.0)
+    finally:
+        batcher.close()
+
+
+def test_seconds_per_frame_grid(tiny_espnet, tiny_nemo):
+    """The steady-state grid period must mirror the host frame clock."""
+    for model in (tiny_espnet, tiny_nemo):
+        batcher = ContinuousBatcher(
+            model, n_lanes=2, frames_per_segment=8, max_seconds=4.0)
+        try:
+            spf = batcher.seconds_per_frame()
+            d = batcher.host_frames(48 * 16000) - batcher.host_frames(
+                16 * 16000)
+            assert spf == pytest.approx(32.0 / d)
+        finally:
+            batcher.close()
+
+
 def test_rejects_unknown_decode_cfg(tiny_espnet):
     broken = replace(tiny_espnet, decode_cfg=object())
     with pytest.raises(TypeError):
@@ -339,6 +443,15 @@ def test_http_server_continuous_executor(tiny_nemo):
         health = json.loads(conn.getresponse().read())
         assert health["ok"] and health["executor"] == "continuous"
         assert health["segments"] >= 1
+
+        # long audio (> max_seconds) is windowed over the pool (submit_long)
+        long_wav = _mixed_wavs(1, seed=23, seconds=(4.5,))[0]
+        conn.request("POST", "/transcribe", body=long_wav.tobytes(),
+                     headers={"Content-Type": "application/octet-stream"})
+        resp = conn.getresponse()
+        assert resp.status == 200, resp.read()
+        payload = json.loads(resp.read())
+        assert "text" in payload and "subwords" in payload
     finally:
         server.shutdown()
         batcher.close()
