@@ -285,8 +285,13 @@ class ContinuousBatcher:
 
     def __init__(self, model, n_lanes=16, frames_per_segment=32,
                  max_seconds=20.0, drain_timeout=300.0,
-                 max_encode_batch=16, fixed_encode_shape=True, mesh=None):
+                 max_encode_batch=16, fixed_encode_shape=True, mesh=None,
+                 max_pending=None):
         self.model = model
+        # backpressure: submit() raises queue.Full beyond this many queued
+        # (not-yet-laned) requests; None = unbounded (the HTTP front maps
+        # it to 503 + Retry-After)
+        self.max_pending = max_pending
         self.n_lanes = int(n_lanes)
         self.n_frames = int(frames_per_segment)
         self.bucket_samples = getattr(model, "bucket_samples", 2 * 16000)
@@ -407,7 +412,11 @@ class ContinuousBatcher:
     # -- public API ---------------------------------------------------------
 
     def submit(self, waveform) -> Future:
-        """Enqueue one float32 waveform; resolves to (token_ids, frames)."""
+        """Enqueue one float32 waveform; resolves to (token_ids, frames).
+        Raises queue.Full synchronously when ``max_pending`` requests are
+        already waiting for a lane (shed load at the door, don't build an
+        unbounded backlog)."""
+        self._check_pending()
         fut = Future()
         w = np.asarray(waveform, np.float32)
         if len(w) > self.max_samples:
@@ -416,6 +425,23 @@ class ContinuousBatcher:
                 f"max_seconds window ({self.max_samples} samples); chunk "
                 "long audio through the transcribe layer"))
             return fut
+        self._queue.put((w, fut))
+        return fut
+
+    def _check_pending(self):
+        """Front-door backpressure: raise queue.Full beyond max_pending.
+        Checked ONCE per request — a long request's windows are then
+        enqueued unconditionally (shedding part of a window plan would
+        break the merged result)."""
+        if (self.max_pending is not None
+                and self._queue.qsize() >= self.max_pending):
+            raise queue.Full(
+                f"{self._queue.qsize()} requests already queued for the "
+                f"lane pool (max_pending={self.max_pending}); retry later")
+
+    def _submit_window(self, w) -> Future:
+        """Enqueue one already-validated window, bypassing backpressure."""
+        fut = Future()
         self._queue.put((w, fut))
         return fut
 
@@ -442,6 +468,72 @@ class ContinuousBatcher:
         w = np.asarray(waveform, np.float32)
         if len(w) <= self.max_samples:
             return self.submit(w)
+        self._check_pending()  # once per request, not per window
+        starts, chunk, overlap = self._window_plan(len(w), overlap_seconds)
+        futs = [self._submit_window(w[s:s + chunk]) for s in starts]
+
+        out = Future()
+        remaining = [len(starts)]
+        lock = threading.Lock()
+
+        def _gather(_fut):
+            with lock:
+                remaining[0] -= 1
+                if remaining[0]:
+                    return
+            try:
+                tokens, frames = [], []
+                for i, (s, f) in enumerate(zip(starts, futs)):
+                    toks, frs = self._window_keep(
+                        *f.result(), i=i, start=s, starts=starts,
+                        chunk=chunk, overlap=overlap, w_len=len(w))
+                    tokens += toks
+                    frames += frs
+                out.set_result((tokens, frames))
+            except Exception as e:  # a failed window fails the request
+                out.set_exception(e)
+
+        for f in futs:
+            f.add_done_callback(_gather)
+        return out
+
+    def stream(self, waveform, overlap_seconds=None):
+        """Incremental long-form decode: a generator yielding one
+        ``(token_ids, frames)`` increment per window, in order, each as soon
+        as its lane work (and its predecessors') completes — later windows
+        keep decoding while earlier results are already out. Concatenating
+        every yield equals :meth:`submit_long`'s result exactly. The serving
+        analogue of the v1 flavor's streaming generator
+        (pkg/reazonspeech/src/reazonspeech/transcribe.py — yields caption
+        segments while the rest of the audio is still decoding).
+
+        Submission is EAGER: the window plan is enqueued (and queue.Full
+        raised) when stream() is called, before the first yield — an HTTP
+        front can commit to its 200 status before iterating.
+        """
+        w = np.asarray(waveform, np.float32)
+        if len(w) <= self.max_samples:
+            futs, starts, chunk, overlap = [self.submit(w)], [0], len(w), 0
+        else:
+            self._check_pending()  # once per request, not per window
+            starts, chunk, overlap = self._window_plan(
+                len(w), overlap_seconds)
+            futs = [self._submit_window(w[s:s + chunk]) for s in starts]
+
+        def _deliver():
+            for i, (s, f) in enumerate(zip(starts, futs)):
+                toks, frs = f.result(timeout=self.drain_timeout)
+                if len(futs) == 1:
+                    yield toks, frs  # single window: no filtering, == submit
+                else:
+                    yield self._window_keep(
+                        toks, frs, i=i, start=s, starts=starts, chunk=chunk,
+                        overlap=overlap, w_len=len(w))
+
+        return _deliver()
+
+    def _window_plan(self, w_len, overlap_seconds):
+        """Fixed overlapped max_seconds windows covering a w_len waveform."""
         sr = 16000
         chunk = self.max_samples
         if overlap_seconds is None:
@@ -454,42 +546,24 @@ class ContinuousBatcher:
             raise ValueError(
                 f"overlap_seconds={overlap_seconds} must be shorter than "
                 f"the executor's max_seconds window ({chunk / sr:.1f}s)")
-        starts = list(range(0, max(len(w) - overlap, 1), hop))
-        futs = [self.submit(w[s:s + chunk]) for s in starts]
+        return list(range(0, max(w_len - overlap, 1), hop)), chunk, overlap
 
-        out = Future()
+    def _window_keep(self, toks, frs, *, i, start, starts, chunk, overlap,
+                     w_len):
+        """Center-keep filter + global-grid rebase for window i's tokens."""
+        sr = 16000
         spf = self.seconds_per_frame()
         half = overlap / 2 / sr
-        n_chunks = len(starts)
-        remaining = [n_chunks]
-        lock = threading.Lock()
-
-        def _gather(_fut):
-            with lock:
-                remaining[0] -= 1
-                if remaining[0]:
-                    return
-            try:
-                tokens, frames = [], []
-                for i, (s, f) in enumerate(zip(starts, futs)):
-                    toks, frs = f.result()
-                    chunk_sec = min(chunk, len(w) - s) / sr
-                    keep_lo = 0.0 if i == 0 else half
-                    keep_hi = (chunk_sec if i == n_chunks - 1
-                               else chunk_sec - half)
-                    for tok, fr in zip(toks, frs):
-                        t_local = fr * spf
-                        if keep_lo <= t_local < keep_hi:
-                            tokens.append(int(tok))
-                            frames.append(int(round(
-                                (t_local + s / sr) / spf)))
-                out.set_result((tokens, frames))
-            except Exception as e:  # a failed window fails the request
-                out.set_exception(e)
-
-        for f in futs:
-            f.add_done_callback(_gather)
-        return out
+        chunk_sec = min(chunk, w_len - start) / sr
+        keep_lo = 0.0 if i == 0 else half
+        keep_hi = chunk_sec if i == len(starts) - 1 else chunk_sec - half
+        tokens, frames = [], []
+        for tok, fr in zip(toks, frs):
+            t_local = fr * spf
+            if keep_lo <= t_local < keep_hi:
+                tokens.append(int(tok))
+                frames.append(int(round((t_local + start / sr) / spf)))
+        return tokens, frames
 
     def seconds_per_frame(self) -> float:
         """Encoder frame period in seconds on the host lane-clock grid
@@ -511,11 +585,11 @@ class ContinuousBatcher:
         """Compile the encode buckets + segment + finalize programs before
         taking traffic (one dummy request per waveform bucket)."""
         rng = np.random.default_rng(0)
-        futs = [self.submit(
-            rng.standard_normal(int(min(s * 16000, self.max_samples)))
-            .astype(np.float32) * 0.01) for s in seconds]
-        for f in futs:
-            f.result(timeout=self.drain_timeout)
+        for s in seconds:  # sequential: stays under any max_pending bound
+            self.submit(
+                rng.standard_normal(int(min(s * 16000, self.max_samples)))
+                .astype(np.float32) * 0.01).result(
+                    timeout=self.drain_timeout)
 
     def close(self):
         self._closing = True

@@ -5,7 +5,11 @@ Content-Type: application/octet-stream) returns JSON:
 
     {"text": ..., "subwords": [{"token": ..., "seconds": ...}, ...]}
 
-GET /healthz reports readiness and batching stats. One process serves one
+POST /transcribe_stream (continuous executor only) answers with
+application/x-ndjson: one JSON object of the same shape per decoded
+window, flushed as soon as it completes — read lines until EOF. When the
+lane pool's ``--max-pending`` backlog bound is hit, requests are shed with
+503 + Retry-After. GET /healthz reports readiness and batching stats. One process serves one
 chip; scale-out is one process per chip behind any load balancer (chip
 grants are exclusive, matching the reference's one-model-per-GPU pattern).
 
@@ -14,6 +18,7 @@ Run: ``reazonspeech-serve --flavor nemo --port 8080`` (console script) or
 """
 
 import json
+import queue
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -111,7 +116,7 @@ def make_app(model, seconds_per_frame=0.08, executor="micro", **batcher_kw):
                 self._send(404, {"error": "not found"})
 
         def do_POST(self):
-            if self.path != "/transcribe":
+            if self.path not in ("/transcribe", "/transcribe_stream"):
                 self._send(404, {"error": "not found"})
                 return
             try:
@@ -120,6 +125,9 @@ def make_app(model, seconds_per_frame=0.08, executor="micro", **batcher_kw):
                 wav = _decode_audio_body(
                     body, self.headers.get("Content-Type", "")
                 )
+                if self.path == "/transcribe_stream":
+                    self._stream(wav)
+                    return
                 # the continuous executor serves arbitrarily long audio by
                 # windowing it over the lane pool (submit_long); the static
                 # MicroBatcher buckets whole utterances
@@ -127,8 +135,35 @@ def make_app(model, seconds_per_frame=0.08, executor="micro", **batcher_kw):
                 tokens, frames = submit(wav).result(timeout=600)
                 self._send(200, _result_json(model, tokens, frames,
                                              seconds_per_frame))
+            except queue.Full as e:  # lane-pool backpressure: shed load
+                self.send_response(503)
+                self.send_header("Retry-After", "1")
+                payload = json.dumps({"error": str(e)}).encode()
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
             except Exception as e:
                 self._send(500, {"error": str(e)})
+
+        def _stream(self, wav):
+            """Incremental results: one JSON line per decoded window as it
+            completes (continuous executor only), client reads to EOF —
+            the serving analogue of the v1 flavor's streaming generator."""
+            stream = getattr(batcher, "stream", None)
+            if stream is None:
+                self._send(400, {"error": "streaming requires the "
+                                          "continuous executor"})
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.end_headers()
+            for tokens, frames in stream(wav):
+                line = json.dumps(
+                    _result_json(model, tokens, frames, seconds_per_frame),
+                    ensure_ascii=False)
+                self.wfile.write(line.encode() + b"\n")
+                self.wfile.flush()
 
     return Handler, batcher
 
@@ -165,7 +200,11 @@ def main(argv=None):
     ap.add_argument("--frames-per-segment", type=int, default=32,
                     help="continuous recycling quantum (frames/steps)")
     ap.add_argument("--max-seconds", type=float, default=20.0,
-                    help="continuous executor max utterance length")
+                    help="continuous executor lane window length (longer "
+                         "requests are transparently windowed + merged)")
+    ap.add_argument("--max-pending", type=int, default=0,
+                    help="shed load (HTTP 503) beyond this many queued "
+                         "requests; 0 = unbounded")
     ap.add_argument("--mesh-data", type=int, default=0,
                     help="shard the continuous lane pool over this many "
                          "devices (one server spans the slice)")
@@ -177,7 +216,8 @@ def main(argv=None):
     if args.continuous:
         kw = dict(n_lanes=args.lanes,
                   frames_per_segment=args.frames_per_segment,
-                  max_seconds=args.max_seconds)
+                  max_seconds=args.max_seconds,
+                  max_pending=args.max_pending or None)
         if args.mesh_data:
             import jax
 

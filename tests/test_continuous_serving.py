@@ -251,6 +251,66 @@ def test_submit_long_interleaves_with_traffic(tiny_espnet):
     assert long_got == long_replay
 
 
+def test_stream_matches_submit_long(tiny_nemo):
+    """Incremental yields, concatenated, must equal submit_long exactly
+    (stream is a pure delivery-order change over the same window plan)."""
+    batcher = ContinuousBatcher(
+        tiny_nemo, n_lanes=3, frames_per_segment=8, max_seconds=4.0)
+    try:
+        rng = np.random.default_rng(31)
+        w = (rng.standard_normal(16000 * 10) * 0.1).astype(np.float32)
+        want = batcher.submit_long(w, overlap_seconds=1.0).result(timeout=600)
+        got_tokens, got_frames, n_yields = [], [], 0
+        for tokens, frames in batcher.stream(w, overlap_seconds=1.0):
+            got_tokens += tokens
+            got_frames += frames
+            n_yields += 1
+    finally:
+        batcher.close()
+    assert (got_tokens, got_frames) == want
+    assert n_yields > 1  # really incremental
+
+
+def test_stream_short_audio_single_yield(tiny_espnet):
+    batcher = ContinuousBatcher(
+        tiny_espnet, n_lanes=2, frames_per_segment=8, max_seconds=4.0)
+    try:
+        w = _mixed_wavs(1, seed=37, seconds=(1.3,))[0]
+        chunks = list(batcher.stream(w))
+        want = batcher.transcribe(w)
+    finally:
+        batcher.close()
+    assert chunks == [want]
+
+
+def test_max_pending_sheds_load(tiny_espnet):
+    """Backpressure: beyond max_pending queued requests submit raises
+    queue.Full synchronously; every accepted request still resolves to the
+    dedicated decode (shedding never corrupts the pool)."""
+    import queue as _queue
+
+    batcher = ContinuousBatcher(
+        tiny_espnet, n_lanes=1, frames_per_segment=8, max_seconds=2.0,
+        max_pending=2)
+    try:
+        wavs = _mixed_wavs(12, seed=41, seconds=(1.9,))
+        accepted, shed = [], 0
+        for w in wavs:
+            try:
+                accepted.append((w, batcher.submit(w)))
+            except _queue.Full:
+                shed += 1
+        results = [(w, f.result(timeout=600)) for w, f in accepted]
+    finally:
+        batcher.close()
+    assert shed > 0  # 12 rapid submits over 1 lane with a 2-deep queue
+    assert accepted  # and not everything was shed
+    for w, (tokens, frames) in results:
+        want_tokens, want_frames = _dedicated(tiny_espnet, batcher, w)
+        assert tokens == want_tokens
+        assert frames == want_frames
+
+
 def test_submit_long_rejects_bad_overlap(tiny_espnet):
     batcher = ContinuousBatcher(
         tiny_espnet, n_lanes=2, frames_per_segment=8, max_seconds=2.0)
@@ -450,8 +510,20 @@ def test_http_server_continuous_executor(tiny_nemo):
                      headers={"Content-Type": "application/octet-stream"})
         resp = conn.getresponse()
         assert resp.status == 200, resp.read()
-        payload = json.loads(resp.read())
-        assert "text" in payload and "subwords" in payload
+        whole = json.loads(resp.read())
+        assert "text" in whole and "subwords" in whole
+
+        # /transcribe_stream: ndjson increments; concatenated subwords must
+        # equal the whole-request result (same window plan + merge)
+        conn.request("POST", "/transcribe_stream", body=long_wav.tobytes(),
+                     headers={"Content-Type": "application/octet-stream"})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert resp.headers["Content-Type"] == "application/x-ndjson"
+        lines = [json.loads(ln) for ln in resp.read().splitlines() if ln]
+        assert len(lines) > 1  # 4.5 s over a 2 s window: multiple yields
+        streamed = [sw for ln in lines for sw in ln["subwords"]]
+        assert streamed == whole["subwords"]
     finally:
         server.shutdown()
         batcher.close()
