@@ -15,9 +15,13 @@ Throughput remains meaningful because requests coalesce into batches.
 Usage:
   python tools/tpu_serving_bench.py [n_requests] [concurrency] [max_batch]
   python tools/tpu_serving_bench.py continuous [n_requests] [n_lanes] \
-      [frames_per_segment] [--nemo | --k2]  # default flavor: espnet beam-20;
-                                      # --nemo = ALSD beam-4 lane pool,
-                                      # --k2 = zipformer greedy lane pool
+      [frames_per_segment] [--nemo | --k2] [--blank-bias=X]
+      # default flavor: espnet beam-20; --nemo = ALSD beam-4 lane pool,
+      # --k2 = zipformer greedy lane pool. --blank-bias adds X to the
+      # joint's blank logit bias: plain random weights emit at the cap
+      # every frame (the worst case); biasing the blank models realistic
+      # sparse emission density (trained Japanese ASR emits well under 1
+      # token per frame), which is what the flavor RTFx table measures.
 
 The ``continuous`` mode is the espnet beam-20 A/B the round-3 verdict asked
 for: the same mixed-length traffic through (a) the static MicroBatcher —
@@ -109,6 +113,8 @@ def main_continuous():
     args = [a for a in sys.argv[2:] if not a.startswith("--")]
     flavor = ("nemo" if "--nemo" in sys.argv
               else "k2" if "--k2" in sys.argv else "espnet")
+    blank_bias = next((float(a.split("=", 1)[1]) for a in sys.argv
+                       if a.startswith("--blank-bias=")), 0.0)
     n_req = int(args[0]) if len(args) > 0 else 256
     n_lanes = int(args[1]) if len(args) > 1 else 128
     n_frames = int(args[2]) if len(args) > 2 else 64
@@ -156,6 +162,13 @@ def main_continuous():
         t_buf = int(encoder_output_length(
             num_frames(model.fe_cfg, int(20.0 * 16000)), model.enc_cfg))
         model.decode_cfg = replace(model.decode_cfg, max_tokens=t_buf)
+
+    if blank_bias:
+        jb = model.params["joint"]["out"]["b"]
+        model.params["joint"]["out"]["b"] = jb.at[
+            model.rnnt_cfg.blank_id].add(blank_bias)
+        print(f"blank bias +{blank_bias} on the joint output (sparse "
+              f"realistic emissions instead of cap-every-frame)", flush=True)
 
     # mixed-length traffic on a coarse bucket grid (4 waveform buckets keeps
     # the encode program set small; see ContinuousBatcher.max_encode_batch)
