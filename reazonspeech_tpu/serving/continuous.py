@@ -51,6 +51,7 @@ Device-interaction design (TPU-first):
 import queue
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future
 from dataclasses import replace
 from functools import partial
@@ -351,6 +352,10 @@ class ContinuousBatcher:
         self.segments = 0
         self.encode_ticks = 0
         self.encode_shapes = []  # (m_pad, samples) per encode dispatch
+        # observability (stats()): rolling request latencies + lane busyness
+        self.latencies = deque(maxlen=1024)
+        self.busy_lane_segments = 0
+        self.requests_done = 0
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -425,6 +430,7 @@ class ContinuousBatcher:
                 f"max_seconds window ({self.max_samples} samples); chunk "
                 "long audio through the transcribe layer"))
             return fut
+        fut._submit_t = time.perf_counter()
         self._queue.put((w, fut))
         return fut
 
@@ -442,6 +448,7 @@ class ContinuousBatcher:
     def _submit_window(self, w) -> Future:
         """Enqueue one already-validated window, bypassing backpressure."""
         fut = Future()
+        fut._submit_t = time.perf_counter()
         self._queue.put((w, fut))
         return fut
 
@@ -591,6 +598,27 @@ class ContinuousBatcher:
                 .astype(np.float32) * 0.01).result(
                     timeout=self.drain_timeout)
 
+    def stats(self) -> dict:
+        """Operational snapshot for monitoring (the HTTP front's /healthz):
+        segment/encode counters, queue depth, mean lane occupancy over all
+        segment ticks, and rolling per-request latency percentiles."""
+        lat = sorted(self.latencies)
+        pct = (lambda q: round(lat[min(len(lat) - 1,
+                                       int(q * len(lat)))], 3)) if lat else (
+            lambda q: None)
+        return {
+            "segments": self.segments,
+            "encode_ticks": self.encode_ticks,
+            "queue_depth": self._queue.qsize(),
+            "lanes": self.n_lanes,
+            "lane_occupancy": (
+                round(self.busy_lane_segments / (self.segments * self.n_lanes),
+                      3) if self.segments else 0.0),
+            "requests_done": self.requests_done,
+            "latency_s": {"p50": pct(0.50), "p95": pct(0.95),
+                          "p99": pct(0.99)},  # rolling last-1024 window
+        }
+
     def close(self):
         self._closing = True
         self._queue.put(None)
@@ -734,6 +762,8 @@ class ContinuousBatcher:
                     self._fidx = np.minimum(
                         self._fidx + self.n_frames, self._bound)
                     self.segments += 1
+                    self.busy_lane_segments += int(sum(
+                        f is not None for f in self._lane_fut))
                 else:
                     done_dev = None
 
@@ -743,8 +773,13 @@ class ContinuousBatcher:
                     tokens, frames, counts = (np.asarray(outs[0]),
                                               np.asarray(outs[1]),
                                               np.asarray(outs[2]))
+                    now = time.perf_counter()
                     for l, fut in recs:
                         c = int(counts[l])
+                        t0 = getattr(fut, "_submit_t", None)
+                        if t0 is not None:
+                            self.latencies.append(now - t0)
+                        self.requests_done += 1
                         fut.set_result((tokens[l, :c].tolist(),
                                         frames[l, :c].tolist()))
 

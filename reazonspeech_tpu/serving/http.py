@@ -109,8 +109,7 @@ def make_app(model, seconds_per_frame=0.08, executor="micro", **batcher_kw):
                     stats["mean_batch"] = (
                         float(np.mean(sizes)) if sizes else 0.0)
                 else:  # continuous executor
-                    stats["segments"] = batcher.segments
-                    stats["encode_ticks"] = batcher.encode_ticks
+                    stats.update(batcher.stats())
                 self._send(200, stats)
             else:
                 self._send(404, {"error": "not found"})

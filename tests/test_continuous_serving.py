@@ -311,6 +311,25 @@ def test_max_pending_sheds_load(tiny_espnet):
         assert frames == want_frames
 
 
+def test_stats_snapshot(tiny_espnet):
+    """stats() reports counters, occupancy in (0,1], and latency
+    percentiles after traffic."""
+    batcher = ContinuousBatcher(
+        tiny_espnet, n_lanes=2, frames_per_segment=8, max_seconds=2.0)
+    try:
+        for w in _mixed_wavs(3, seed=43, seconds=(0.8, 1.6)):
+            batcher.transcribe(w)
+        s = batcher.stats()
+    finally:
+        batcher.close()
+    assert s["requests_done"] == 3
+    assert s["segments"] >= 1 and s["encode_ticks"] >= 1
+    assert 0 < s["lane_occupancy"] <= 1
+    assert s["latency_s"]["p50"] > 0
+    assert s["latency_s"]["p99"] >= s["latency_s"]["p50"]
+    assert s["queue_depth"] == 0 and s["lanes"] == 2
+
+
 def test_submit_long_rejects_bad_overlap(tiny_espnet):
     batcher = ContinuousBatcher(
         tiny_espnet, n_lanes=2, frames_per_segment=8, max_seconds=2.0)
@@ -503,6 +522,9 @@ def test_http_server_continuous_executor(tiny_nemo):
         health = json.loads(conn.getresponse().read())
         assert health["ok"] and health["executor"] == "continuous"
         assert health["segments"] >= 1
+        assert health["requests_done"] >= 1
+        assert health["latency_s"]["p50"] > 0
+        assert 0 < health["lane_occupancy"] <= 1
 
         # long audio (> max_seconds) is windowed over the pool (submit_long)
         long_wav = _mixed_wavs(1, seed=23, seconds=(4.5,))[0]
