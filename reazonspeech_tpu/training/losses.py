@@ -17,7 +17,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["rnnt_loss", "ctc_loss"]
+__all__ = ["rnnt_loss", "ctc_loss", "transducer_nll_from_transitions"]
 
 _NEG_INF = -1e30
 
@@ -46,6 +46,23 @@ def rnnt_loss(logits, logit_lengths, labels, label_lengths, blank_id):
     lp_label = jnp.take_along_axis(
         logp[:, :, :u, :], lab[:, None, :, None], axis=-1
     )[..., 0]  # [B, T, U]
+    return transducer_nll_from_transitions(
+        lp_blank, lp_label, logit_lengths, label_lengths)
+
+
+def transducer_nll_from_transitions(
+        lp_blank, lp_label, logit_lengths, label_lengths):
+    """Transducer NLL from per-cell transition log-probs — the lattice DP
+    shared by rnnt_loss (full joint) and pruned_rnnt.rnnt_loss_simple
+    (trivial joiner, which never materializes a [B,T,U,K] joint).
+
+    Args:
+      lp_blank: [B, T, U+1] log p(blank | t, u)
+      lp_label: [B, T, U] log p(y_{u+1} | t, u)
+    Returns: [B] negative log-likelihoods.
+    """
+    b, t, u1 = lp_blank.shape
+    u = u1 - 1
 
     # alpha over anti-diagonals: diag[d][u] = alpha[t=d-u, u]
     def step(diag_prev, d):
