@@ -352,7 +352,11 @@ class ContinuousBatcher:
         self.segments = 0
         self.encode_ticks = 0
         self.encode_shapes = []  # (m_pad, samples) per encode dispatch
-        # observability (stats()): rolling request latencies + lane busyness
+        # observability (stats()): rolling request latencies + lane busyness.
+        # The lock guards iteration (stats() sorts the deque from an HTTP
+        # thread) against concurrent appends from the executor thread —
+        # mutating a deque mid-iteration raises RuntimeError.
+        self._lat_lock = threading.Lock()
         self.latencies = deque(maxlen=1024)
         self.busy_lane_segments = 0
         self.requests_done = 0
@@ -602,7 +606,8 @@ class ContinuousBatcher:
         """Operational snapshot for monitoring (the HTTP front's /healthz):
         segment/encode counters, queue depth, mean lane occupancy over all
         segment ticks, and rolling per-request latency percentiles."""
-        lat = sorted(self.latencies)
+        with self._lat_lock:
+            lat = sorted(self.latencies)
         pct = (lambda q: round(lat[min(len(lat) - 1,
                                        int(q * len(lat)))], 3)) if lat else (
             lambda q: None)
@@ -778,7 +783,8 @@ class ContinuousBatcher:
                         c = int(counts[l])
                         t0 = getattr(fut, "_submit_t", None)
                         if t0 is not None:
-                            self.latencies.append(now - t0)
+                            with self._lat_lock:
+                                self.latencies.append(now - t0)
                         self.requests_done += 1
                         fut.set_result((tokens[l, :c].tolist(),
                                         frames[l, :c].tolist()))
@@ -807,6 +813,25 @@ class ContinuousBatcher:
                 self._done_host[:] = False
                 self._done_skip[:] = False
                 self._done_pending = None
+                # Re-initialize the DEVICE state, not just host bookkeeping:
+                # the fault (e.g. the round-3 ALSD kernel-fault class) may
+                # have poisoned the beam arenas or left _state holding an
+                # errored buffer — resuming on it would decode garbage into
+                # the next occupants' lanes. If the device is still wedged
+                # this raises too; the next tick's failure lands back here
+                # and retries.
+                try:
+                    self._state = self._ad.state_init(
+                        self._params, self.n_lanes)
+                    self._ring = jnp.zeros(
+                        (self.n_lanes, self.t_buf,
+                         self.model.rnnt_cfg.joint_hidden), jnp.float32)
+                    if self.mesh is not None:
+                        self._state = jax.device_put(
+                            self._state, self._lane_sh)
+                        self._ring = jax.device_put(self._ring, self._lane_sh)
+                except Exception:
+                    pass
                 while True:
                     try:
                         item = self._queue.get_nowait()

@@ -154,15 +154,26 @@ def make_app(model, seconds_per_frame=0.08, executor="micro", **batcher_kw):
                 self._send(400, {"error": "streaming requires the "
                                           "continuous executor"})
                 return
+            # stream() submits eagerly, so backpressure (queue.Full -> 503
+            # via do_POST) and validation errors (-> 500) surface HERE,
+            # before the 200 status line is committed
+            gen = stream(wav)
             self.send_response(200)
             self.send_header("Content-Type", "application/x-ndjson")
             self.end_headers()
-            for tokens, frames in stream(wav):
-                line = json.dumps(
-                    _result_json(model, tokens, frames, seconds_per_frame),
-                    ensure_ascii=False)
-                self.wfile.write(line.encode() + b"\n")
-                self.wfile.flush()
+            try:
+                for tokens, frames in gen:
+                    line = json.dumps(
+                        _result_json(model, tokens, frames,
+                                     seconds_per_frame),
+                        ensure_ascii=False)
+                    self.wfile.write(line.encode() + b"\n")
+                    self.wfile.flush()
+            except Exception:
+                # the 200 is already on the wire — a fresh status line would
+                # corrupt the reply; signal failure by truncating the body
+                # (no Content-Length on NDJSON, so the client sees the cut)
+                self.close_connection = True
 
     return Handler, batcher
 

@@ -330,6 +330,47 @@ def test_stats_snapshot(tiny_espnet):
     assert s["queue_depth"] == 0 and s["lanes"] == 2
 
 
+def test_fault_recovery_reinitializes_device_state(tiny_espnet):
+    """A transient device fault mid-traffic (the round-3 ALSD kernel-fault
+    class) must fail the in-flight requests AND leave the pool serving
+    bit-correct results afterwards — the recovery path re-initializes the
+    beam state and enc ring instead of resuming on poisoned buffers
+    (degrade-don't-crash, pkg/espnet-asr/src/ctc.py:90-93)."""
+    batcher = ContinuousBatcher(
+        tiny_espnet, n_lanes=2, frames_per_segment=4, max_seconds=4.0)
+    try:
+        real = batcher._ad.segment_call
+        calls = {"n": 0}
+
+        def flaky(*a, **kw):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise RuntimeError("injected device fault")
+            return real(*a, **kw)
+
+        batcher._ad.segment_call = flaky
+        wavs = _mixed_wavs(4, seed=7)
+        futs = [batcher.submit(w) for w in wavs]
+        failed = 0
+        for f in futs:
+            try:
+                f.result(timeout=600)
+            except RuntimeError as e:
+                assert "injected device fault" in str(e)
+                failed += 1
+        assert failed >= 1  # the fault fanned out to in-flight requests
+
+        # the pool keeps serving, and serves CORRECT results
+        for w in _mixed_wavs(3, seed=11):
+            tokens, frames = batcher.submit(w).result(timeout=600)
+            want_tokens, want_frames = _dedicated(tiny_espnet, batcher, w)
+            assert tokens == want_tokens
+            assert frames == want_frames
+        assert calls["n"] > 2  # the executor loop survived the fault
+    finally:
+        batcher.close()
+
+
 def test_submit_long_rejects_bad_overlap(tiny_espnet):
     batcher = ContinuousBatcher(
         tiny_espnet, n_lanes=2, frames_per_segment=8, max_seconds=2.0)

@@ -151,6 +151,8 @@ def collect_rows(include_avsr=True):
     ]
     if include_avsr:
         specs.append(("avsr-beam5", lambda: bench_avsr(8)))
+    import gc
+
     rows = []
     for name, fn in specs:
         try:
@@ -159,6 +161,12 @@ def collect_rows(include_avsr=True):
             print(f"{name}: FAILED {type(e).__name__}: {e}",
                   file=sys.stderr, flush=True)
             rows.append({"flavor": name, "error": f"{type(e).__name__}: {e}"})
+        finally:
+            # each flavor's params + staged inputs + executables must be off
+            # the chip before the next one allocates (16 GB HBM shared
+            # across the whole run — round-4 OOM, VERDICT r4 weak #1)
+            gc.collect()
+            jax.clear_caches()
     return rows
 
 
