@@ -38,9 +38,18 @@ def compute_loss(
     enc_cfg: FastConformerConfig,
     rnnt_cfg: RNNTConfig,
     ctc_weight: float = 0.0,
+    loss: str = "full",
+    s_range: int = 5,
+    simple_scale: float = 0.5,
 ):
     """batch: dict(waveform [B,N] f32, lengths [B] i32, labels [B,U] i32,
     label_lengths [B] i32) -> scalar mean NLL.
+
+    loss="full" materializes the [B,T,U+1,V] joint (the classic RNN-T
+    memory wall); loss="pruned" trains the icefall-style simple+pruned
+    objective (training.pruned_rnnt) whose peak activation is the
+    [B,T,s_range,V] band — params must then carry a "simple_joint" entry
+    (pruned_rnnt.init_simple_joint).
 
     With ctc_weight > 0 (and a "ctc" head in params), trains the hybrid
     CTC+transducer objective the espnet flavor's models use:
@@ -49,12 +58,23 @@ def compute_loss(
     feats, flens = log_mel_spectrogram(batch["waveform"], batch["lengths"], fe_cfg)
     enc, elens = fastconformer_encode(params["encoder"], feats, flens, enc_cfg)
     pred = predictor_sequence(params["predictor"], batch["labels"], rnnt_cfg)
-    logits = joint_full(params["joint"], enc, pred, rnnt_cfg)
-    nll = jnp.mean(
-        rnnt_loss(
-            logits, elens, batch["labels"], batch["label_lengths"], rnnt_cfg.blank_id
+    if loss == "pruned":
+        from .pruned_rnnt import pruned_loss_bundle
+
+        per_utt, _ = pruned_loss_bundle(
+            params["simple_joint"], params["joint"], enc, pred,
+            batch["labels"], elens, batch["label_lengths"], rnnt_cfg,
+            s_range=s_range, simple_scale=simple_scale,
         )
-    )
+        nll = jnp.mean(per_utt)
+    else:
+        logits = joint_full(params["joint"], enc, pred, rnnt_cfg)
+        nll = jnp.mean(
+            rnnt_loss(
+                logits, elens, batch["labels"], batch["label_lengths"],
+                rnnt_cfg.blank_id,
+            )
+        )
     if ctc_weight > 0.0:
         from ..models.conformer import ctc_logits
         from .losses import ctc_loss
@@ -68,7 +88,8 @@ def compute_loss(
     return nll
 
 
-def make_train_step(fe_cfg, enc_cfg, rnnt_cfg, optimizer=None, ctc_weight=0.0):
+def make_train_step(fe_cfg, enc_cfg, rnnt_cfg, optimizer=None, ctc_weight=0.0,
+                    loss="full", s_range=5, simple_scale=0.5):
     """Returns (init_state, train_step). ``train_step(state, batch)`` is a
     pure jittable function -> (new_state, metrics)."""
     if optimizer is None:
@@ -82,15 +103,16 @@ def make_train_step(fe_cfg, enc_cfg, rnnt_cfg, optimizer=None, ctc_weight=0.0):
         )
 
     def train_step(state: TrainState, batch):
-        loss, grads = jax.value_and_grad(compute_loss)(
-            state.params, batch, fe_cfg, enc_cfg, rnnt_cfg, ctc_weight
+        loss_val, grads = jax.value_and_grad(compute_loss)(
+            state.params, batch, fe_cfg, enc_cfg, rnnt_cfg, ctc_weight,
+            loss, s_range, simple_scale,
         )
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         gnorm = optax.global_norm(grads)
         return (
             TrainState(params=new_params, opt_state=new_opt, step=state.step + 1),
-            {"loss": loss, "grad_norm": gnorm},
+            {"loss": loss_val, "grad_norm": gnorm},
         )
 
     return init_state, train_step

@@ -39,6 +39,11 @@ class TrainerConfig:
     weight_decay: float = 0.01
     grad_clip: float = 5.0
     ctc_weight: float = 0.0
+    # "full" = materialized-joint rnnt_loss; "pruned" = icefall-style
+    # simple+pruned objective (params need a "simple_joint" entry)
+    loss: str = "full"
+    s_range: int = 5
+    simple_scale: float = 0.5
 
 
 def _schedule(cfg: TrainerConfig):
@@ -69,7 +74,8 @@ class Trainer:
         )
         self._init_state, step_fn = make_train_step(
             fe_cfg, enc_cfg, rnnt_cfg, optimizer=self.optimizer,
-            ctc_weight=cfg.ctc_weight,
+            ctc_weight=cfg.ctc_weight, loss=cfg.loss, s_range=cfg.s_range,
+            simple_scale=cfg.simple_scale,
         )
         if mesh is not None:
             from ..parallel.mesh import shard_batch

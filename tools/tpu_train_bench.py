@@ -3,11 +3,13 @@ SURVEY.md §4 — this measures the beyond-reference training subsystem).
 
 Times the full jitted RNN-T train step — waveform → log-mel → FastConformer
 (remat) → predictor/joint → transducer loss (diagonal-wavefront scan) →
-AdamW update — and prints audio-seconds/second and steps/s. The joint
+AdamW update — and prints audio-seconds/second and steps/s. With loss=full the joint
 materializes [B, T, U, V] logits, the usual RNN-T memory wall, so batch and
-clip length are modest on a single 16 GB chip.
+clip length are modest on a single 16 GB chip; loss=pruned trains the
+icefall-style simple+pruned objective (training/pruned_rnnt.py) whose peak
+activation is the [B, T, s_range, V] band, which lifts that bound.
 
-Usage: python tools/tpu_train_bench.py [batch] [seconds] [u_labels]
+Usage: python tools/tpu_train_bench.py [batch] [seconds] [u_labels] [full|pruned]
 """
 
 import sys
@@ -34,18 +36,24 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     seconds = float(sys.argv[2]) if len(sys.argv) > 2 else 15.0
     u = int(sys.argv[3]) if len(sys.argv) > 3 else 48
+    loss = sys.argv[4] if len(sys.argv) > 4 else "full"
     iters = 8
 
     fe_cfg = nemo_frontend_config()
     enc_cfg = FastConformerConfig.xlarge(remat=True)
     rnnt_cfg = RNNTConfig(enc_dim=enc_cfg.d_model)
     print(f"device: {jax.devices()[0].device_kind}  B={batch} x {seconds:.0f}s "
-          f"U={u} (619M, bf16 matmuls, remat)", flush=True)
+          f"U={u} loss={loss} (619M, bf16 matmuls, remat)", flush=True)
 
     params = init_params(0, enc_cfg, rnnt_cfg)
+    if loss == "pruned":
+        from reazonspeech_tpu.training.pruned_rnnt import init_simple_joint
+
+        params["simple_joint"] = init_simple_joint(
+            jax.random.PRNGKey(1), rnnt_cfg)
     init_state, step_fn = make_train_step(
         fe_cfg, enc_cfg, rnnt_cfg,
-        optimizer=optax.adamw(1e-4, weight_decay=1e-2))
+        optimizer=optax.adamw(1e-4, weight_decay=1e-2), loss=loss)
     step_fn = jax.jit(step_fn, donate_argnums=(0,))
     state = init_state(params)
 
