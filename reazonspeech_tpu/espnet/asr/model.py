@@ -53,6 +53,7 @@ def encode_ctc_decode(
     """One fused pass: frontend → encoder → (CTC log-probs, emissions)."""
     from ...decoding.rnnt_beam import BeamDecodeConfig, rnnt_beam_decode
     from ...decoding.transducer_graves import GravesBeamConfig, graves_beam_decode
+    from ...decoding.transducer_maes import MAESBeamConfig, maes_beam_decode
 
     feats, flens = log_mel_spectrogram(waveform, lengths, fe_cfg)
     feats = _apply_mvn(params, feats, flens)
@@ -64,6 +65,12 @@ def encode_ctc_decode(
         # ``saturated`` marks elements where the fixed-shape pop cap ended a
         # frame before ESPnet's own termination test would have
         tokens, frames, counts, _, saturated = graves_beam_decode(
+            params["predictor"], params["joint"], enc, elens, rnnt_cfg, decode_cfg
+        )
+    elif isinstance(decode_cfg, MAESBeamConfig):
+        # ESPnet's alignment-synchronous alternative (search_type="maes"):
+        # O(frames) batched expansions, no serial pop loop
+        tokens, frames, counts, _ = maes_beam_decode(
             params["predictor"], params["joint"], enc, elens, rnnt_cfg, decode_cfg
         )
     elif isinstance(decode_cfg, BeamDecodeConfig):
@@ -269,8 +276,12 @@ def load_model_container(
     ``decoding`` selects the decode strategy: "beam" (the DEFAULT — ESPnet's
     ``default_beam_search`` at Speech2Text's default width 20, exactly what
     the reference serves via pkg/espnet-asr/src/transcribe.py:27-32,69;
-    oracle-gated in tools/convert_and_gate.py), "alsd" (the NeMo-style
-    alignment-synchronous beam) or "greedy" (the fast path).
+    oracle-gated in tools/convert_and_gate.py), "maes" (ESPnet's
+    alignment-synchronous ``search_type="maes"`` — O(frames) batched
+    expansions instead of the serial per-frame pop loop, oracle-gated in
+    tests/test_maes_beam.py; stays opt-in until real-weight CER confirms
+    parity with "beam"), "alsd" (the NeMo-style alignment-synchronous beam)
+    or "greedy" (the fast path).
 
     Checkpoint resolution is offline-first HF-hub (core/hub.py) and FAILS
     LOUDLY when nothing resolves; pass checkpoint="random" for an explicitly
@@ -346,6 +357,10 @@ def load_model_container(
         from ...decoding.transducer_graves import GravesBeamConfig
 
         decode_cfg = GravesBeamConfig(beam_size=beam_size, topk_impl=topk_impl)
+    elif decoding == "maes":
+        from ...decoding.transducer_maes import MAESBeamConfig
+
+        decode_cfg = MAESBeamConfig(beam_size=beam_size, topk_impl=topk_impl)
     elif decoding == "alsd":
         from ...decoding.rnnt_beam import BeamDecodeConfig
 

@@ -124,3 +124,22 @@ def test_beam_saturation_warns(tiny_model):
     wav[0] = (rng.standard_normal(16000) * 0.1).astype(np.float32)
     with pytest.warns(RuntimeWarning, match="pop budget"):
         saturating.decode_batch(wav, np.array([16000], np.int32))
+
+
+def test_transcribe_maes_decoding():
+    """decoding="maes" drives the full transcribe path end-to-end (the
+    alignment-synchronous opt-in; algorithm gated in test_maes_beam.py)."""
+    enc_cfg = espnet_encoder_config(
+        num_layers=2, d_model=64, num_heads=4, subsampling_channels=32,
+        compute_dtype="float32",
+    )
+    model = load_model(enc_cfg=enc_cfg, checkpoint="random", decoding="maes")
+    from reazonspeech_tpu.decoding.transducer_maes import MAESBeamConfig
+
+    assert isinstance(model.decode_cfg, MAESBeamConfig)
+    rng = np.random.default_rng(0)
+    wav = (rng.standard_normal(24000) * 0.1).astype(np.float32)
+    ret = transcribe(model, audio_from_numpy(wav, 16000),
+                     TranscribeConfig(verbose=False))
+    assert isinstance(ret.text, str)
+    assert "".join(s.text for s in ret.segments) == ret.text

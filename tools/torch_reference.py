@@ -423,6 +423,109 @@ def espnet_default_beam_reference(sd, enc, vocab_size, beam_size=20,
     return list(best["toks"]), list(best["frames"]), best["score"]
 
 
+def espnet_maes_beam_reference(sd, enc, vocab_size, beam_size=20, nstep=2,
+                               expansion_beta=2, expansion_gamma=2.3,
+                               prefix_alpha=1, score_norm=True,
+                               max_tokens=None, pred_rnn_layers=1,
+                               joint_activation="tanh"):
+    """Serial modified Adaptive Expansion Search — our bounded reading of
+    Kim & Sung (IEEE SPL 2020), the algorithm ESPnet offers as
+    ``search_type="maes"`` (the alignment-synchronous alternative to the
+    default_beam_search the reference serves, pkg/espnet-asr/src/
+    transcribe.py:69). This oracle mirrors the fixed-shape TPU variant
+    (decoding/transducer_maes.py) exactly:
+
+    - per frame, prefix merge (alpha 1: a hypothesis one label short of
+      another logaddexp-donates its mass of emitting the missing label;
+      donor scores are pre-merge), then up to ``nstep`` expansion steps;
+    - candidates per hypothesis = blank (always offered) + top
+      ``beam + beta`` labels, pruned to within ``gamma`` of the hypothesis'
+      best candidate;
+    - blank extensions accumulate in a kept list (capped at beam, lossless);
+      label expansions are pruned to the global top ``beam`` each step (the
+      bounded divergence from ESPnet's unpruned list);
+    - after the last step the surviving expansions are blank-terminated
+      with their NEW dec_out's blank log-prob and merged with the kept
+      list, top ``beam`` survives.
+
+    Ties break by (score desc, insertion order asc) — the same order as the
+    batched top_k. enc: [T, D]. Returns (tokens, frames, score).
+    """
+    embed, lstm_step, joint, zero_state, blank = _rnnt_networks(
+        sd, vocab_size, pred_rnn_layers, joint_activation,
+        prefix="decoder", joint_prefix="joint_network", blank_first=True)
+    K = min(beam_size, vocab_size)
+    m_lab = min(beam_size + expansion_beta, vocab_size - 1)
+    T = enc.shape[0]
+    u_cap = max_tokens if max_tokens is not None else T
+
+    def topk_hyps(cands):
+        order = sorted(range(len(cands)),
+                       key=lambda i: (-cands[i]["score"], i))
+        return [cands[i] for i in order[:K]]
+
+    with torch.no_grad():
+        g0, st0 = lstm_step(embed(blank), zero_state())
+        hyps = [{"score": 0.0, "toks": (), "frames": (), "g": g0,
+                 "state": st0}]
+        for t in range(T):
+            if prefix_alpha:
+                logps = [F.log_softmax(joint(enc[t], h["g"]), dim=-1)
+                         for h in hyps]
+                pre = [h["score"] for h in hyps]
+                for j, hj in enumerate(hyps):
+                    for i, hi in enumerate(hyps):
+                        li, lj = len(hi["toks"]), len(hj["toks"])
+                        if lj == li + 1 and hj["toks"][:li] == hi["toks"]:
+                            miss = hj["toks"][li]
+                            hj["score"] = float(np.logaddexp(
+                                hj["score"], pre[i] + float(logps[i][miss])))
+            list_b = []
+            work = hyps
+            for n in range(nstep):
+                new_exp = []
+                for h in work:
+                    logp = F.log_softmax(joint(enc[t], h["g"]), dim=-1)
+                    lp_blank = float(logp[blank])
+                    lab = logp.clone()
+                    lab[blank] = float("-inf")
+                    vals, idxs = lab.topk(m_lab)
+                    best = h["score"] + max(lp_blank, float(vals[0]))
+                    if h["score"] + lp_blank >= best - expansion_gamma:
+                        list_b.append(dict(
+                            h, score=h["score"] + lp_blank))
+                    if len(h["toks"]) < u_cap:
+                        for lv, li_ in zip(vals.tolist(), idxs.tolist()):
+                            s = h["score"] + lv
+                            if s >= best - expansion_gamma:
+                                new_exp.append({
+                                    "score": s,
+                                    "toks": h["toks"] + (li_,),
+                                    "frames": h["frames"] + (t,),
+                                    "state": h["state"],
+                                    "g": None,
+                                })
+                list_b = topk_hyps(list_b)
+                new_exp = topk_hyps(new_exp)
+                for e in new_exp:
+                    e["g"], e["state"] = lstm_step(
+                        embed(e["toks"][-1]), e["state"])
+                work = new_exp
+                if not new_exp:
+                    break
+            fin = []
+            for h in work:
+                logp = F.log_softmax(joint(enc[t], h["g"]), dim=-1)
+                fin.append(dict(h, score=h["score"] + float(logp[blank])))
+            hyps = topk_hyps(list_b + fin)
+
+    def key(h):
+        return h["score"] / (len(h["toks"]) + 1) if score_norm else h["score"]
+
+    best = max(hyps, key=key)
+    return list(best["toks"]), list(best["frames"]), best["score"]
+
+
 def stateless_greedy_reference(sd, enc, context_size=2, max_symbols=10):
     """Greedy decode with the icefall stateless predictor (embedding of the
     last ``context_size`` tokens → context conv → relu; blank == 0) and the
