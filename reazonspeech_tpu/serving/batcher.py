@@ -30,13 +30,26 @@ class MicroBatcher:
       max_batch: hard batch-size cap per tick
       max_wait_ms: how long the first request in a tick waits for company
       bucket_samples: waveforms pad to multiples of this (compile stability)
+      fixed_shape: optional (batch, samples) — pad EVERY tick to exactly
+        this dispatch shape instead of bucketing. One compiled program total,
+        and the encode shape matches a ContinuousBatcher configured with
+        ``fixed_encode_shape`` over the same caps — the program-identical
+        static side of the continuous-vs-static A/B (re-bucketing each tick
+        onto its own shape changes the XLA program, whose bf16 encode low
+        bits differ; near-tie beams amplify that into token flips).
+        Requests longer than ``samples`` are rejected at submit().
     """
 
     def __init__(self, model, max_batch=32, max_wait_ms=20.0,
-                 bucket_samples=None):
+                 bucket_samples=None, fixed_shape=None):
         self.model = model
         self.max_batch = max_batch
         self.max_wait_ms = max_wait_ms
+        self.fixed_shape = fixed_shape
+        if fixed_shape is not None:
+            # a tick can never exceed (or undershoot the padding of) the
+            # fixed dispatch batch
+            self.max_batch = fixed_shape[0]
         # default to the model's own padding grid so batched results match
         # decode_single exactly even when worst-case emission caps bind
         self.bucket_samples = bucket_samples or getattr(
@@ -59,7 +72,13 @@ class MicroBatcher:
     def submit(self, waveform) -> Future:
         """Enqueue one float32 waveform; resolves to (token_ids, frames)."""
         fut = Future()
-        self._queue.put((np.asarray(waveform, np.float32), fut))
+        w = np.asarray(waveform, np.float32)
+        if self.fixed_shape is not None and len(w) > self.fixed_shape[1]:
+            fut.set_exception(ValueError(
+                f"request of {len(w)} samples exceeds the fixed dispatch "
+                f"shape ({self.fixed_shape[1]} samples)"))
+            return fut
+        self._queue.put((w, fut))
         return fut
 
     def transcribe(self, waveform):
@@ -104,22 +123,26 @@ class MicroBatcher:
             if items is None:
                 return
             try:
-                n_max = max(len(w) for w, _ in items)
-                padded = max(
-                    self.bucket_samples,
-                    -(-n_max // self.bucket_samples) * self.bucket_samples,
-                )
                 b = len(items)
-                # bucket the BATCH dimension too (next power of two): a
-                # variable b would compile one program per distinct size
-                # under organic load; zero-length pad rows emit count 0
-                # (padding-invariant caps, tests/test_serving.py). Clamped to
-                # max_batch so a non-power-of-two cap (say 24) never
-                # dispatches a batch shape (32) the cap was meant to preclude.
-                b_pad = min(1 << (b - 1).bit_length(), self.max_batch)
-                m = self.batch_multiple
-                if m > 1:
-                    b_pad = min(-(-b_pad // m) * m, self.max_batch)
+                if self.fixed_shape is not None:
+                    b_pad, padded = self.fixed_shape
+                else:
+                    n_max = max(len(w) for w, _ in items)
+                    padded = max(
+                        self.bucket_samples,
+                        -(-n_max // self.bucket_samples) * self.bucket_samples,
+                    )
+                    # bucket the BATCH dimension too (next power of two): a
+                    # variable b would compile one program per distinct size
+                    # under organic load; zero-length pad rows emit count 0
+                    # (padding-invariant caps, tests/test_serving.py).
+                    # Clamped to max_batch so a non-power-of-two cap (say 24)
+                    # never dispatches a batch shape (32) the cap was meant
+                    # to preclude.
+                    b_pad = min(1 << (b - 1).bit_length(), self.max_batch)
+                    m = self.batch_multiple
+                    if m > 1:
+                        b_pad = min(-(-b_pad // m) * m, self.max_batch)
                 buf = np.zeros((b_pad, padded), np.float32)
                 lens = np.zeros((b_pad,), np.int32)
                 for i, (w, _) in enumerate(items):

@@ -13,6 +13,10 @@ lane pool's ``--max-pending`` backlog bound is hit, requests are shed with
 chip; scale-out is one process per chip behind any load balancer (chip
 grants are exclusive, matching the reference's one-model-per-GPU pattern).
 
+``--flavor avsr`` serves the seq2seq AVSR family through its own static
+micro-batcher (:func:`make_avsr_app`); the transducer-only continuous
+executor does not apply there.
+
 Run: ``reazonspeech-serve --flavor nemo --port 8080`` (console script) or
 ``python -m reazonspeech_tpu.serving.http``.
 """
@@ -26,7 +30,7 @@ import numpy as np
 
 from .batcher import MicroBatcher
 
-__all__ = ["serve", "make_app"]
+__all__ = ["serve", "make_app", "make_avsr_app"]
 
 
 def _load_flavor(flavor, checkpoint=None):
@@ -42,6 +46,16 @@ def _load_flavor(flavor, checkpoint=None):
         from ..k2.asr.huggingface import load_model
 
         return load_model(checkpoint=checkpoint)
+    if flavor == "avsr":
+        import jax
+
+        from ..avsr.configuration_avhubert import AVHubertConfig
+        from ..avsr.model import AVHubertForConditionalGeneration
+
+        if checkpoint in (None, "random"):
+            return AVHubertForConditionalGeneration.init(
+                jax.random.PRNGKey(0), AVHubertConfig())
+        return AVHubertForConditionalGeneration.from_pretrained(checkpoint)
     raise ValueError(f"unknown flavor: {flavor}")
 
 
@@ -178,6 +192,86 @@ def make_app(model, seconds_per_frame=0.08, executor="micro", **batcher_kw):
     return Handler, batcher
 
 
+def make_avsr_app(model, tokenizer=None, **batcher_kw):
+    """HTTP handler over the AVSR micro-batcher (:mod:`serving.avsr`).
+
+    The AVSR flavor serves through its OWN static micro-batcher: seq2seq
+    beam generate carries no per-frame survivor state, so it does not fit
+    the transducer lane-recycling model the continuous executor is built on
+    (the loop it batches is the reference's per-utterance ``generate``,
+    pkg/avsr/src/avhubert/modeling_avhubert.py:330-391).
+
+    POST /transcribe body formats:
+      - WAV or raw float32 PCM16k (``application/octet-stream``):
+        audio-only AVSR — log-fbank 26×4 features extracted server-side;
+      - ``application/x-npz``: ``np.savez`` archive with ``audio``
+        ([T, 104] stacked features) and/or ``video`` ([T, 88, 88]
+        normalized mouth ROIs) — pre-extracted, since mouth-ROI cropping
+        needs client-side landmarks.
+
+    Returns ``{"token_ids": [...], "text": "..."}`` (text only when a
+    tokenizer is available).
+    """
+    import io
+
+    from ..avsr.feature_extraction import AVHubertFeatureExtractor
+    from .avsr import AVSRBatcher
+
+    fe = AVHubertFeatureExtractor()
+    batcher = AVSRBatcher(model, **batcher_kw)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet by default
+            pass
+
+        def _send(self, code, payload):
+            body = json.dumps(payload, ensure_ascii=False).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path != "/healthz":
+                self._send(404, {"error": "not found"})
+                return
+            self._send(200, {
+                "ok": True,
+                "flavor": "avsr",
+                "executor": "avsr-micro",
+                "ticks": len(batcher.batch_shapes),
+            })
+
+        def do_POST(self):
+            if self.path != "/transcribe":
+                self._send(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n)
+                ctype = self.headers.get("Content-Type", "")
+                audio = video = None
+                if ctype.startswith("application/x-npz"):
+                    arrs = np.load(io.BytesIO(body))
+                    audio = arrs["audio"] if "audio" in arrs else None
+                    video = arrs["video"] if "video" in arrs else None
+                else:
+                    wav = _decode_audio_body(body, ctype)
+                    audio = fe._extract_audio(wav)
+                tokens = batcher.submit(audio=audio, video=video).result(
+                    timeout=600)
+                payload = {"token_ids": list(map(int, tokens))}
+                if tokenizer is not None:
+                    payload["text"] = tokenizer.decode(
+                        tokens, skip_special_tokens=True)
+                self._send(200, payload)
+            except Exception as e:
+                self._send(500, {"error": str(e)})
+
+    return Handler, batcher
+
+
 def serve(model, host="0.0.0.0", port=8080, seconds_per_frame=0.08,
           executor="micro", **batcher_kw):
     """Serve ``model`` until interrupted. Returns (server, batcher) when
@@ -195,7 +289,8 @@ def main(argv=None):
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--flavor", default="nemo", choices=("nemo", "espnet", "k2"))
+    ap.add_argument("--flavor", default="nemo",
+                    choices=("nemo", "espnet", "k2", "avsr"))
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8080)
@@ -221,6 +316,22 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     model = _load_flavor(args.flavor, args.checkpoint)
+    if args.flavor == "avsr":
+        # AVSR serves through its own static micro-batcher (seq2seq
+        # generate doesn't fit the transducer lane model); --continuous
+        # and the transducer-specific knobs don't apply
+        if args.continuous:
+            ap.error("--continuous is not supported for --flavor avsr "
+                     "(seq2seq generate has no lane-recycling analogue)")
+        print(f"serving avsr on {args.host}:{args.port}")
+        handler, batcher = make_avsr_app(model, max_batch=args.max_batch,
+                                         max_wait_ms=args.max_wait_ms)
+        server = ThreadingHTTPServer((args.host, args.port), handler)
+        try:
+            server.serve_forever()
+        finally:
+            batcher.close()
+        return
     spf = {"nemo": 0.08, "espnet": 0.04, "k2": 0.04}[args.flavor]
     print(f"serving {args.flavor} on {args.host}:{args.port}")
     if args.continuous:

@@ -88,3 +88,63 @@ def test_greedy_mode_and_errors(tiny_model):
             batcher.submit(a[:5], v).result(timeout=10)
     finally:
         batcher.close()
+
+
+def test_avsr_http_route(tiny_model):
+    """--flavor avsr HTTP route: WAV body (audio-only, server-side feature
+    extraction) and npz body (pre-extracted audio+video) both round-trip
+    through the AVSR micro-batcher."""
+    import http.client
+    import io
+    import json
+    import threading
+    import wave
+    from http.server import ThreadingHTTPServer
+
+    from reazonspeech_tpu.serving.http import make_avsr_app
+
+    handler, batcher = make_avsr_app(
+        tiny_model, max_batch=4, max_wait_ms=5.0, bucket_frames=16,
+        num_beams=3, max_length=12)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+
+        # WAV body -> audio-only AVSR
+        rng = np.random.default_rng(0)
+        wav = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes((wav * 32767).astype(np.int16).tobytes())
+        conn.request("POST", "/transcribe", body=buf.getvalue(),
+                     headers={"Content-Type": "audio/wav"})
+        resp = conn.getresponse()
+        body = resp.read()
+        assert resp.status == 200, body
+        payload = json.loads(body)
+        assert isinstance(payload["token_ids"], list)
+
+        # npz body -> pre-extracted audio + video, parity vs dedicated
+        a, v = _req(rng, 10)
+        nbuf = io.BytesIO()
+        np.savez(nbuf, audio=a, video=v)
+        conn.request("POST", "/transcribe", body=nbuf.getvalue(),
+                     headers={"Content-Type": "application/x-npz"})
+        resp = conn.getresponse()
+        body = resp.read()
+        assert resp.status == 200, body
+        payload = json.loads(body)
+        assert payload["token_ids"] == _dedicated(tiny_model, a, v, 3, 12)
+
+        conn.request("GET", "/healthz")
+        health = json.loads(conn.getresponse().read())
+        assert health["ok"] and health["flavor"] == "avsr"
+    finally:
+        server.shutdown()
+        batcher.close()

@@ -148,3 +148,26 @@ def test_microbatcher_batch_dim_bucketing(tiny_model):
     assert mb.batch_shapes, "no batches dispatched"
     for b_pad, _ in mb.batch_shapes:
         assert b_pad & (b_pad - 1) == 0, mb.batch_shapes
+
+
+def test_microbatcher_fixed_shape(tiny_model):
+    """fixed_shape mode: every tick dispatches exactly the configured
+    (batch, samples) program; fp32 results match decode_single; oversize
+    requests are rejected at submit (the A/B shape-experiment contract)."""
+    mb = MicroBatcher(tiny_model, max_wait_ms=40.0,
+                      fixed_shape=(4, 16000))
+    try:
+        wavs = _wavs(3, seconds=0.6)
+        futs = [mb.submit(w) for w in wavs]
+        got = [f.result(timeout=300) for f in futs]
+        for w, (tokens, frames) in zip(wavs, got):
+            want_tokens, want_frames = tiny_model.decode_single(w)
+            assert tokens == want_tokens
+            assert frames == want_frames
+        assert mb.batch_shapes and all(
+            s == (4, 16000) for s in mb.batch_shapes), mb.batch_shapes
+        too_long = np.zeros(16001, np.float32)
+        with pytest.raises(ValueError, match="fixed dispatch shape"):
+            mb.submit(too_long).result(timeout=10)
+    finally:
+        mb.close()

@@ -195,6 +195,29 @@ def main_continuous():
           f"{audio_total/static_wall:.0f} audio-sec/s  "
           f"ticks={len(static.batch_shapes)}", flush=True)
 
+    # ---- (a2) static at the lane pool's FIXED encode shape ------------------
+    # program-identical shape experiment: every tick dispatches
+    # (max_encode_batch, max_samples) — the exact shape the continuous
+    # pool's fixed_encode_shape encoder runs — so any token diff between
+    # (a) and (a2) is re-bucketing numerics alone (same executor, same
+    # scheduling, only the padded XLA program differs)
+    enc_b = 16  # ContinuousBatcher default max_encode_batch
+    max_samples = int(20.0 * 16000)
+    bucket = getattr(model, "bucket_samples", 2 * 16000)
+    max_samples = int(-(-max_samples // bucket) * bucket)
+    fixed = MicroBatcher(model, max_wait_ms=100.0,
+                         fixed_shape=(enc_b, max_samples))
+    fixed.transcribe(rng.standard_normal(int(4.0 * 16000))
+                     .astype(np.float32) * 0.1)  # compile untimed
+    t0 = time.perf_counter()
+    futs = [fixed.submit(w) for w in wavs]
+    fixed_out = [f.result(timeout=3600) for f in futs]
+    fixed_wall = time.perf_counter() - t0
+    fixed.close()
+    print(f"static  fixed-shape ({enc_b}x{max_samples/16000:.0f}s ticks): "
+          f"wall {fixed_wall:.1f}s  goodput {audio_total/fixed_wall:.0f} "
+          f"audio-sec/s  ticks={len(fixed.batch_shapes)}", flush=True)
+
     # ---- (b) continuous batching -------------------------------------------
     cont = ContinuousBatcher(model, n_lanes=n_lanes,
                              frames_per_segment=n_frames, max_seconds=20.0)
@@ -227,6 +250,8 @@ def main_continuous():
                  if cont_out[i][0] != cont.transcribe(wavs[i])[0]]
     cont.close()
     bucket_diff = sum(static_out[i][0] != cont_out[i][0] for i in idx)
+    shape_diff = sum(static_out[i][0] != fixed_out[i][0] for i in idx)
+    fixed_vs_cont = sum(fixed_out[i][0] != cont_out[i][0] for i in idx)
     print(f"parity: mixed-traffic vs solo replay through the same lane pool "
           f"on {len(idx)} sampled requests: "
           f"{'OK (scheduling exact)' if not bad_sched else f'MISMATCH at {bad_sched}'}",
@@ -234,6 +259,12 @@ def main_continuous():
     print(f"        static-bucket vs continuous token diffs (cross-program "
           f"bf16 encode numerics, not scheduling): {bucket_diff}/{len(idx)}",
           flush=True)
+    print(f"        static-bucket vs static-FIXED-shape diffs (same "
+          f"executor+scheduling, only the padded program differs): "
+          f"{shape_diff}/{len(idx)}", flush=True)
+    print(f"        static-FIXED-shape vs continuous diffs (encode shape "
+          f"matched; residual = fused-vs-split program compilation): "
+          f"{fixed_vs_cont}/{len(idx)}", flush=True)
 
 
 if __name__ == "__main__":
