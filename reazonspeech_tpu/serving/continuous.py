@@ -81,6 +81,12 @@ from ..decoding.transducer_graves import (
     graves_finalize,
     graves_state_init,
 )
+from ..decoding.transducer_maes import (
+    MAESBeamConfig,
+    maes_beam_segment,
+    maes_finalize,
+    maes_state_init,
+)
 from ..frontend.features import log_mel_spectrogram, num_frames
 from ..models.fastconformer import encoder_output_length, fastconformer_encode
 from ..models.rnnt import joint_precompute_enc
@@ -164,6 +170,39 @@ class _GravesAdapter:
 
     def finalize_call(self, state, lane_len):
         tokens, frames, counts, _, _ = graves_finalize(
+            state, lane_len, self.model.rnnt_cfg, self.cfg)
+        return tokens, frames, counts
+
+
+class _MAESAdapter:
+    """Frame-clocked segmented mAES beam (espnet ``decoding="maes"`` — the
+    alignment-synchronous opt-in; same lane contract as the Graves adapter,
+    bit-identical to a dedicated whole-utterance decode per lane
+    (tests/test_maes_beam.py::test_segmented_matches_whole))."""
+
+    mvn = True
+    has_done_flag = False
+
+    def __init__(self, model, t_buf):
+        self.model = model
+        self.cfg = (model.decode_cfg if model.decode_cfg.max_tokens > 0
+                    else replace(model.decode_cfg, max_tokens=t_buf))
+
+    def bound(self, lane_len: int) -> int:
+        return int(lane_len)
+
+    def state_init(self, params, n_lanes):
+        return maes_state_init(
+            params["predictor"], n_lanes, self.model.rnnt_cfg, self.cfg)
+
+    def segment_call(self, params, ring, lane_len, reset, state, n):
+        state = maes_beam_segment(
+            params["predictor"], params["joint"], ring, lane_len, reset,
+            state, self.model.rnnt_cfg, self.cfg, n)
+        return state, state.fidx >= lane_len
+
+    def finalize_call(self, state, lane_len):
+        tokens, frames, counts, _ = maes_finalize(
             state, lane_len, self.model.rnnt_cfg, self.cfg)
         return tokens, frames, counts
 
@@ -302,6 +341,8 @@ class ContinuousBatcher:
         self.t_buf = int(self.host_frames(self.max_samples))
         if isinstance(model.decode_cfg, GravesBeamConfig):
             self._ad = _GravesAdapter(model, self.t_buf)
+        elif isinstance(model.decode_cfg, MAESBeamConfig):
+            self._ad = _MAESAdapter(model, self.t_buf)
         elif isinstance(model.decode_cfg, BeamDecodeConfig):
             self._ad = _ALSDAdapter(model, self.t_buf)
         elif isinstance(model.decode_cfg, GreedyDecodeConfig):
@@ -309,8 +350,9 @@ class ContinuousBatcher:
         else:
             raise TypeError(
                 "ContinuousBatcher drives a segmented transducer decode; the "
-                "container's decode_cfg must be a GravesBeamConfig (espnet), "
-                "BeamDecodeConfig (nemo ALSD), or GreedyDecodeConfig "
+                "container's decode_cfg must be a GravesBeamConfig or "
+                "MAESBeamConfig (espnet), BeamDecodeConfig (nemo ALSD), or "
+                "GreedyDecodeConfig "
                 f"(nemo/k2/espnet greedy), got "
                 f"{type(model.decode_cfg).__name__}.")
         self.cfg = self._ad.cfg

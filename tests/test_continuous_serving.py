@@ -590,3 +590,30 @@ def test_http_server_continuous_executor(tiny_nemo):
     finally:
         server.shutdown()
         batcher.close()
+
+
+def test_maes_flavor_through_executor():
+    """espnet ``decoding='maes'`` (the alignment-synchronous opt-in) rides
+    the same lane pool: mixed traffic == dedicated decode per request."""
+    model = load_model_container(
+        checkpoint="random",
+        enc_cfg=espnet_encoder_config(
+            num_layers=2, d_model=32, num_heads=4, subsampling_channels=32,
+            compute_dtype="float32",
+        ),
+        decoding="maes",
+        beam_size=4,
+    )
+    batcher = ContinuousBatcher(
+        model, n_lanes=3, frames_per_segment=4, max_seconds=4.0)
+    try:
+        wavs = _mixed_wavs(6, seed=3)
+        futs = [batcher.submit(w) for w in wavs]
+        got = [f.result(timeout=600) for f in futs]
+    finally:
+        batcher.close()
+    for i, (w, (tokens, frames)) in enumerate(zip(wavs, got)):
+        want_tokens, want_frames = _dedicated(model, batcher, w)
+        assert tokens == want_tokens, i
+        assert frames == want_frames, i
+    assert batcher.segments > 0
