@@ -269,33 +269,41 @@ def _run_frames(pred_params, joint_params, enc_proj, lane_len, state,
         return jnp.where(
             jnp.any(match, axis=-1), jnp.logaddexp(s, boost), s)
 
-    def topk_rows(scores2k, arrays2k):
-        """Top-K of a [B, 2K] candidate set; gather each [B, 2K, ...] payload
-        array at the winners. Returns (scores [B,K], gathered arrays)."""
-        vals, idx = jax.lax.top_k(scores2k, k)
-        outs = []
-        for a in arrays2k:
-            ix = idx.reshape(idx.shape + (1,) * (a.ndim - 2))
-            outs.append(jnp.take_along_axis(a, ix, axis=1))
-        return jnp.where(vals > _ALIVE, vals, _DEAD), outs
+    def take(a, idx):
+        """take_along_axis over the beam-slot axis (axis 1)."""
+        return jnp.take_along_axis(
+            a, idx.reshape(idx.shape + (1,) * (a.ndim - 2)), axis=1)
 
     def frame_body(fstate):
+        """One frame. The expansion steps keep only what the NEXT step
+        needs materialized (scores, counts, dec/LSTM state — the predictor
+        reads those now); token/frame buffers are never gathered per step.
+        Instead each step records (parent, token, write-pos) and ONE merge
+        at frame end selects the top-K of every candidate generation
+        (step-n blanks + final blank-terminated expansions — strictly the
+        same set the per-step lossless merges kept), composes each winner's
+        parent chain backward to its root beam slot, gathers the root's
+        token/frame rows once, and applies its ≤nstep masked column writes.
+        Payload-gather traffic per frame drops from O(nstep·K·U) to
+        O(K·U); op count per frame drops ~30% (the loop is op-latency
+        bound, not FLOP bound — BENCHMARKS.md)."""
         step, fidx, cs, st, sf, sc, dec, ph, pc = fstate
         in_frame = fidx < lane_len  # [B]
         safe_t = jnp.minimum(fidx, t_buf - 1)
         enc_row = jnp.take_along_axis(
             enc_proj, safe_t[:, None, None], axis=1)[:, 0]  # [B, J]
 
-        # working set = the beam; kept blank-list starts empty
-        ws, wst, wsf, wsc, wdec, wph, wpc = cs, st, sf, sc, dec, ph, pc
-        lb_s = jnp.full((b, k), _DEAD, jnp.float32)
-        lb = (jnp.zeros_like(st), jnp.zeros_like(sf), jnp.zeros_like(sc),
-              jnp.zeros_like(dec), jnp.zeros_like(ph), jnp.zeros_like(pc))
+        # working set registers; generation 0 = the beam
+        ws, wsc, wdec, wph, wpc = cs, sc, dec, ph, pc
+        blank_s = []  # per-step blank-candidate scores [B, K]
+        chain = []  # per-step (parent [B,K], tok [B,K], pos [B,K])
+        gen_sc = [sc]
+        gen_dec, gen_ph, gen_pc = [dec], [ph], [pc]
 
         for n in range(cfg.nstep):
             logits = joint_rows(enc_row, wdec)  # [B, K, V]
             if n == 0 and cfg.prefix_alpha:
-                ws = prefix_merge(ws, wst, wsc, logits)
+                ws = prefix_merge(ws, st, sc, logits)
             lp_blank, top_lp, top_tok = topm(logits)
 
             alive = ws > _ALIVE
@@ -308,48 +316,66 @@ def _run_frames(pred_params, joint_params, enc_proj, lane_len, state,
             keep_l = (tot_lab >= (best - gamma)[:, :, None]) & alive[:, :, None]
             keep_l = keep_l & (wsc < u_buf)[:, :, None]  # emission cap
 
-            # ---- blanks join the kept list (lossless top-K merge) --------
-            bl_s = jnp.where(keep_b, tot_blank, _DEAD)
-            lb_s, lbs = topk_rows(
-                jnp.concatenate([lb_s, bl_s], axis=1),
-                [jnp.concatenate([pa, wa], axis=1)
-                 for pa, wa in zip(lb, (wst, wsf, wsc, wdec, wph, wpc))])
-            lb = tuple(lbs)
+            blank_s.append(jnp.where(keep_b, tot_blank, _DEAD))
 
             # ---- global top-K label expansions ---------------------------
             exp_s = jnp.where(keep_l, tot_lab, _DEAD).reshape(b, k * m_lab)
             vals, idx = jax.lax.top_k(exp_s, k)  # [B, K]
             parent = idx // m_lab
-            mcol = idx % m_lab
             new_alive = vals > _ALIVE
             tok_new = jnp.take_along_axis(
                 top_tok.reshape(b, k * m_lab), idx, axis=1)  # [B, K]
 
-            def prow(a, parent=parent):
-                ix = parent.reshape(parent.shape + (1,) * (a.ndim - 2))
-                return jnp.take_along_axis(a, ix, axis=1)
-
-            p_sc = prow(wsc)
-            upos = jnp.arange(u_buf)[None, None, :]
-            put = new_alive[:, :, None] & (upos == p_sc[:, :, None])
-            n_st = jnp.where(put, tok_new[:, :, None], prow(wst))
-            n_sf = jnp.where(put, fidx[:, None, None], prow(wsf))
-            n_sc = p_sc + new_alive.astype(jnp.int32)
-
-            n_dec, n_ph, n_pc = pred_rows(tok_new, prow(wph), prow(wpc))
+            p_sc = take(wsc, parent)
+            chain.append((parent, tok_new, p_sc))
+            n_dec, n_ph, n_pc = pred_rows(
+                tok_new, take(wph, parent), take(wpc, parent))
             ws = jnp.where(new_alive, vals, _DEAD)
-            wst, wsf, wsc, wdec, wph, wpc = n_st, n_sf, n_sc, n_dec, n_ph, n_pc
+            wsc = p_sc + new_alive.astype(jnp.int32)
+            wdec, wph, wpc = n_dec, n_ph, n_pc
+            gen_sc.append(wsc)
+            gen_dec.append(wdec)
+            gen_ph.append(wph)
+            gen_pc.append(wpc)
 
-        # ---- blank-terminate the surviving expansions and merge ----------
+        # ---- blank-terminate the surviving expansions --------------------
         logits = joint_rows(enc_row, wdec)
         lp_blank = (jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
                     [..., blank])
         fin_s = jnp.where(ws > _ALIVE, ws + lp_blank, _DEAD)
-        new_cs, outs = topk_rows(
-            jnp.concatenate([lb_s, fin_s], axis=1),
-            [jnp.concatenate([pa, wa], axis=1)
-             for pa, wa in zip(lb, (wst, wsf, wsc, wdec, wph, wpc))])
-        n_st, n_sf, n_sc, n_dec, n_ph, n_pc = outs
+
+        # ---- ONE merge over every candidate generation --------------------
+        pool = jnp.concatenate(blank_s + [fin_s], axis=1)  # [B, (n+1)K]
+        vals, win = jax.lax.top_k(pool, k)
+        new_cs = jnp.where(vals > _ALIVE, vals, _DEAD)
+        gen = win // k  # candidate generation (nstep = the finals)
+        col = win % k  # slot within it
+
+        # non-token payload: gather from the stacked generations
+        new_sc = take(jnp.concatenate(gen_sc, axis=1), win)
+        n_dec = take(jnp.concatenate(gen_dec, axis=1), win)
+        n_ph = take(jnp.concatenate(gen_ph, axis=1), win)
+        n_pc = take(jnp.concatenate(gen_pc, axis=1), win)
+
+        # token/frame rows: walk each winner's parent chain back to its
+        # root beam slot, recording the one column write per level
+        idx = col
+        writes = []
+        for j in reversed(range(cfg.nstep)):
+            applies = gen > j  # winner descends through expansion step j
+            parent, tok_j, pos_j = chain[j]
+            writes.append((applies,
+                           jnp.take_along_axis(tok_j, idx, axis=1),
+                           jnp.take_along_axis(pos_j, idx, axis=1)))
+            idx = jnp.where(applies, jnp.take_along_axis(parent, idx, axis=1),
+                            idx)
+        n_st = take(st, idx)
+        n_sf = take(sf, idx)
+        upos = jnp.arange(u_buf)[None, None, :]
+        for applies, tok_w, pos_w in writes:
+            put = applies[:, :, None] & (upos == pos_w[:, :, None])
+            n_st = jnp.where(put, tok_w[:, :, None], n_st)
+            n_sf = jnp.where(put, fidx[:, None, None], n_sf)
 
         def sel(new, old):
             return jnp.where(
@@ -357,7 +383,7 @@ def _run_frames(pred_params, joint_params, enc_proj, lane_len, state,
 
         return (step + 1, fidx + in_frame.astype(jnp.int32),
                 sel(new_cs, cs), sel(n_st, st), sel(n_sf, sf),
-                sel(n_sc, sc), sel(n_dec, dec), sel(n_ph, ph),
+                sel(new_sc, sc), sel(n_dec, dec), sel(n_ph, ph),
                 sel(n_pc, pc))
 
     def frame_cond(fstate):

@@ -239,13 +239,23 @@ def eval_espnet(conv_path, rows, report):
     cer_g, greedy_texts = _run_variant(
         lambda: load_model(checkpoint=conv_path, decoding="greedy"),
         transcribe, rows)
+    # the alignment-synchronous opt-in (2.2x faster at serving shapes,
+    # BENCHMARKS.md): this CER A/B is the documented gate for flipping the
+    # serving default from "beam" to "maes"
+    cer_m, maes_texts = _run_variant(
+        lambda: load_model(checkpoint=conv_path, decoding="maes"),
+        transcribe, rows)
     entry["beam20_default"] = {"cer": cer_b}
     entry["greedy"] = {"cer": cer_g}
+    entry["maes"] = {"cer": cer_m}
     entry["beam_vs_greedy_text_flip_rate"] = _flip_rate(beam_texts, greedy_texts)
+    entry["beam_vs_maes_text_flip_rate"] = _flip_rate(beam_texts, maes_texts)
     entry["emission_stats"] = emission_stats(conv_path, rows)
     entry["decisions"] = {
         "decode_default": "espnet default_beam_search 20 (reference parity)",
         "beam_cer_delta_vs_greedy": cer_b - cer_g,
+        "maes_cer_delta_vs_beam": cer_m - cer_b,
+        "flip_default_to_maes_if": "abs(maes_cer_delta_vs_beam) <= 0.001",
         "max_pops_per_frame":
             entry["emission_stats"]["recommended_max_pops_per_frame"],
     }
