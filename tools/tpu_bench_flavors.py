@@ -150,7 +150,8 @@ def collect_rows(include_avsr=True):
         ("k2-greedy", lambda: bench_k2(192, attn_impl="pallas")),
     ]
     if include_avsr:
-        specs.append(("avsr-beam5", lambda: bench_avsr(8)))
+        # B=16 is the documented AVSR serving config (BENCHMARKS.md)
+        specs.append(("avsr-beam5", lambda: bench_avsr(16)))
     import gc
 
     rows = []
