@@ -158,7 +158,10 @@ def main_continuous():
     else:
         from reazonspeech_tpu.espnet.asr.model import load_model_container
 
-        model = load_model_container(checkpoint="random")  # graves beam-20
+        # default: graves beam-20 (the serving default); --maes switches to
+        # the alignment-synchronous opt-in (decoding/transducer_maes.py)
+        dec = "maes" if "--maes" in sys.argv else "beam"
+        model = load_model_container(checkpoint="random", decoding=dec)
         t_buf = int(encoder_output_length(
             num_frames(model.fe_cfg, int(20.0 * 16000)), model.enc_cfg))
         model.decode_cfg = replace(model.decode_cfg, max_tokens=t_buf)
