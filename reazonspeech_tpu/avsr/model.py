@@ -514,15 +514,19 @@ def beam_generate(params, cfg: AVHubertConfig, enc, enc_mask, num_beams=5,
             worst >= vals[:, 0] / jnp.power(cur_len, length_penalty))
         new_done = done | done_now
 
-        # freeze finished elements
+        # freeze finished elements. The KV caches are deliberately NOT
+        # frozen: ``done`` is monotone and a done element's cache only
+        # feeds logits whose every consumer (scores/tokens/pool inserts)
+        # is already done-masked, so letting its rows go stale is exact —
+        # and the old freeze select rewrote the full [L, B*k, T, D] cache
+        # pair every step (~380 MB/step at the serving config), the same
+        # whole-arena-rewrite pathology the Graves beam restructure removed
+        # (BENCHMARKS.md round-3 notes).
         fz = lambda new, old: jnp.where(
             done.reshape((b,) + (1,) * (new.ndim - 1)), old, new)
         scores = fz(new_scores, scores)
         tokens = fz(new_tokens, tokens)
-        cache_mask = jnp.repeat(done, k)
-        caches = tuple(
-            jnp.where(cache_mask[None, :, None, None], o, n)
-            for n, o in zip(new_caches, caches))
+        caches = new_caches
         cur = jnp.where(jnp.repeat(done, k), cur, new_tok.reshape(-1))
 
         return (pos + 1, cur, caches, scores, tokens, new_done,
