@@ -117,15 +117,6 @@ class MAESBeamState(NamedTuple):
     dec: jnp.ndarray  # [B, K, H] fp32 dec_out
     ph: jnp.ndarray  # [B, K, L, H] fp32 post-step LSTM h
     pc: jnp.ndarray  # [B, K, L, H] fp32 post-step LSTM c
-    # rolling hashes of the label sequence (two independent 32-bit chains)
-    # and of the sequence MINUS its last label — the prefix-merge pair test
-    # (is i == j[:-1]?) is then four scalar compares instead of an exact
-    # [B,K,K,U] token-compare reduce, which HLO cycle analysis measured at
-    # 19% of the whole frame body. False-positive odds per pair ~2^-64.
-    h1: jnp.ndarray  # [B, K] uint32
-    h2: jnp.ndarray  # [B, K] uint32
-    hp1: jnp.ndarray  # [B, K] uint32
-    hp2: jnp.ndarray  # [B, K] uint32
 
 
 def _validate(rnnt_cfg: RNNTConfig, cfg: MAESBeamConfig):
@@ -150,20 +141,12 @@ def _sos_step(pred_params, b, rnnt_cfg: RNNTConfig):
     return g, jnp.transpose(h, (1, 0, 2)), jnp.transpose(c, (1, 0, 2))
 
 
-# rolling-hash multipliers (odd -> invertible mod 2^32) and the empty-
-# sequence seed shared by init/reset/update
-_HM1 = jnp.uint32(2654435761)
-_HM2 = jnp.uint32(0x9E3779B1)
-_H0 = jnp.uint32(0x12345)
-
-
 def _fresh_state(pred_params, b, rnnt_cfg: RNNTConfig, cfg: MAESBeamConfig,
                  u_buf):
     k = min(cfg.beam_size, rnnt_cfg.num_classes)
     lyr, h = rnnt_cfg.pred_rnn_layers, rnnt_cfg.pred_hidden
     g0, h0, c0 = _sos_step(pred_params, b, rnnt_cfg)
     cs = jnp.full((b, k), _DEAD, jnp.float32).at[:, 0].set(0.0)
-    hh = jnp.full((b, k), _H0, jnp.uint32)
     return MAESBeamState(
         fidx=jnp.zeros((b,), jnp.int32),
         cs=cs,
@@ -173,7 +156,6 @@ def _fresh_state(pred_params, b, rnnt_cfg: RNNTConfig, cfg: MAESBeamConfig,
         dec=jnp.zeros((b, k, g0.shape[-1]), jnp.float32).at[:, 0].set(g0),
         ph=jnp.zeros((b, k, lyr, h), jnp.float32).at[:, 0].set(h0),
         pc=jnp.zeros((b, k, lyr, h), jnp.float32).at[:, 0].set(c0),
-        h1=hh, h2=hh, hp1=hh, hp2=hh,
     )
 
 
@@ -209,10 +191,6 @@ def _apply_reset(pred_params, state: MAESBeamState, reset,
         dec=jnp.where(r2, fresh_dec, state.dec),
         ph=jnp.where(r3, fresh_h, state.ph),
         pc=jnp.where(r3, fresh_c, state.pc),
-        h1=jnp.where(r1, _H0, state.h1),
-        h2=jnp.where(r1, _H0, state.h2),
-        hp1=jnp.where(r1, _H0, state.hp1),
-        hp2=jnp.where(r1, _H0, state.hp2),
     )
 
 
@@ -260,18 +238,18 @@ def _run_frames(pred_params, joint_params, enc_proj, lane_len, state,
         return (lpb.reshape(b, k), tl.reshape(b, k, m_lab),
                 tt.reshape(b, k, m_lab).astype(jnp.int32))
 
-    def prefix_merge(s, st, sc, hashes, logits):
+    def prefix_merge(s, st, sc, logits):
         """ESPnet prefix_search, alpha=1: hyp_i (donor, alive) whose label
         sequence is hyp_j's minus its last label donates
         ``score_i + logp_t(missing | dec_i)`` into hyp_j by logaddexp.
         Donor scores are the pre-merge ones (receivers are strictly longer,
-        ESPnet's descending-length sweep never boosts a donor first).
-        The pair test compares the carried rolling hashes (j's
-        sequence-minus-last vs i's sequence) — see MAESBeamState notes."""
-        h1, h2, hp1, hp2 = hashes
+        ESPnet's descending-length sweep never boosts a donor first)."""
         alive = s > _ALIVE
-        match = ((hp1[:, :, None] == h1[:, None, :])
-                 & (hp2[:, :, None] == h2[:, None, :])
+        # prefix_eq[b, j, i]: st[b,i,:sc_i] == st[b,j,:sc_i]
+        dmask = jnp.arange(u_buf)[None, None, :] < sc[:, :, None]  # [B,i,U]
+        eq = st[:, None, :, :] == st[:, :, None, :]  # [B, j, i, U]
+        prefix_eq = jnp.all(eq | ~dmask[:, None], axis=-1)
+        match = (prefix_eq
                  & (sc[:, :, None] == sc[:, None, :] + 1)
                  & alive[:, :, None] & alive[:, None, :])
         # the label hyp_j has and hyp_i misses: st[b, j, sc_i]
@@ -309,8 +287,7 @@ def _run_frames(pred_params, joint_params, enc_proj, lane_len, state,
         Payload-gather traffic per frame drops from O(nstep·K·U) to
         O(K·U); op count per frame drops ~30% (the loop is op-latency
         bound, not FLOP bound — BENCHMARKS.md)."""
-        (step, fidx, cs, st, sf, sc, dec, ph, pc,
-         h1, h2, hp1, hp2) = fstate
+        step, fidx, cs, st, sf, sc, dec, ph, pc = fstate
         in_frame = fidx < lane_len  # [B]
         safe_t = jnp.minimum(fidx, t_buf - 1)
         enc_row = jnp.take_along_axis(
@@ -318,17 +295,15 @@ def _run_frames(pred_params, joint_params, enc_proj, lane_len, state,
 
         # working set registers; generation 0 = the beam
         ws, wsc, wdec, wph, wpc = cs, sc, dec, ph, pc
-        wh1, wh2 = h1, h2
         blank_s = []  # per-step blank-candidate scores [B, K]
         chain = []  # per-step (parent [B,K], tok [B,K], pos [B,K])
         gen_sc = [sc]
         gen_dec, gen_ph, gen_pc = [dec], [ph], [pc]
-        gen_h = [(h1, h2, hp1, hp2)]
 
         for n in range(cfg.nstep):
             logits = joint_rows(enc_row, wdec)  # [B, K, V]
             if n == 0 and cfg.prefix_alpha:
-                ws = prefix_merge(ws, st, sc, (h1, h2, hp1, hp2), logits)
+                ws = prefix_merge(ws, st, sc, logits)
             lp_blank, top_lp, top_tok = topm(logits)
 
             alive = ws > _ALIVE
@@ -358,17 +333,10 @@ def _run_frames(pred_params, joint_params, enc_proj, lane_len, state,
             ws = jnp.where(new_alive, vals, _DEAD)
             wsc = p_sc + new_alive.astype(jnp.int32)
             wdec, wph, wpc = n_dec, n_ph, n_pc
-            # roll the hash chains forward (prev-hash = the parent's hash)
-            whp1 = take(wh1, parent)
-            whp2 = take(wh2, parent)
-            tu = (tok_new + 1).astype(jnp.uint32)
-            wh1 = whp1 * _HM1 + tu
-            wh2 = whp2 * _HM2 + tu
             gen_sc.append(wsc)
             gen_dec.append(wdec)
             gen_ph.append(wph)
             gen_pc.append(wpc)
-            gen_h.append((wh1, wh2, whp1, whp2))
 
         # ---- blank-terminate the surviving expansions --------------------
         # only the blank column of the log-softmax is needed: gather the
@@ -391,8 +359,6 @@ def _run_frames(pred_params, joint_params, enc_proj, lane_len, state,
         n_dec = take(jnp.concatenate(gen_dec, axis=1), win)
         n_ph = take(jnp.concatenate(gen_ph, axis=1), win)
         n_pc = take(jnp.concatenate(gen_pc, axis=1), win)
-        n_hash = [take(jnp.concatenate([g[i] for g in gen_h], axis=1), win)
-                  for i in range(4)]
 
         # token/frame rows: walk each winner's parent chain back to its
         # root beam slot, recording the one column write per level
@@ -421,20 +387,17 @@ def _run_frames(pred_params, joint_params, enc_proj, lane_len, state,
         return (step + 1, fidx + in_frame.astype(jnp.int32),
                 sel(new_cs, cs), sel(n_st, st), sel(n_sf, sf),
                 sel(new_sc, sc), sel(n_dec, dec), sel(n_ph, ph),
-                sel(n_pc, pc),
-                sel(n_hash[0], h1), sel(n_hash[1], h2),
-                sel(n_hash[2], hp1), sel(n_hash[3], hp2))
+                sel(n_pc, pc))
 
     def frame_cond(fstate):
         return (fstate[0] < n_frames) & jnp.any(fstate[1] < lane_len)
 
     fstate = (jnp.int32(0), state.fidx, state.cs, state.st, state.sf,
-              state.sc, state.dec, state.ph, state.pc,
-              state.h1, state.h2, state.hp1, state.hp2)
+              state.sc, state.dec, state.ph, state.pc)
     fstate = jax.lax.while_loop(frame_cond, frame_body, fstate)
-    (_, fidx, cs, st, sf, sc, dec, ph, pc, h1, h2, hp1, hp2) = fstate
+    _, fidx, cs, st, sf, sc, dec, ph, pc = fstate
     return MAESBeamState(fidx=fidx, cs=cs, st=st, sf=sf, sc=sc, dec=dec,
-                         ph=ph, pc=pc, h1=h1, h2=h2, hp1=hp1, hp2=hp2)
+                         ph=ph, pc=pc)
 
 
 def _select_best(state: MAESBeamState, lane_len, cfg: MAESBeamConfig):
