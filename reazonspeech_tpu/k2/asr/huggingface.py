@@ -102,7 +102,8 @@ def _make_converter(precision, epochs):
     return convert
 
 
-def load_model(device="cpu", precision="fp32", language="ja", checkpoint=None) -> K2TPUModel:
+def load_model(device="cpu", precision="fp32", language="ja", checkpoint=None,
+               decoding=None) -> K2TPUModel:
     """Load a ReazonSpeech k2 model.
 
     Args:
@@ -111,6 +112,8 @@ def load_model(device="cpu", precision="fp32", language="ja", checkpoint=None) -
         the published quantized decoder/joiner graphs)
       language (str): "ja", "ja-en" or "ja-en-mls-5k"
       checkpoint (str): explicit converted-checkpoint path, or "random"
+      decoding (str): "greedy" (the reference's pinned strategy, default)
+        or "beam"; None keeps the container default
 
     Returns:
       K2TPUModel
@@ -139,4 +142,6 @@ def load_model(device="cpu", precision="fp32", language="ja", checkpoint=None) -
         checkpoint = resolve_converted(
             repo_id, precision, _make_converter(precision, epochs)
         )
-    return load_model_container(checkpoint=checkpoint)
+    if decoding is None:
+        return load_model_container(checkpoint=checkpoint)
+    return load_model_container(checkpoint=checkpoint, decoding=decoding)

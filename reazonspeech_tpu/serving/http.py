@@ -33,20 +33,26 @@ from .batcher import MicroBatcher
 __all__ = ["serve", "make_app", "make_avsr_app"]
 
 
-def _load_flavor(flavor, checkpoint=None):
+def _load_flavor(flavor, checkpoint=None, decoding=None):
     if flavor == "nemo":
         from ..nemo.asr.model import load_model
 
-        return load_model(checkpoint=checkpoint)
+        return load_model(checkpoint=checkpoint, decoding=decoding)
     if flavor == "espnet":
         from ..espnet.asr.model import load_model_container
 
-        return load_model_container(checkpoint=checkpoint)
+        if decoding is None:
+            return load_model_container(checkpoint=checkpoint)
+        return load_model_container(checkpoint=checkpoint, decoding=decoding)
     if flavor == "k2":
         from ..k2.asr.huggingface import load_model
 
-        return load_model(checkpoint=checkpoint)
+        return load_model(checkpoint=checkpoint, decoding=decoding)
     if flavor == "avsr":
+        if decoding is not None:
+            raise ValueError("decoding strategy does not apply to the avsr "
+                             "flavor (seq2seq generate; beam width is a "
+                             "generate-time argument)")
         import jax
 
         from ..avsr.configuration_avhubert import AVHubertConfig
@@ -292,6 +298,10 @@ def main(argv=None):
     ap.add_argument("--flavor", default="nemo",
                     choices=("nemo", "espnet", "k2", "avsr"))
     ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--decoding", default=None,
+                    help="decode strategy override (flavor default when "
+                         "omitted): nemo alsd|greedy, espnet beam|maes|"
+                         "greedy, k2 greedy|beam")
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--max-batch", type=int, default=32)
@@ -315,7 +325,7 @@ def main(argv=None):
                          "devices (one server spans the slice)")
     args = ap.parse_args(argv)
 
-    model = _load_flavor(args.flavor, args.checkpoint)
+    model = _load_flavor(args.flavor, args.checkpoint, args.decoding)
     if args.flavor == "avsr":
         # AVSR serves through its own static micro-batcher (seq2seq
         # generate doesn't fit the transducer lane model); --continuous

@@ -171,3 +171,52 @@ def test_microbatcher_fixed_shape(tiny_model):
             mb.submit(too_long).result(timeout=10)
     finally:
         mb.close()
+
+
+def test_serve_cli_decoding_override(monkeypatch):
+    """--decoding reaches every flavor loader (the mAES/greedy serving
+    opt-ins are deployable from the CLI), and the avsr flavor rejects it."""
+    from reazonspeech_tpu.serving import http as shttp
+
+    seen = {}
+
+    def fake_nemo_load(checkpoint=None, decoding=None, **kw):
+        seen["nemo"] = decoding
+        return object()
+
+    def fake_espnet_load(checkpoint=None, **kw):
+        seen.setdefault("espnet", []).append(kw.get("decoding", "<default>"))
+        return object()
+
+    def fake_k2_load(checkpoint=None, decoding=None, **kw):
+        seen["k2"] = decoding
+        return object()
+
+    monkeypatch.setattr("reazonspeech_tpu.nemo.asr.model.load_model",
+                        fake_nemo_load)
+    monkeypatch.setattr(
+        "reazonspeech_tpu.espnet.asr.model.load_model_container",
+        fake_espnet_load)
+    monkeypatch.setattr("reazonspeech_tpu.k2.asr.huggingface.load_model",
+                        fake_k2_load)
+
+    shttp._load_flavor("nemo", decoding="greedy")
+    shttp._load_flavor("espnet", decoding="maes")
+    shttp._load_flavor("espnet")
+    shttp._load_flavor("k2", decoding="beam")
+    assert seen == {"nemo": "greedy", "espnet": ["maes", "<default>"],
+                    "k2": "beam"}
+    with pytest.raises(ValueError, match="avsr"):
+        shttp._load_flavor("avsr", decoding="beam")
+
+    # the argparse surface: --decoding lands in _load_flavor's third arg
+    captured = {}
+
+    def fake_load_flavor(flavor, checkpoint=None, decoding=None):
+        captured["args"] = (flavor, checkpoint, decoding)
+        raise SystemExit(0)  # stop main() before it builds a server
+
+    monkeypatch.setattr(shttp, "_load_flavor", fake_load_flavor)
+    with pytest.raises(SystemExit):
+        shttp.main(["--flavor", "espnet", "--decoding", "maes"])
+    assert captured["args"] == ("espnet", None, "maes")

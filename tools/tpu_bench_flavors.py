@@ -146,6 +146,7 @@ def collect_rows(include_avsr=True):
     flavor can't hide the others."""
     specs = [
         ("espnet-beam20", lambda: bench_espnet(128, 20.0, 2, "beam")),
+        ("espnet-maes", lambda: bench_espnet(128, 20.0, 2, "maes")),
         ("espnet-greedy", lambda: bench_espnet(256, 20.0, 4, "greedy")),
         ("k2-greedy", lambda: bench_k2(192, attn_impl="pallas")),
     ]
