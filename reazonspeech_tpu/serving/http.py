@@ -323,8 +323,18 @@ def main(argv=None):
     ap.add_argument("--mesh-data", type=int, default=0,
                     help="shard the continuous lane pool over this many "
                          "devices (one server spans the slice)")
+    ap.add_argument("--compile-cache", default=None, metavar="DIR",
+                    help="persistent XLA compilation cache directory "
+                         "(default $REAZONSPEECH_TPU_COMPILE_CACHE): a "
+                         "server restart reloads compiled programs in ms "
+                         "instead of re-paying 4-16 s per signature")
     args = ap.parse_args(argv)
 
+    from ..utils.compile_cache import enable_compile_cache
+
+    cache_dir = enable_compile_cache(args.compile_cache)
+    if cache_dir:
+        print(f"compile cache: {cache_dir}")
     model = _load_flavor(args.flavor, args.checkpoint, args.decoding)
     if args.flavor == "avsr":
         # AVSR serves through its own static micro-batcher (seq2seq
