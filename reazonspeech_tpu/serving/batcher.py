@@ -85,6 +85,52 @@ class MicroBatcher:
         """Blocking convenience wrapper around submit()."""
         return self.submit(waveform).result()
 
+    def warmup(self, seconds=None):
+        """Pre-compile the batch-bucket program set before serving traffic.
+
+        Dispatches one all-zero batch per bucket signature (zero-length
+        rows already emit count 0 — the padding-invariance the batcher
+        relies on) so the first real request at each signature never pays
+        XLA compilation. Pairs with ``utils/compile_cache``: warmup on a
+        fresh process populates the persistent cache, warmup after a
+        restart reloads from it in milliseconds. ``seconds`` picks the
+        time bucket to warm (default: one ``bucket_samples`` grid step).
+        Returns the list of (batch, samples) shapes warmed.
+        """
+        if seconds is None:
+            samples = self.bucket_samples
+        else:
+            n = int(seconds * 16000)
+            samples = max(self.bucket_samples,
+                          -(-n // self.bucket_samples) * self.bucket_samples)
+        if self.fixed_shape is not None:
+            shapes = [tuple(self.fixed_shape)]
+        else:
+            # the exact b_pad set _loop can dispatch: powers of two rounded
+            # to the mesh batch multiple, clamped to (and including)
+            # max_batch
+            sizes = []
+            b = 1
+            while b < self.max_batch:
+                b_pad = b
+                if self.batch_multiple > 1:
+                    b_pad = min(-(-b // self.batch_multiple)
+                                * self.batch_multiple, self.max_batch)
+                if b_pad not in sizes:
+                    sizes.append(b_pad)
+                b <<= 1
+            if self.max_batch not in sizes:
+                sizes.append(self.max_batch)
+            shapes = [(b_pad, samples) for b_pad in sizes]
+        warmed = []
+        for b_pad, smp in shapes:
+            buf = np.zeros((b_pad, smp), np.float32)
+            lens = np.zeros((b_pad,), np.int32)
+            self.model.decode_batch(buf, lens)
+            warmed.append((b_pad, smp))
+        self.warmed = warmed
+        return warmed
+
     def close(self):
         self._running = False
         self._queue.put(None)

@@ -279,11 +279,14 @@ def make_avsr_app(model, tokenizer=None, **batcher_kw):
 
 
 def serve(model, host="0.0.0.0", port=8080, seconds_per_frame=0.08,
-          executor="micro", **batcher_kw):
+          executor="micro", warmup_seconds=None, **batcher_kw):
     """Serve ``model`` until interrupted. Returns (server, batcher) when
     started with block=False semantics via threading by the caller."""
     handler, batcher = make_app(model, seconds_per_frame, executor,
                                 **batcher_kw)
+    if warmup_seconds and hasattr(batcher, "warmup"):
+        shapes = batcher.warmup(warmup_seconds)
+        print(f"warmed {len(shapes)} program signatures: {shapes}")
     server = ThreadingHTTPServer((host, port), handler)
     try:
         server.serve_forever()
@@ -323,6 +326,11 @@ def main(argv=None):
     ap.add_argument("--mesh-data", type=int, default=0,
                     help="shard the continuous lane pool over this many "
                          "devices (one server spans the slice)")
+    ap.add_argument("--warmup", type=float, default=0.0, metavar="SECONDS",
+                    help="pre-compile every batch-bucket program for this "
+                         "request length before binding the port (micro "
+                         "executor; first requests then never pay "
+                         "compilation)")
     ap.add_argument("--compile-cache", default=None, metavar="DIR",
                     help="persistent XLA compilation cache directory "
                          "(default $REAZONSPEECH_TPU_COMPILE_CACHE): a "
@@ -368,9 +376,11 @@ def main(argv=None):
                 n_data=args.mesh_data,
                 devices=jax.devices()[: args.mesh_data])
         serve(model, args.host, args.port, seconds_per_frame=spf,
-              executor="continuous", **kw)
+              executor="continuous", warmup_seconds=args.warmup or None,
+              **kw)
     else:
         serve(model, args.host, args.port, seconds_per_frame=spf,
+              warmup_seconds=args.warmup or None,
               max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
 
 

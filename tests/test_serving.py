@@ -130,6 +130,31 @@ def test_microbatcher_all_flavors():
             batcher.close()
 
 
+def test_microbatcher_warmup_precompiles_bucket_set(tiny_model):
+    """warmup() dispatches exactly the bucket-signature set _loop can
+    produce; traffic after warmup never hits a new program shape."""
+    calls = []
+
+    class Rec:
+        def __getattr__(self, k):
+            return getattr(tiny_model, k)
+
+        def decode_batch(self, buf, lens):
+            calls.append(buf.shape)
+            return tiny_model.decode_batch(buf, lens)
+
+    mb = MicroBatcher(Rec(), max_batch=4, max_wait_ms=5.0)
+    try:
+        warmed = mb.warmup(0.6)
+        assert [b for b, _ in warmed] == [1, 2, 4]
+        assert set(calls) == set(warmed)
+        for w in _wavs(3):
+            mb.transcribe(w)
+        assert set(calls) == set(warmed)  # no new shapes -> no new compiles
+    finally:
+        mb.close()
+
+
 def test_microbatcher_batch_dim_bucketing(tiny_model):
     """Dispatched batch shapes are power-of-two bucketed so the compiled
     program set stays bounded under organic (variable-concurrency) load."""
