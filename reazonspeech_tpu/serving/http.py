@@ -288,9 +288,31 @@ def serve(model, host="0.0.0.0", port=8080, seconds_per_frame=0.08,
         shapes = batcher.warmup(warmup_seconds)
         print(f"warmed {len(shapes)} program signatures: {shapes}")
     server = ThreadingHTTPServer((host, port), handler)
+    # graceful drain: handler threads must be joinable (not daemons) so
+    # server_close() waits for in-flight responses before the batcher dies
+    server.daemon_threads = False
+
+    # graceful drain on SIGTERM/SIGINT: stop accepting, finish in-flight
+    # and queued requests (both batchers drain their queues on close()),
+    # then exit 0 — the degrade-don't-crash posture of the reference's
+    # fallbacks (pkg/espnet-asr/src/ctc.py:90-93) applied to the server
+    # lifecycle. shutdown() must come from another thread or it deadlocks
+    # serve_forever.
+    import signal
+    import threading
+
+    def _drain(signum, frame):
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    try:
+        signal.signal(signal.SIGTERM, _drain)
+        signal.signal(signal.SIGINT, _drain)
+    except ValueError:
+        pass  # not the main thread (embedded/test use): caller owns signals
     try:
         server.serve_forever()
     finally:
+        server.server_close()  # joins in-flight handler threads
         batcher.close()
 
 

@@ -63,6 +63,16 @@ def test_microbatcher_serial_requests(tiny_model):
         batcher.close()
 
 
+def _wav_bytes(wav):
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes((wav * 32767).astype(np.int16).tobytes())
+    return buf.getvalue()
+
+
 def test_http_server_end_to_end(tiny_model):
     handler, batcher = make_app(tiny_model, max_batch=4, max_wait_ms=5.0)
     from http.server import ThreadingHTTPServer
@@ -72,16 +82,8 @@ def test_http_server_end_to_end(tiny_model):
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     try:
-        wav = _wavs(1)[0]
-        buf = io.BytesIO()
-        with wave.open(buf, "wb") as w:
-            w.setnchannels(1)
-            w.setsampwidth(2)
-            w.setframerate(16000)
-            w.writeframes((wav * 32767).astype(np.int16).tobytes())
-
         conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
-        conn.request("POST", "/transcribe", body=buf.getvalue(),
+        conn.request("POST", "/transcribe", body=_wav_bytes(_wavs(1)[0]),
                      headers={"Content-Type": "audio/wav"})
         resp = conn.getresponse()
         assert resp.status == 200, resp.read()
@@ -128,6 +130,58 @@ def test_microbatcher_all_flavors():
             assert tokens == want_tokens
         finally:
             batcher.close()
+
+
+def test_sigterm_drains_in_flight_requests():
+    """SIGTERM mid-request stops accepting but completes queued work and
+    exits 0 (serve() installs a shutdown handler; both batchers drain
+    their queues on close)."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    here = os.path.dirname(__file__)
+    port = 18271
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(here, "_tiny_server.py"), str(port),
+         "1000"])  # 1 s batching window keeps the request queued at SIGTERM
+    try:
+        deadline = time.time() + 300
+        while time.time() < deadline:  # wait for bind + model build
+            try:
+                conn = http.client.HTTPConnection("127.0.0.1", port,
+                                                  timeout=5)
+                conn.request("GET", "/healthz")
+                conn.getresponse().read()
+                break
+            except OSError:
+                time.sleep(1.0)
+        else:
+            raise AssertionError("server never came up")
+
+        result = {}
+
+        def post():
+            body = _wav_bytes(_wavs(1)[0])
+            c = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+            c.request("POST", "/transcribe", body,
+                      {"Content-Type": "audio/wav"})
+            r = c.getresponse()
+            result["status"] = r.status
+            result["body"] = r.read()
+
+        t = threading.Thread(target=post)
+        t.start()
+        time.sleep(0.3)  # request is queued inside the 1 s batching window
+        proc.send_signal(signal.SIGTERM)
+        t.join(timeout=300)
+        assert result.get("status") == 200, result
+        assert proc.wait(timeout=300) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
 
 
 def test_microbatcher_warmup_precompiles_bucket_set(tiny_model):
