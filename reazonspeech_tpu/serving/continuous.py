@@ -636,13 +636,23 @@ class ContinuousBatcher:
 
     def warmup(self, seconds=(2.0, 5.0, 10.0, 15.0, 20.0)):
         """Compile the encode buckets + segment + finalize programs before
-        taking traffic (one dummy request per waveform bucket)."""
+        taking traffic (one dummy request per waveform bucket). Accepts a
+        single duration or an iterable of them; returns the warmed
+        (1, samples) shapes — the same contract as MicroBatcher.warmup,
+        which serve()'s --warmup log line relies on. With
+        ``utils/compile_cache`` enabled, a restarted server reloads the
+        warmed programs in milliseconds instead of recompiling."""
+        if isinstance(seconds, (int, float)):
+            seconds = (seconds,)
         rng = np.random.default_rng(0)
+        warmed = []
         for s in seconds:  # sequential: stays under any max_pending bound
+            n = int(min(s * 16000, self.max_samples))
             self.submit(
-                rng.standard_normal(int(min(s * 16000, self.max_samples)))
-                .astype(np.float32) * 0.01).result(
+                rng.standard_normal(n).astype(np.float32) * 0.01).result(
                     timeout=self.drain_timeout)
+            warmed.append((1, n))
+        return warmed
 
     def stats(self) -> dict:
         """Operational snapshot for monitoring (the HTTP front's /healthz):

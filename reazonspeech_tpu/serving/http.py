@@ -349,10 +349,11 @@ def main(argv=None):
                     help="shard the continuous lane pool over this many "
                          "devices (one server spans the slice)")
     ap.add_argument("--warmup", type=float, default=0.0, metavar="SECONDS",
-                    help="pre-compile every batch-bucket program for this "
-                         "request length before binding the port (micro "
-                         "executor; first requests then never pay "
-                         "compilation)")
+                    help="pre-compile the serving programs before binding "
+                         "the port (micro: every batch bucket at this "
+                         "request length; continuous: the lane-pool "
+                         "program set) so first requests never pay "
+                         "compilation")
     ap.add_argument("--compile-cache", default=None, metavar="DIR",
                     help="persistent XLA compilation cache directory "
                          "(default $REAZONSPEECH_TPU_COMPILE_CACHE): a "

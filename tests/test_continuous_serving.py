@@ -76,6 +76,26 @@ def test_results_match_dedicated_decode(tiny_espnet):
     assert batcher.encode_ticks >= 3
 
 
+def test_warmup_compiles_pool_then_serves_correctly(tiny_espnet):
+    """warmup() pushes a silent request through a lane (compiling the pool's
+    program set); traffic afterwards still matches dedicated decodes."""
+    batcher = ContinuousBatcher(
+        tiny_espnet, n_lanes=3, frames_per_segment=4, max_seconds=4.0)
+    try:
+        warmed = batcher.warmup(seconds=0.5)  # scalar form (serve --warmup)
+        assert warmed == [(1, 8000)]
+        assert batcher.stats()["requests_done"] >= 1
+        wavs = _mixed_wavs(4, seed=7)
+        got = [f.result(timeout=600)
+               for f in [batcher.submit(w) for w in wavs]]
+    finally:
+        batcher.close()
+    for i, (w, (tokens, frames)) in enumerate(zip(wavs, got)):
+        want_tokens, want_frames = _dedicated(tiny_espnet, batcher, w)
+        assert tokens == want_tokens, i
+        assert frames == want_frames, i
+
+
 def test_lane_pool_saturation_and_reuse(tiny_espnet):
     """More concurrent requests than lanes; all resolve, all correct."""
     batcher = ContinuousBatcher(
