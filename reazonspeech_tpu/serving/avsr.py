@@ -74,6 +74,34 @@ class AVSRBatcher:
     def generate(self, audio=None, video=None):
         return self.submit(audio, video).result()
 
+    def warmup(self, seconds=4.0):
+        """Pre-compile every batch-bucket beam-generate program for this
+        utterance length (25 fps frames; same contract as
+        MicroBatcher.warmup — serve()'s --warmup logs the result). Padding
+        rows keep length 1, so all-silent warmup batches run the exact
+        serving programs."""
+        frames = int(seconds * 25)
+        t_pad = max(self.bucket_frames,
+                    -(-frames // self.bucket_frames) * self.bucket_frames)
+        sizes = []
+        b = 1
+        while b < self.max_batch:
+            sizes.append(b)
+            b <<= 1
+        sizes.append(self.max_batch)
+        warmed = []
+        for b_pad in sizes:
+            audio = np.zeros((b_pad, t_pad, self.cfg.audio_feat_dim),
+                             np.float32)
+            video = np.zeros((b_pad, t_pad, 88, 88), np.float32)
+            self.model.generate(
+                audio=audio, video=video,
+                lengths=np.ones((b_pad,), np.int32),
+                num_beams=self.num_beams, max_length=self.max_length)
+            warmed.append((b_pad, t_pad))
+        self.warmed = warmed
+        return warmed
+
     def close(self):
         self._running = False
         self._queue.put(None)

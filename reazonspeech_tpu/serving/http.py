@@ -377,6 +377,9 @@ def main(argv=None):
         print(f"serving avsr on {args.host}:{args.port}")
         handler, batcher = make_avsr_app(model, max_batch=args.max_batch,
                                          max_wait_ms=args.max_wait_ms)
+        if args.warmup:
+            shapes = batcher.warmup(args.warmup)
+            print(f"warmed {len(shapes)} program signatures: {shapes}")
         server = ThreadingHTTPServer((args.host, args.port), handler)
         try:
             server.serve_forever()

@@ -75,6 +75,23 @@ def test_batched_matches_dedicated(tiny_model):
     assert all(t % 16 == 0 for _, t in batcher.batch_shapes)
 
 
+def test_warmup_covers_bucket_set(tiny_model):
+    """warmup() pre-compiles the exact (b_pad, t_pad) set _loop dispatches;
+    traffic afterwards reuses those programs."""
+    batcher = AVSRBatcher(tiny_model, max_batch=4, max_wait_ms=50.0,
+                          bucket_frames=16, num_beams=3, max_length=16)
+    try:
+        warmed = batcher.warmup(seconds=16 / 25)  # one bucket_frames step
+        assert warmed == [(1, 16), (2, 16), (4, 16)]
+        rng = np.random.default_rng(3)
+        a, v = _req(rng, 12)
+        tokens = batcher.generate(a, v)
+        assert tokens == _dedicated(tiny_model, a, v, 3, 16)
+        assert batcher.batch_shapes[-1] in warmed  # no new program shape
+    finally:
+        batcher.close()
+
+
 def test_greedy_mode_and_errors(tiny_model):
     batcher = AVSRBatcher(tiny_model, max_batch=4, num_beams=1,
                           bucket_frames=16, max_length=12)
