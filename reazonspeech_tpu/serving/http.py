@@ -278,26 +278,18 @@ def make_avsr_app(model, tokenizer=None, **batcher_kw):
     return Handler, batcher
 
 
-def serve(model, host="0.0.0.0", port=8080, seconds_per_frame=0.08,
-          executor="micro", warmup_seconds=None, **batcher_kw):
-    """Serve ``model`` until interrupted. Returns (server, batcher) when
-    started with block=False semantics via threading by the caller."""
-    handler, batcher = make_app(model, seconds_per_frame, executor,
-                                **batcher_kw)
-    if warmup_seconds and hasattr(batcher, "warmup"):
-        shapes = batcher.warmup(warmup_seconds)
-        print(f"warmed {len(shapes)} program signatures: {shapes}")
+def _serve_until_shutdown(handler, batcher, host, port):
+    """Run the server with a graceful-drain lifecycle: SIGTERM/SIGINT stop
+    accepting, in-flight and queued requests complete (both batchers drain
+    their queues on close()), then exit 0 — the degrade-don't-crash posture
+    of the reference's fallbacks (pkg/espnet-asr/src/ctc.py:90-93) applied
+    to the server lifecycle."""
     server = ThreadingHTTPServer((host, port), handler)
-    # graceful drain: handler threads must be joinable (not daemons) so
-    # server_close() waits for in-flight responses before the batcher dies
+    # handler threads must be joinable (not daemons) so server_close()
+    # waits for in-flight responses before the batcher dies
     server.daemon_threads = False
 
-    # graceful drain on SIGTERM/SIGINT: stop accepting, finish in-flight
-    # and queued requests (both batchers drain their queues on close()),
-    # then exit 0 — the degrade-don't-crash posture of the reference's
-    # fallbacks (pkg/espnet-asr/src/ctc.py:90-93) applied to the server
-    # lifecycle. shutdown() must come from another thread or it deadlocks
-    # serve_forever.
+    # shutdown() must come from another thread or it deadlocks serve_forever
     import signal
     import threading
 
@@ -314,6 +306,17 @@ def serve(model, host="0.0.0.0", port=8080, seconds_per_frame=0.08,
     finally:
         server.server_close()  # joins in-flight handler threads
         batcher.close()
+
+
+def serve(model, host="0.0.0.0", port=8080, seconds_per_frame=0.08,
+          executor="micro", warmup_seconds=None, **batcher_kw):
+    """Serve ``model`` until interrupted (graceful drain on SIGTERM)."""
+    handler, batcher = make_app(model, seconds_per_frame, executor,
+                                **batcher_kw)
+    if warmup_seconds and hasattr(batcher, "warmup"):
+        shapes = batcher.warmup(warmup_seconds)
+        print(f"warmed {len(shapes)} program signatures: {shapes}")
+    _serve_until_shutdown(handler, batcher, host, port)
 
 
 def main(argv=None):
@@ -380,11 +383,7 @@ def main(argv=None):
         if args.warmup:
             shapes = batcher.warmup(args.warmup)
             print(f"warmed {len(shapes)} program signatures: {shapes}")
-        server = ThreadingHTTPServer((args.host, args.port), handler)
-        try:
-            server.serve_forever()
-        finally:
-            batcher.close()
+        _serve_until_shutdown(handler, batcher, args.host, args.port)
         return
     spf = {"nemo": 0.08, "espnet": 0.04, "k2": 0.04}[args.flavor]
     print(f"serving {args.flavor} on {args.host}:{args.port}")
