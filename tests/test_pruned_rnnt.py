@@ -98,6 +98,7 @@ def _joint_problem(seed=0, b=3, t=10, u=4):
     return cfg, jp, enc, pred, labels, tlens, ulens
 
 
+@pytest.mark.slow
 def test_pruned_loss_full_band_equals_full_loss():
     """Band = whole lattice (s_range = U+1, ranges = 0) -> the pruned DP
     must reproduce losses.rnnt_loss on joint_full EXACTLY (same params,
@@ -125,6 +126,7 @@ def test_pruned_loss_full_band_equals_full_loss():
             np.asarray(a), np.asarray(c), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pruned_loss_upper_bounds_full_loss():
     """A narrow band keeps a subset of the paths -> NLL >= the full NLL,
     and stays finite when the band is feasible."""
@@ -142,6 +144,7 @@ def test_pruned_loss_upper_bounds_full_loss():
     assert np.isfinite(np.asarray(loss)).all()
 
 
+@pytest.mark.slow
 def test_pruned_bundle_differentiable_end_to_end():
     """grad flows to encoder activations, predictor outputs, simple + joint
     params — the training seam the pruned objective plugs into."""
@@ -161,6 +164,7 @@ def test_pruned_bundle_differentiable_end_to_end():
     assert float(np.abs(np.asarray(grads[1]["out"]["w"])).max()) > 0.0
 
 
+@pytest.mark.slow
 def test_train_step_pruned_loss():
     """make_train_step(loss='pruned') runs end-to-end (waveform -> pruned
     objective -> AdamW update) and updates the simple-joint params."""
