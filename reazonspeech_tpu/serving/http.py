@@ -79,6 +79,32 @@ def _decode_audio_body(body, content_type):
     return np.asarray(audio.waveform, np.float32)
 
 
+def _prometheus_text(stats, prefix="reazonspeech"):
+    """Render a flat stats dict (the /healthz payload) in Prometheus text
+    exposition format: numbers become gauges, bools 0/1, one-level dicts
+    of the ``{"p50": ...}`` shape become quantile-labelled samples, and
+    string values become labels on a ``<prefix>_info 1`` sample."""
+    lines = []
+    info = []
+    for k, v in stats.items():
+        if isinstance(v, bool):
+            lines.append(f"{prefix}_{k} {int(v)}")
+        elif isinstance(v, (int, float)):
+            lines.append(f"{prefix}_{k} {v}")
+        elif isinstance(v, str):
+            info.append(f'{k}="{v}"')
+        elif isinstance(v, dict):
+            for q, val in v.items():
+                if not isinstance(val, (int, float)):
+                    continue
+                quant = ("0." + q[1:]) if (q.startswith("p")
+                                           and q[1:].isdigit()) else q
+                lines.append(f'{prefix}_{k}{{quantile="{quant}"}} {val}')
+    if info:
+        lines.append(f"{prefix}_info{{{','.join(info)}}} 1")
+    return "\n".join(lines) + "\n"
+
+
 def _result_json(model, token_ids, frames, seconds_per_frame):
     toks = model.tokenizer
     text = toks.ids_to_text(token_ids)
@@ -120,17 +146,28 @@ def make_app(model, seconds_per_frame=0.08, executor="micro", **batcher_kw):
             self.end_headers()
             self.wfile.write(body)
 
+        def _stats(self):
+            sizes = getattr(batcher, "batch_sizes", None)
+            stats = {"ok": True, "executor": executor}
+            if sizes is not None:
+                stats["batches"] = len(sizes)
+                stats["mean_batch"] = (
+                    float(np.mean(sizes)) if sizes else 0.0)
+            else:  # continuous executor
+                stats.update(batcher.stats())
+            return stats
+
         def do_GET(self):
             if self.path == "/healthz":
-                sizes = getattr(batcher, "batch_sizes", None)
-                stats = {"ok": True, "executor": executor}
-                if sizes is not None:
-                    stats["batches"] = len(sizes)
-                    stats["mean_batch"] = (
-                        float(np.mean(sizes)) if sizes else 0.0)
-                else:  # continuous executor
-                    stats.update(batcher.stats())
-                self._send(200, stats)
+                self._send(200, self._stats())
+            elif self.path == "/metrics":  # Prometheus scrape target
+                body = _prometheus_text(self._stats()).encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._send(404, {"error": "not found"})
 
@@ -239,15 +276,24 @@ def make_avsr_app(model, tokenizer=None, **batcher_kw):
             self.wfile.write(body)
 
         def do_GET(self):
-            if self.path != "/healthz":
-                self._send(404, {"error": "not found"})
-                return
-            self._send(200, {
+            stats = {
                 "ok": True,
                 "flavor": "avsr",
                 "executor": "avsr-micro",
                 "ticks": len(batcher.batch_shapes),
-            })
+            }
+            if self.path == "/healthz":
+                self._send(200, stats)
+            elif self.path == "/metrics":  # Prometheus scrape target
+                body = _prometheus_text(stats).encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self._send(404, {"error": "not found"})
 
         def do_POST(self):
             if self.path != "/transcribe":

@@ -96,6 +96,14 @@ def test_http_server_end_to_end(tiny_model):
         resp = conn.getresponse()
         health = json.loads(resp.read())
         assert health["ok"] and health["batches"] >= 1
+
+        conn.request("GET", "/metrics")
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert resp.getheader("Content-Type").startswith("text/plain")
+        metrics = resp.read().decode()
+        assert "reazonspeech_ok 1" in metrics
+        assert "reazonspeech_batches" in metrics
     finally:
         server.shutdown()
         batcher.close()
