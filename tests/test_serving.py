@@ -104,6 +104,26 @@ def test_http_server_end_to_end(tiny_model):
         metrics = resp.read().decode()
         assert "reazonspeech_ok 1" in metrics
         assert "reazonspeech_batches" in metrics
+
+        # malformed WAV body -> clean JSON 500, server keeps serving
+        conn.request("POST", "/transcribe", body=b"not a wav at all",
+                     headers={"Content-Type": "audio/wav"})
+        resp = conn.getresponse()
+        assert resp.status == 500
+        assert "error" in json.loads(resp.read())
+
+        # unknown path -> 404
+        conn.request("GET", "/nope")
+        resp = conn.getresponse()
+        assert resp.status == 404
+        resp.read()
+
+        # and the server still answers real work after both errors
+        conn.request("POST", "/transcribe", body=_wav_bytes(_wavs(1)[0]),
+                     headers={"Content-Type": "audio/wav"})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        resp.read()
     finally:
         server.shutdown()
         batcher.close()
