@@ -47,7 +47,12 @@ def main():
     from reazonspeech_tpu.models.rnnt import RNNTConfig
     from reazonspeech_tpu.nemo.asr.model import asr_forward, init_params
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 144
+    # Round-5 sweep over the HBM headroom tpu_memory_report exposed:
+    # B=144 6182 / B=192 6232 / B=256 6458 RTFx. 256 is the measured peak
+    # but pushes staging past 14 GB (host->device uploads degrade 10x on
+    # the dev tunnel under that pressure); 192 keeps clean staging and is
+    # the serving/bench default.
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 192
     chunk_seconds = 30.0
     iters = 4
 
@@ -158,7 +163,7 @@ def main():
     skip_flavors = os.environ.get("REAZONSPEECH_TPU_BENCH_HEADLINE_ONLY")
     if not skip_flavors:
         # Release the nemo 619M param tree (~2.5 GB fp32), the four staged
-        # 144x480000 waveform batches (~1.1 GB), and both compiled ALSD +
+        # 192x480000 waveform batches (~2.9 GB), and both compiled ALSD +
         # greedy executables before the other flavors allocate on the same
         # 16 GB chip — round 4 OOM'd espnet-greedy/k2/avsr by keeping these
         # alive across collect_rows (VERDICT r4 weak #1).
@@ -176,11 +181,13 @@ def main():
         except Exception as e:  # flavor rows must never sink the headline
             print(f"# flavor bench failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "BENCH_FLAVORS.json")
-    with open(out_path, "w") as f:
-        json.dump({"device": jax.devices()[0].device_kind, "rows": rows}, f,
-                  indent=1)
+    if not skip_flavors:  # a headline-only sweep must not clobber the
+        # full regression net the driver reads
+        out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH_FLAVORS.json")
+        with open(out_path, "w") as f:
+            json.dump({"device": jax.devices()[0].device_kind,
+                       "rows": rows}, f, indent=1)
     for r in rows:
         print(f"# flavor: {r}", file=sys.stderr)
 
