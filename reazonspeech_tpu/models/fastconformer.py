@@ -510,18 +510,15 @@ def _ffn(p, name, x, cfg: FastConformerConfig):
     return dense(p[f"{name}_out"], y, dtype=dt)
 
 
-def fastconformer_encode(params, feats, feat_lengths, cfg: FastConformerConfig):
-    """Encode log-mel features.
+def _encode_prologue(params, feats, feat_lengths, cfg: FastConformerConfig):
+    """Front half of :func:`fastconformer_encode` (subsample → xscale →
+    alignment pad → rel-pos table → mask → residual-dtype cast), shared with
+    ``parallel.pipeline``, which runs the block stack under a GPipe schedule
+    instead of the local ``lax.scan``.
 
-    Args:
-      params: tree from init_fastconformer
-      feats: [B, T, feat_in] float
-      feat_lengths: [B] int32
-      cfg: FastConformerConfig
-
-    Returns:
-      (encoded [B, T', d_model] fp32, encoded_lengths [B] int32)
-      where T' = T / subsampling_factor (0.08 s per frame at 10 ms hop).
+    Returns ``(x, lengths, pos_emb, mask, t_out)`` where ``x`` is the
+    residual stream entering block 0 and ``t_out`` the unpadded frame count
+    the epilogue slices back to.
     """
     x, lengths = _subsample(params["subsampling"], feats, feat_lengths, cfg)
     b, t, d = x.shape
@@ -547,6 +544,24 @@ def fastconformer_encode(params, feats, feat_lengths, cfg: FastConformerConfig):
     mask = jnp.arange(t)[None, :] < lengths[:, None]  # [B, T']
     res_dt = jnp.dtype(cfg.residual_dtype)
     x = jnp.where(mask[..., None], x, 0).astype(res_dt)
+    return x, lengths, pos_emb, mask, t_out
+
+
+def fastconformer_encode(params, feats, feat_lengths, cfg: FastConformerConfig):
+    """Encode log-mel features.
+
+    Args:
+      params: tree from init_fastconformer
+      feats: [B, T, feat_in] float
+      feat_lengths: [B] int32
+      cfg: FastConformerConfig
+
+    Returns:
+      (encoded [B, T', d_model] fp32, encoded_lengths [B] int32)
+      where T' = T / subsampling_factor (0.08 s per frame at 10 ms hop).
+    """
+    x, lengths, pos_emb, mask, t_out = _encode_prologue(
+        params, feats, feat_lengths, cfg)
 
     if cfg.seq_axis:
         if "pallas" in (cfg.attn_impl, cfg.conv_impl, cfg.lnd_impl):
