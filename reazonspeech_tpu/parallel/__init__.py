@@ -1,5 +1,9 @@
 from .mesh import make_mesh, shard_batch, shard_params
-from .pipeline import make_pipeline_mesh, pipeline_parallel_encode
+from .pipeline import (
+    PipelineSpec,
+    make_pipeline_mesh,
+    pipeline_parallel_encode,
+)
 from .sequence import sequence_parallel_config, sequence_parallel_encode
 from .serving import DataParallelDecoder
 
@@ -7,6 +11,7 @@ __all__ = [
     "DataParallelDecoder",
     "make_mesh",
     "make_pipeline_mesh",
+    "PipelineSpec",
     "pipeline_parallel_encode",
     "shard_params",
     "shard_batch",

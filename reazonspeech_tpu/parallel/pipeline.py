@@ -25,7 +25,9 @@ microbatch batch dim shards over ``data`` while the block stack shards
 over ``pipe`` — one ``shard_map`` covers both.
 """
 
+from dataclasses import dataclass
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -41,9 +43,22 @@ from ..models.fastconformer import (
 from .mesh import DATA_AXIS
 from .sequence import use_mesh
 
-__all__ = ["pipeline_parallel_encode", "make_pipeline_mesh", "PIPE_AXIS"]
+__all__ = ["pipeline_parallel_encode", "pipeline_encode_core",
+           "make_pipeline_mesh", "PipelineSpec", "PIPE_AXIS"]
 
 PIPE_AXIS = "pipe"
+
+
+@dataclass(frozen=True)
+class PipelineSpec:
+    """How to pipeline the encoder block stack (hashable → jit-static).
+    Hand to ``training.make_train_step(pipeline=...)`` to train with the
+    encoder forward AND backward under the GPipe schedule."""
+
+    mesh: Mesh
+    axis: str = PIPE_AXIS
+    data_axis: Optional[str] = None
+    n_micro: Optional[int] = None
 
 
 def make_pipeline_mesh(n_pipe, n_data=1, devices=None) -> Mesh:
@@ -84,30 +99,8 @@ def pipeline_parallel_encode(
         that divides B). More microbatches shrink the pipeline bubble
         ``(S-1)/(M+S-1)`` at the cost of smaller per-tick matmuls.
     """
-    if cfg.seq_axis:
-        raise ValueError("pipeline_parallel_encode owns the mesh layout; "
-                         "unset cfg.seq_axis (sp+pp is not a supported "
-                         "combination — they shard different bottlenecks)")
-    n_stage = int(mesh.shape[axis])
-    if cfg.num_layers % n_stage:
-        raise ValueError(
-            f"num_layers ({cfg.num_layers}) must divide by the '{axis}' "
-            f"axis size ({n_stage}) — equal-depth stages only")
-    b = feats.shape[0]
-    if n_micro is None:
-        for cand in (2 * n_stage, n_stage, 1):
-            if b % cand == 0:
-                n_micro = cand
-                break
-    if b % n_micro:
-        raise ValueError(f"batch ({b}) must divide into n_micro ({n_micro}) "
-                         "microbatches")
-    if data_axis is not None and (b // n_micro) % int(mesh.shape[data_axis]):
-        raise ValueError(
-            f"microbatch size ({b // n_micro}) must divide by the "
-            f"'{data_axis}' axis size ({mesh.shape[data_axis]})")
-
-    dspec = P(None, data_axis) if data_axis else P()
+    n_micro = _resolve_schedule(feats.shape[0], cfg, mesh, axis, data_axis,
+                                n_micro)
     feats = jax.device_put(
         feats, NamedSharding(mesh, P(data_axis) if data_axis else P()))
     feat_lengths = jax.device_put(
@@ -122,6 +115,48 @@ def pipeline_parallel_encode(
          static_argnames=("cfg", "mesh", "axis", "data_axis", "n_micro"))
 def _pp_encode_jit(params, feats, feat_lengths, cfg, mesh, axis, data_axis,
                    n_micro):
+    return pipeline_encode_core(params, feats, feat_lengths, cfg, mesh,
+                                axis, data_axis, n_micro)
+
+
+def _resolve_schedule(b, cfg, mesh, axis, data_axis, n_micro):
+    """Validate the (layers, batch, mesh) split and default the microbatch
+    count; returns the resolved ``n_micro``."""
+    if cfg.seq_axis:
+        raise ValueError("the pipeline schedule owns the mesh layout; "
+                         "unset cfg.seq_axis (sp+pp is not a supported "
+                         "combination — they shard different bottlenecks)")
+    n_stage = int(mesh.shape[axis])
+    if cfg.num_layers % n_stage:
+        raise ValueError(
+            f"num_layers ({cfg.num_layers}) must divide by the '{axis}' "
+            f"axis size ({n_stage}) — equal-depth stages only")
+    if n_micro is None:
+        for cand in (2 * n_stage, n_stage, 1):
+            if b % cand == 0:
+                n_micro = cand
+                break
+    if b % n_micro:
+        raise ValueError(f"batch ({b}) must divide into n_micro ({n_micro}) "
+                         "microbatches")
+    if data_axis is not None and (b // n_micro) % int(mesh.shape[data_axis]):
+        raise ValueError(
+            f"microbatch size ({b // n_micro}) must divide by the "
+            f"'{data_axis}' axis size ({mesh.shape[data_axis]})")
+    return n_micro
+
+
+def pipeline_encode_core(params, feats, feat_lengths, cfg, mesh, axis,
+                         data_axis=None, n_micro=None):
+    """The pure, traceable pipelined encode — also the TRAINING forward:
+    every op in the schedule is differentiable (``ppermute`` transposes to
+    the reverse permute, the inject/collect masks to their complements), so
+    ``jax.grad`` through this function IS the backward pipeline — microbatch
+    cotangents flow stage ``S-1 → 0`` in reverse schedule order with no
+    hand-written 1F1B. With ``cfg.remat`` each stage rematerializes its
+    block activations in the backward, the standard GPipe memory profile."""
+    n_micro = _resolve_schedule(feats.shape[0], cfg, mesh, axis, data_axis,
+                                n_micro)
     n_stage = int(mesh.shape[axis])
     x, lengths, pos_emb, mask, t_out = _encode_prologue(
         params, feats, feat_lengths, cfg)

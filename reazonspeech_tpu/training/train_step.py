@@ -41,6 +41,7 @@ def compute_loss(
     loss: str = "full",
     s_range: int = 5,
     simple_scale: float = 0.5,
+    pipeline=None,
 ):
     """batch: dict(waveform [B,N] f32, lengths [B] i32, labels [B,U] i32,
     label_lengths [B] i32) -> scalar mean NLL.
@@ -56,7 +57,18 @@ def compute_loss(
     (1-w)·rnnt + w·ctc.
     """
     feats, flens = log_mel_spectrogram(batch["waveform"], batch["lengths"], fe_cfg)
-    enc, elens = fastconformer_encode(params["encoder"], feats, flens, enc_cfg)
+    if pipeline is not None:
+        # encoder under the GPipe schedule (parallel.pipeline.PipelineSpec):
+        # jax.grad transposes the forward ppermute chain into the backward
+        # pipeline, so pp training needs no bespoke step
+        from ..parallel.pipeline import pipeline_encode_core
+
+        enc, elens = pipeline_encode_core(
+            params["encoder"], feats, flens, enc_cfg, pipeline.mesh,
+            pipeline.axis, pipeline.data_axis, pipeline.n_micro)
+    else:
+        enc, elens = fastconformer_encode(
+            params["encoder"], feats, flens, enc_cfg)
     pred = predictor_sequence(params["predictor"], batch["labels"], rnnt_cfg)
     if loss == "pruned":
         from .pruned_rnnt import pruned_loss_bundle
@@ -89,9 +101,14 @@ def compute_loss(
 
 
 def make_train_step(fe_cfg, enc_cfg, rnnt_cfg, optimizer=None, ctc_weight=0.0,
-                    loss="full", s_range=5, simple_scale=0.5):
+                    loss="full", s_range=5, simple_scale=0.5, pipeline=None):
     """Returns (init_state, train_step). ``train_step(state, batch)`` is a
-    pure jittable function -> (new_state, metrics)."""
+    pure jittable function -> (new_state, metrics).
+
+    ``pipeline``: optional ``parallel.pipeline.PipelineSpec`` — the encoder
+    forward/backward runs under the GPipe schedule over the spec's mesh
+    (layer stack sharded over its ``axis``); params["encoder"]["blocks"]
+    should be device_put with the leading layer axis sharded to match."""
     if optimizer is None:
         optimizer = optax.adamw(1e-4, weight_decay=0.01)
 
@@ -105,7 +122,7 @@ def make_train_step(fe_cfg, enc_cfg, rnnt_cfg, optimizer=None, ctc_weight=0.0,
     def train_step(state: TrainState, batch):
         loss_val, grads = jax.value_and_grad(compute_loss)(
             state.params, batch, fe_cfg, enc_cfg, rnnt_cfg, ctc_weight,
-            loss, s_range, simple_scale,
+            loss, s_range, simple_scale, pipeline,
         )
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
