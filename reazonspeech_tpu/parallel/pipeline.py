@@ -203,13 +203,13 @@ def pipeline_encode_core(params, feats, feat_lengths, cfg, mesh, axis,
         out = jnp.where(i == n_stage - 1, valid, jnp.zeros_like(valid))
         return jax.lax.psum(out, axis)
 
-    dspec3 = P(None, data_axis) if data_axis else P()
-    dspec4 = P(None, data_axis) if data_axis else P()
+    # microbatch leading dim replicated; batch dim sharded over data_axis
+    dspec = P(None, data_axis) if data_axis else P()
     out_m = jax.shard_map(
         stage_fn,
         mesh=mesh,
-        in_specs=(P(axis), dspec4, dspec3, dspec3, P()),
-        out_specs=dspec4,
+        in_specs=(P(axis), dspec, dspec, dspec, P()),
+        out_specs=dspec,
         # the schedule mixes replicated inputs with the device-varying
         # stage index; the collectives here (ppermute/psum) are the whole
         # point and are correct by construction
