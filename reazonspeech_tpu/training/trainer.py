@@ -65,7 +65,10 @@ class Trainer:
     """
 
     def __init__(self, fe_cfg, enc_cfg, rnnt_cfg, cfg: TrainerConfig = TrainerConfig(),
-                 mesh=None):
+                 mesh=None, pipeline=None):
+        """``pipeline``: optional ``parallel.pipeline.PipelineSpec`` — the
+        encoder fwd+bwd runs under the GPipe schedule over the spec's mesh
+        (pass the same mesh as ``mesh`` for batch/param placement)."""
         self.cfg = cfg
         self.mesh = mesh
         self.optimizer = optax.chain(
@@ -75,7 +78,7 @@ class Trainer:
         self._init_state, step_fn = make_train_step(
             fe_cfg, enc_cfg, rnnt_cfg, optimizer=self.optimizer,
             ctc_weight=cfg.ctc_weight, loss=cfg.loss, s_range=cfg.s_range,
-            simple_scale=cfg.simple_scale,
+            simple_scale=cfg.simple_scale, pipeline=pipeline,
         )
         if mesh is not None:
             from ..parallel.mesh import shard_batch

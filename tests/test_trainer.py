@@ -113,6 +113,30 @@ def test_trainer_sharded_smoke(manifest):
     assert np.isfinite(float(hist[0]["loss"])) if hist else True
 
 
+def test_trainer_pipelined_smoke(manifest):
+    """Trainer with the encoder under the GPipe schedule (dp=2 x pipe=2)."""
+    from reazonspeech_tpu.parallel.pipeline import (
+        PipelineSpec,
+        make_pipeline_mesh,
+    )
+    from reazonspeech_tpu.parallel.sequence import use_mesh
+
+    fe, enc, rnnt = _cfgs()
+    tok = default_ja_tokenizer(rnnt.vocab_size)
+    import jax
+
+    mesh = make_pipeline_mesh(n_pipe=2, n_data=2, devices=jax.devices()[:4])
+    spec = PipelineSpec(mesh=mesh, data_axis="data", n_micro=2)
+    tr = Trainer(fe, enc, rnnt, TrainerConfig(warmup_steps=2, decay_steps=10),
+                 pipeline=spec)
+    tr.init(init_params(0, enc, rnnt))
+    with use_mesh(mesh):
+        hist = tr.fit(manifest_batches(manifest, tok, batch_size=4, epochs=1),
+                      max_steps=1)
+    assert int(tr.state.step) == 1
+    assert hist and np.isfinite(float(hist[0]["loss"]))
+
+
 def test_manifest_batches_tail_not_dropped(manifest):
     """A manifest smaller than batch_size still yields (refilled) batches,
     and tail rows are never silently discarded."""
