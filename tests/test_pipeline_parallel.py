@@ -51,8 +51,11 @@ def _inputs(cfg, b=4, t=64, seed=0):
     return feats, flens
 
 
-def test_pipeline_matches_local_encode():
-    cfg = small_cfg()
+@pytest.mark.parametrize("final_norm", [False, True])
+def test_pipeline_matches_local_encode(final_norm):
+    # final_norm=True is the espnet-flavor encoder shape (after_norm) —
+    # the same pipeline covers it since espnet shares fastconformer_encode
+    cfg = small_cfg(final_norm=final_norm)
     params = init_fastconformer(jax.random.PRNGKey(0), cfg)
     feats, flens = _inputs(cfg)
     ref, ref_lens = fastconformer_encode(params, feats, flens, cfg)
