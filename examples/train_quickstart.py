@@ -11,8 +11,12 @@ Orbax checkpoints, resumable across runs:
 Re-running with the same --ckpt-dir resumes from the newest checkpoint.
 On a TPU pod slice, pass --data-parallel N --model-parallel M to shard the
 step over a ('data','model') mesh (XLA inserts the gradient psums from the
-sharding annotations alone).
+sharding annotations alone), or --pipeline-parallel S to stage the encoder
+block stack over a ('data','pipe') mesh under the GPipe schedule
+(parallel/pipeline.py; combine with --data-parallel for dp x pp).
 """
+
+import contextlib
 
 import argparse
 
@@ -36,6 +40,9 @@ def main():
     ap.add_argument("--peak-lr", type=float, default=1e-3)
     ap.add_argument("--data-parallel", type=int, default=None)
     ap.add_argument("--model-parallel", type=int, default=1)
+    ap.add_argument("--pipeline-parallel", type=int, default=None,
+                    help="GPipe stages for the encoder block stack "
+                         "(num_layers must divide by it)")
     args = ap.parse_args()
 
     if args.size == "tiny":
@@ -48,7 +55,23 @@ def main():
     tokenizer = default_ja_tokenizer(rnnt_cfg.vocab_size)
 
     mesh = None
-    if args.data_parallel:
+    pipeline = None
+    run_ctx = contextlib.nullcontext()
+    if args.pipeline_parallel:
+        from reazonspeech_tpu.parallel.pipeline import (
+            PipelineSpec,
+            make_pipeline_mesh,
+        )
+        from reazonspeech_tpu.parallel.sequence import use_mesh
+
+        pp_mesh = make_pipeline_mesh(
+            n_pipe=args.pipeline_parallel,
+            n_data=args.data_parallel or 1)
+        pipeline = PipelineSpec(
+            mesh=pp_mesh,
+            data_axis="data" if args.data_parallel else None)
+        run_ctx = use_mesh(pp_mesh)
+    elif args.data_parallel:
         from reazonspeech_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(n_data=args.data_parallel, n_model=args.model_parallel)
@@ -64,6 +87,7 @@ def main():
             decay_steps=args.steps,
         ),
         mesh=mesh,
+        pipeline=pipeline,
     )
     try:
         trainer.restore_latest(init_params(0, enc_cfg, rnnt_cfg))
@@ -75,8 +99,9 @@ def main():
     batches = manifest_batches(
         args.manifest, tokenizer, args.batch_size, epochs=10_000
     )
-    history = trainer.fit(batches, max_steps=args.steps,
-                          log_file=f"{args.ckpt_dir}/metrics.jsonl")
+    with run_ctx:
+        history = trainer.fit(batches, max_steps=args.steps,
+                              log_file=f"{args.ckpt_dir}/metrics.jsonl")
     trainer.save()
     if history:
         print(f"final: step {history[-1]['step']} loss {history[-1]['loss']:.3f}")

@@ -131,18 +131,23 @@ def _resolve_schedule(b, cfg, mesh, axis, data_axis, n_micro):
         raise ValueError(
             f"num_layers ({cfg.num_layers}) must divide by the '{axis}' "
             f"axis size ({n_stage}) — equal-depth stages only")
+    n_data = int(mesh.shape[data_axis]) if data_axis is not None else 1
     if n_micro is None:
         for cand in (2 * n_stage, n_stage, 1):
-            if b % cand == 0:
+            if b % cand == 0 and (b // cand) % n_data == 0:
                 n_micro = cand
                 break
+        else:
+            raise ValueError(
+                f"no default microbatch count fits batch ({b}) over "
+                f"{n_stage} stages x {n_data} data shards; pass n_micro")
     if b % n_micro:
         raise ValueError(f"batch ({b}) must divide into n_micro ({n_micro}) "
                          "microbatches")
-    if data_axis is not None and (b // n_micro) % int(mesh.shape[data_axis]):
+    if (b // n_micro) % n_data:
         raise ValueError(
             f"microbatch size ({b // n_micro}) must divide by the "
-            f"'{data_axis}' axis size ({mesh.shape[data_axis]})")
+            f"'{data_axis}' axis size ({n_data})")
     return n_micro
 
 

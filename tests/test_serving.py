@@ -172,9 +172,15 @@ def test_sigterm_drains_in_flight_requests():
 
     here = os.path.dirname(__file__)
     port = 18271
+    # the child must import the package regardless of install state —
+    # prepend the repo root (this suite itself runs from a source tree)
+    env = dict(os.environ)
+    root = os.path.dirname(here)
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
     proc = subprocess.Popen(
         [sys.executable, os.path.join(here, "_tiny_server.py"), str(port),
-         "1000"])  # 1 s batching window keeps the request queued at SIGTERM
+         "1000"],  # 1 s batching window keeps the request queued at SIGTERM
+        env=env)
     try:
         deadline = time.time() + 300
         while time.time() < deadline:  # wait for bind + model build
