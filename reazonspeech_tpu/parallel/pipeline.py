@@ -23,6 +23,14 @@ where GSPMD cannot see through a ``pallas_call``).
 Composes with data parallel on a 2-D ``('data','pipe')`` mesh: the
 microbatch batch dim shards over ``data`` while the block stack shards
 over ``pipe`` — one ``shard_map`` covers both.
+
+Scope: the FastConformer block stack — which covers the nemo AND espnet
+flavors (espnet's Conformer is a FastConformerConfig,
+models/conformer.py). The k2 Zipformer is NOT stageable this way: its
+five stacks run at different time resolutions with different block
+programs, so equal-program SPMD stages don't exist; its long/large-model
+story is the shared-attention blockwise-KV kernels + dp/tp
+(ops/zipformer_attention.py, parallel/mesh.py).
 """
 
 from dataclasses import dataclass
