@@ -52,7 +52,8 @@ from .mesh import DATA_AXIS
 from .sequence import use_mesh
 
 __all__ = ["pipeline_parallel_encode", "pipeline_encode_core",
-           "make_pipeline_mesh", "PipelineSpec", "PIPE_AXIS"]
+           "make_pipeline_mesh", "shard_params_pipeline", "PipelineSpec",
+           "PIPE_AXIS"]
 
 PIPE_AXIS = "pipe"
 
@@ -78,6 +79,34 @@ def make_pipeline_mesh(n_pipe, n_data=1, devices=None) -> Mesh:
             f"mesh {n_data}x{n_pipe} != {len(devices)} devices")
     arr = np.asarray(devices).reshape(n_data, n_pipe)
     return Mesh(arr, (DATA_AXIS, PIPE_AXIS))
+
+
+def shard_params_pipeline(params, mesh: Mesh, axis: str = PIPE_AXIS):
+    """Place an encoder param tree for the pipeline: every ``blocks`` leaf
+    sharded over ``axis`` on its leading (layer) axis, everything else
+    (subsampling, after_norm) replicated.
+
+    This is what makes pp actually CUT per-chip weight HBM to
+    ``num_layers/S`` blocks — with replicated params the schedule still
+    runs (``shard_map`` reshards its inputs to the in_specs), but every
+    chip holds the full stack. Works on a full model tree (with an
+    ``encoder`` entry) or a bare encoder tree.
+    """
+    enc = params["encoder"] if "encoder" in params else params
+
+    def put(path, leaf):
+        stacked = (path and getattr(path[0], "key", None) == "blocks"
+                   and getattr(leaf, "ndim", 0) >= 1
+                   and leaf.shape[0] % int(mesh.shape[axis]) == 0)
+        spec = P(axis) if stacked else P()
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    enc = jax.tree_util.tree_map_with_path(put, enc)
+    if "encoder" in params:
+        rest = {k: jax.device_put(v, NamedSharding(mesh, P()))
+                for k, v in params.items() if k != "encoder"}
+        return {**rest, "encoder": enc}
+    return enc
 
 
 def pipeline_parallel_encode(

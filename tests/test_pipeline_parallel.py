@@ -190,6 +190,36 @@ def test_pipeline_train_step():
     assert np.isfinite(float(m_pp["loss"]))
 
 
+def test_shard_params_pipeline_places_and_matches():
+    """shard_params_pipeline puts L/S block layers per chip (the HBM win
+    pp exists for) and the encode over pre-sharded params is unchanged."""
+    from reazonspeech_tpu.parallel.pipeline import shard_params_pipeline
+
+    cfg = small_cfg()
+    params = init_fastconformer(jax.random.PRNGKey(4), cfg)
+    feats, flens = _inputs(cfg, seed=4)
+    ref, _ = fastconformer_encode(params, feats, flens, cfg)
+
+    mesh = make_pipeline_mesh(n_pipe=4, n_data=1, devices=jax.devices()[:4])
+    sharded = shard_params_pipeline(params, mesh)
+    w = sharded["blocks"]["ffn1_in"]["w"]  # [L=4, D, DFF]
+    shard_shapes = {s.data.shape for s in w.addressable_shards}
+    assert shard_shapes == {(1,) + w.shape[1:]}  # 1 layer per chip
+    # non-block leaves replicated
+    sub = sharded["subsampling"]["proj"]["w"]
+    assert {s.data.shape for s in sub.addressable_shards} == {sub.shape}
+
+    pp, _ = pipeline_parallel_encode(sharded, feats, flens, cfg, mesh)
+    err = np.abs(np.asarray(pp) - np.asarray(ref)).max()
+    assert err < 1e-5, err
+
+    # full model tree (encoder entry) keeps the other heads replicated
+    full = shard_params_pipeline({"encoder": params, "joint": {
+        "w": jnp.zeros((4, 4))}}, mesh)
+    assert {s.data.shape
+            for s in full["joint"]["w"].addressable_shards} == {(4, 4)}
+
+
 def test_pipeline_validation():
     cfg = small_cfg()
     params = init_fastconformer(jax.random.PRNGKey(0), cfg)
